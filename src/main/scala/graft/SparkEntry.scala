@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.DEMV
+import graft.dedup.Dedup
+import graft.etl.Recode
+import graft.functions.TextFunctions
+import graft.similarity.Similarity
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * with a DuckDB oracle per SQL-expressible query (column names aligned).
+  * Doubles are rounded in BOTH engines so hash comparison is stable across
+  * summation orders; every result is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench sessions);
+    * normalize to a proper timestamp column either way.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => e
+    }
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H-Q1-style pricing summary: scan+filter pushdown, hash aggregate
+    * (SURVEY A1/A2/P3).
+    */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---------------------------------------------------------------- helpers
+  /** orders x customer with binary sensitive vars + label — the DEMV-shaped
+    * predictions table derived from the relational testdata.
+    */
+  private def demvInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("s1"),
+        when(col("c_acctbal") >= 0, 1).otherwise(0).as("s2"),
+        col("o_orderstatus").as("y"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
+
+    // q02: filter + projection pushdown, single scalar agg (TPC-H Q6 shape)
+    "q02_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(to_date(col("l_shipdate")).between("1995-01-01", "1996-12-31")
+          && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // q03: multi-way join, small dims broadcast (SURVEY §2.5 J2)
+    "q03_join_nations" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // q04: fused conditional counts — the metric-engine workhorse (SURVEY A1,
+    // §2.7): ~6 predicates in ONE pass instead of one scan per count
+    "q04_conditional_counts" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 100000, 1L)
+          .otherwise(0L)).as("n_urgent_high"))),
+
+    // q05: distinct (SURVEY A3)
+    "q05_distinct_flags" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+        .distinct().orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // q06: union + re-aggregate (SURVEY §2.8 set ops)
+    "q06_union_parts" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val small = p.where(col("p_size") < 10).withColumn("size_class", lit("small"))
+      val large = p.where(col("p_size") >= 40).withColumn("size_class", lit("large"))
+      small.unionByName(large)
+        .groupBy(col("size_class"), col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .orderBy(col("size_class"), col("p_brand"))
+    }),
+
+    // q07: quantile binning via ntile (SURVEY A5/F4 analog, deterministic)
+    "q07_ntile_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket", ntile(5).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))),
+
+    // q08: exact top-k per group via ranking window — the sampler's window
+    // shape (SURVEY §2.2 step 3, deterministic variant)
+    "q08_topk_per_segment" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))))
+        .where(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("rank"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_mktsegment"), col("rank"))),
+
+    // q09: z-score standardization (SURVEY A4) — agg + broadcast, no
+    // single-partition window
+    "q09_zscore_acctbal" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val stats = c.agg(avg(col("c_acctbal")).as("m"), stddev_samp(col("c_acctbal")).as("sd"))
+      c.crossJoin(broadcast(stats))
+        .select(col("c_custkey"), round((col("c_acctbal") - col("m")) / col("sd"), 4).as("z"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q10: explicit-edge binning (SURVEY F3, pandas cut semantics)
+    "q10_cut_quantity" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("qty_bin", Recode.cut(col("l_quantity"),
+          Seq(0, 10, 25, 40, 51), Seq("xs", "s", "m", "l")))
+        .groupBy(col("qty_bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("qty_bin"))),
+
+    // q11: one-hot with literal column-per-value semantics (SURVEY F5)
+    "q11_onehot_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("p_urgent"),
+          sum(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("p_high"),
+          sum(when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(0L)).as("p_medium"),
+          sum(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1L).otherwise(0L)).as("p_notspec"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("p_low"))
+        .orderBy(col("o_orderstatus"))),
+
+    // q12: value-map replace + cast (SURVEY P9/P10)
+    "q12_replace_region" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .withColumn("region_code", Recode.replaceValues(col("n_regionkey").cast("string"),
+          Map("0" -> "AFR", "1" -> "AME", "2" -> "ASI", "3" -> "EUR", "4" -> "MEA")))
+        .groupBy(col("region_code")).agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("region_code"))),
+
+    // q13: anti join (SURVEY P6 row-drop analog / NOT EXISTS)
+    "q13_customers_no_open_orders" -> ((s, dir) => {
+      val open = t(s, dir, "orders").where(col("o_orderstatus") === "P")
+      t(s, dir, "customer")
+        .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q14: semi join (EXISTS)
+    "q14_suppliers_recent" -> ((s, dir) => {
+      val recent = t(s, dir, "lineitem").where(to_date(col("l_shipdate")) >= lit("1998-01-01"))
+      t(s, dir, "supplier")
+        .join(recent, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // q15: event-time tumbling window aggregation — the batch shape of the
+    // Structured Streaming pipeline (graft.streaming.EventPipeline)
+    "q15_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    // q16: JSON extraction from the semi-structured props column
+    "q16_events_props" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // q17: DEMV cell weights — the core algorithm's w_exp/w_obs arithmetic
+    // (SURVEY §2.2) as a verifiable aggregation
+    "q17_demv_weights" -> ((s, dir) => {
+      val d = demvInput(s, dir)
+      val cells = d.groupBy(col("s1"), col("s2"), col("y")).agg(count(lit(1)).as("n"))
+      val total = d.count()
+      val sm = d.groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_combo"))
+      val lm = d.groupBy(col("y")).agg(count(lit(1)).as("n_label"))
+      cells.join(sm, Seq("s1", "s2")).join(broadcast(lm), Seq("y"))
+        .select(col("s1"), col("s2"), col("y"), col("n"),
+          round((col("n_combo") / lit(total.toDouble)) * (col("n_label") / lit(total.toDouble)), 8).as("w_exp"),
+          round(col("n") / lit(total.toDouble), 8).as("w_obs"),
+          round(((col("n_combo") / lit(total.toDouble)) * (col("n_label") / lit(total.toDouble)))
+            / (col("n") / lit(total.toDouble)), 4).as("disparity"))
+        .orderBy(col("s1"), col("s2"), col("y"))
+    }),
+
+    // q18: full DEMV balancing — output = post-balance cell sizes, which are
+    // deterministic (SURVEY §2.2: the ±1 loop is pure size arithmetic).
+    // No SQL oracle: the convergence loop isn't SQL-expressible; correctness
+    // is covered by ScalaTest replay tests against the reference semantics.
+    "q18_demv_balance" -> ((s, dir) => {
+      val d = demvInput(s, dir).select("s1", "s2", "y")
+      val balanced = new DEMV(Seq("s1", "s2"), shuffleOutput = false).fitTransform(d, "y")
+      balanced.groupBy(col("s1"), col("s2"), col("y")).agg(count(lit(1)).as("n_after"))
+        .orderBy(col("s1"), col("s2"), col("y"))
+    }),
+
+    // q19: exact dedup by normalized content fingerprint (SURVEY+: dedup)
+    "q19_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("fingerprint"), col("n_docs"), col("keep_id"))
+        .orderBy(col("keep_id"))),
+
+    // q20: text statistics — token counts, punctuation ratio (SURVEY+: text)
+    "q20_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // q21: language-ID heuristic vs the labeled lang column — confusion counts
+    "q21_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("guess", TextFunctions.langGuess(col("text")))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))),
+
+    // q22: document quality scoring (SURVEY+: text quality)
+    "q22_quality_scores" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("quality"))),
+
+    // q23: MinHash-LSH near-duplicate pairs, Jaccard-verified (SURVEY+:
+    // fuzzy dedup). No SQL oracle (seeded xxhash64 signatures are
+    // Spark-specific); invariants covered in ScalaTest.
+    "q23_minhash_neardup" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // q24: SimHash near-dup pairs (rows-only; xxhash64-specific)
+    "q24_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // q25: embedding norms — vector arithmetic parity with the oracle
+    "q25_embedding_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        round(Similarity.l2Norm(transform(col("embedding"), x => x.cast("double"))), 4).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
+    // q26: brute-force cosine top-k similarity search (SURVEY+: ANN baseline)
+    "q26_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // q27: LSH-bucketed ANN (rows-only: bucket assignment is seeded-plane
+    // specific; recall properties covered in ScalaTest)
+    "q27_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64, numBits = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_join_nations" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q04_conditional_counts" ->
+      """SELECT count(*) AS n_total,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_urgent_high
+        |FROM orders""".stripMargin,
+    "q05_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q06_union_parts" ->
+      """WITH u AS (
+        |  SELECT *, 'small' AS size_class FROM part WHERE p_size < 10
+        |  UNION ALL
+        |  SELECT *, 'large' AS size_class FROM part WHERE p_size >= 40)
+        |SELECT size_class, p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        |FROM u GROUP BY size_class, p_brand ORDER BY size_class, p_brand""".stripMargin,
+    "q07_ntile_orders" ->
+      """WITH b AS (SELECT o_totalprice, ntile(5) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
+        |SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q08_topk_per_segment" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |  FROM customer)
+        |SELECT c_mktsegment, rank, c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q09_zscore_acctbal" ->
+      """SELECT c_custkey, round((c_acctbal - m) / sd, 4) AS z
+        |FROM customer, (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_cut_quantity" ->
+      """SELECT CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 'xs'
+        |            WHEN l_quantity > 10 AND l_quantity <= 25 THEN 's'
+        |            WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'm'
+        |            WHEN l_quantity > 40 AND l_quantity <= 51 THEN 'l' END AS qty_bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY qty_bin""".stripMargin,
+    "q11_onehot_priority" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_replace_region" ->
+      """SELECT CASE CAST(n_regionkey AS VARCHAR)
+        |         WHEN '0' THEN 'AFR' WHEN '1' THEN 'AME' WHEN '2' THEN 'ASI'
+        |         WHEN '3' THEN 'EUR' WHEN '4' THEN 'MEA'
+        |         ELSE CAST(n_regionkey AS VARCHAR) END AS region_code,
+        |  count(*) AS n_nations
+        |FROM nation GROUP BY 1 ORDER BY region_code""".stripMargin,
+    "q13_customers_no_open_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_suppliers_recent" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q15_events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q16_events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_demv_weights" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS s2,
+        |         o_orderstatus AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT s1, s2, y, count(*) AS n FROM t GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS nt FROM t),
+        |sm AS (SELECT s1, s2, count(*) AS n_combo FROM t GROUP BY 1, 2),
+        |lm AS (SELECT y, count(*) AS n_label FROM t GROUP BY 1)
+        |SELECT c.s1, c.s2, c.y, c.n,
+        |  round((sm.n_combo * 1.0 / tot.nt) * (lm.n_label * 1.0 / tot.nt), 8) AS w_exp,
+        |  round(c.n * 1.0 / tot.nt, 8) AS w_obs,
+        |  round(((sm.n_combo * 1.0 / tot.nt) * (lm.n_label * 1.0 / tot.nt)) / (c.n * 1.0 / tot.nt), 4) AS disparity
+        |FROM cells c, tot JOIN sm ON c.s1 = sm.s1 AND c.s2 = sm.s2 JOIN lm ON c.y = lm.y
+        |ORDER BY c.s1, c.s2, c.y""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars_computed,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |      / len(string_split_regex(trim(text), '\s+')) END, 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_lang_confusion" ->
+      """WITH g AS (SELECT lang,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |  FROM documents),
+        |c AS (SELECT lang, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |  ELSE 'es' END AS guess FROM g)
+        |SELECT lang, guess, count(*) AS n FROM c GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "q22_quality_scores" ->
+      """WITH s AS (SELECT source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |      / len(string_split_regex(trim(text), '\s+')) END AS stop_r
+        |  FROM documents)
+        |SELECT source,
+        |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN punct < 0.2 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN stop_r > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality,
+        |  count(*) AS n
+        |FROM s GROUP BY source, quality ORDER BY source, quality""".stripMargin,
+    "q25_embedding_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q26_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -1,0 +1,173 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication at corpus scale.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact (content hash) — one shuffle on the hash key;
+  *  - near-dup via MinHash + LSH banding — the standard web-corpus design
+  *    (shingle -> minhash signature -> band keys -> bucket self-join):
+  *    candidate generation shuffles on BAND KEYS, never compares all pairs;
+  *  - SimHash (Hamming-ball near-dup) — bucket by rotated prefixes;
+  *  - embedding cosine near-dup — see [[graft.similarity.Similarity]].
+  *
+  * Scale notes: every method is a constant number of shuffles independent of
+  * corpus size; candidate verification joins carry only (id, signature), the
+  * full text/row is re-attached at the end by id — at 100 TB you never
+  * shuffle document bodies, only ids and fixed-width sketches.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized content fingerprint; keeps the row with the
+    * smallest `idCol` per duplicate set. Single hash-aggregate shuffle on
+    * the fingerprint — no skew (hashes are uniform).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Duplicate-set sizes by fingerprint: (fingerprint, n_docs, min_id). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash-LSH candidate pairs: ids (a, b), a < b, that share at least one
+    * LSH band. `bands * rowsPerBand` hash functions; two documents with
+    * Jaccard similarity s collide in some band with prob
+    * 1 - (1 - s^rowsPerBand)^bands.
+    *
+    * Plan shape: project (id, signature) -> explode to (bandKey, id) ->
+    * self-join on bandKey -> distinct pairs. The explode carries
+    * `bands` rows of (long, id) per document; the join shuffles on uniform
+    * hash keys. Giant buckets (all-identical boilerplate docs) are the one
+    * skew risk — `maxBucketSize` drops pathological buckets, the standard
+    * web-dedup mitigation.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes, seed)
+    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+      .where(size(col("sig")) > 0)
+    // band key = hash of the band's slice of the signature + band index
+    val bandKeys = explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket"))))
+    val buckets = withSig.select(col("id"), bandKeys.as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val trimmed = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val l = trimmed.alias("l")
+    val r = trimmed.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidates verified by exact n-gram
+    * Jaccard similarity >= `threshold`. Verification re-joins shingle SETS
+    * by id (ids only in the shuffle) and computes
+    * |A intersect B| / |A union B| with set expressions.
+    */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, bands, rowsPerBand, seed)
+    // sorted-distinct 64-bit shingle hashes: exact Jaccard by compiled
+    // merge-intersect — candidate rows carry fixed-width hash arrays, never
+    // the document text
+    val shingleSets = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingleHashSet(col(textCol), shingleSize).as("sh"))
+    val a = shingleSets.alias("sa")
+    val b = shingleSets.alias("sb")
+    cands
+      .join(a, col("id_a") === col("sa.id"))
+      .join(b, col("id_b") === col("sb.id"))
+      .withColumn("jaccard", TextFunctions.jaccardSorted(col("sa.sh"), col("sb.sh")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for ALL pairs of a (small) candidate
+    * set, or via an equi-join key. For full-corpus use, prefer
+    * [[nearDuplicatePairs]] (LSH-pruned).
+    */
+  def jaccardOfPair(df: DataFrame, textCol: String, idCol: String, shingleSize: Int = 5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      TextFunctions.shingleHashSet(col(textCol), shingleSize).as("sh"))
+    val a = sets.alias("ja")
+    val b = sets.alias("jb")
+    a.join(b, col("ja.id") < col("jb.id"))
+      .select(col("ja.id").as("id_a"), col("jb.id").as("id_b"),
+        TextFunctions.jaccardSorted(col("ja.sh"), col("jb.sh")).as("jaccard"))
+  }
+
+  /** SimHash near-dup buckets: documents whose 64-bit SimHash agrees on a
+    * 16-bit block under each of 4 rotations land in the same bucket — any
+    * pair within Hamming distance 3 shares at least one block (pigeonhole).
+    * Returns (id_a, id_b, hamming) pairs with hamming <= `maxHamming`.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextFunctions.simhash64(col(textCol)).as("sim"))
+    // four 16-bit blocks as LSH join keys
+    val withBlocks = sh.select(
+      col("id"), col("sim"),
+      (col("sim").bitwiseAND(lit(0xFFFFL))).as("b0"),
+      (shiftrightunsigned(col("sim"), 16).bitwiseAND(lit(0xFFFFL))).as("b1"),
+      (shiftrightunsigned(col("sim"), 32).bitwiseAND(lit(0xFFFFL))).as("b2"),
+      (shiftrightunsigned(col("sim"), 48).bitwiseAND(lit(0xFFFFL))).as("b3"))
+    val keyed = withBlocks.select(col("id"), col("sim"),
+      explode(array(
+        struct(lit(0).as("blk"), col("b0").as("key")),
+        struct(lit(1).as("blk"), col("b1").as("key")),
+        struct(lit(2).as("blk"), col("b2").as("key")),
+        struct(lit(3).as("blk"), col("b3").as("key")))).as("bk"))
+      .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
+      // skew guard: templated corpora can put thousands of docs in one
+      // 16-bit block bucket -> quadratic pair blowup; cap like minhash LSH
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("blk"), col("key"))))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val l = keyed.alias("hl")
+    val r = keyed.alias("hr")
+    l.join(r,
+        col("hl.blk") === col("hr.blk") && col("hl.key") === col("hr.key") &&
+          col("hl.id") < col("hr.id"))
+      .select(col("hl.id").as("id_a"), col("hr.id").as("id_b"),
+        bit_count(col("hl.sim").bitwiseXOR(col("hr.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Recode/feature-prep primitives covering the reference's ETL surface
+  * (reference `replication_package/src/getdataset.py`): threshold
+  * binarization (~20 call sites, e.g. `getdataset.py:99-101`), explicit-edge
+  * binning (`:21-32`), quantile binning (`:340`), one-hot (`:35-48`), value
+  * replace (`:230-236`), z-scoring (`:172`). All pure Column/DataFrame ops —
+  * Catalyst folds the `when` ladders into codegen'd branches.
+  */
+object Recode {
+
+  /** `data.loc[data[k] < t, k] = 0 ; else 1` — the reference's dominant
+    * recode idiom (threshold binarization).
+    */
+  def binarize(c: Column, threshold: Double): Column =
+    when(c < threshold, 0).otherwise(1)
+
+  /** pandas `cut`: explicit right-closed edges (lo, hi], values outside -> null.
+    * `labels(i)` names bin (edges(i), edges(i+1)].
+    */
+  def cut(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.length == edges.length - 1, "need one label per bin")
+    val branches = edges.sliding(2).zip(labels.iterator).map {
+      case (Seq(lo, hi), lbl) => (c > lo && c <= hi, lit(lbl))
+    }.toSeq
+    branches.foldLeft(lit(null).cast("string")) { case (acc, (cond, lbl)) =>
+      when(cond, lbl).otherwise(acc)
+    }
+  }
+
+  /** pandas `qcut(col, q)`: quantile binning into q near-equal-frequency
+    * buckets, computed with EXACT quantiles (approxQuantile relativeError=0)
+    * then a `when` ladder — two jobs total regardless of data size.
+    */
+  def qcut(df: DataFrame, colName: String, q: Int, labels: Seq[String]): DataFrame = {
+    require(labels.length == q, "need one label per quantile bucket")
+    val probs = (0 to q).map(_.toDouble / q).toArray
+    val edges = df.stat.approxQuantile(colName, probs, 0.0)
+    val c = col(colName)
+    val branches = edges.toSeq.sliding(2).zip(labels.iterator).zipWithIndex.map {
+      case ((Seq(lo, hi), lbl), i) =>
+        // first bucket left-closed like pandas qcut
+        (if (i == 0) c >= lo && c <= hi else c > lo && c <= hi, lbl)
+    }.toSeq
+    val ladder = branches.foldLeft(lit(null).cast("string")) { case (acc, (cond, lbl)) =>
+      when(cond, lit(lbl)).otherwise(acc)
+    }
+    df.withColumn(s"${colName}_bin", ladder)
+  }
+
+  /** pandas `get_dummies` with literal column-per-value semantics
+    * (reference `getdataset.py:35-48`): one 0/1 column per distinct value.
+    * One small distinct job to enumerate values, then pure projections.
+    */
+  def oneHot(df: DataFrame, colName: String, prefix: Option[String] = None): DataFrame = {
+    val values = df.select(colName).distinct().collect()
+      .map(_.get(0)).filter(_ != null).map(_.toString).sorted
+    values.foldLeft(df) { (acc, v) =>
+      val name = prefix.map(p => s"${p}_$v").getOrElse(v)
+      acc.withColumn(name, when(col(colName) === v, 1).otherwise(0))
+    }
+  }
+
+  /** pandas `replace({from -> to})` on one column. */
+  def replaceValues(c: Column, mapping: Map[Any, Any]): Column =
+    mapping.foldLeft(c) { case (acc, (from, to)) =>
+      when(c === lit(from), lit(to)).otherwise(acc)
+    }
+
+  /** Z-score standardization of the given numeric columns:
+    * `(x - mean) / std` (sample std, pandas `DataFrame.std` semantics,
+    * reference `getdataset.py:172`). One aggregation job for all columns.
+    */
+  def zscore(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val statIdx = cols.zipWithIndex.map { case (c, i) => c -> (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)) }.toMap
+    cols.foldLeft(df) { (acc, c) =>
+      val (m, s) = statIdx(c)
+      acc.withColumn(c, (col(c) - m) / s)
+    }
+  }
+
+  /** Drop columns that are entirely null (reference `getdataset.py:334`
+    * `isna().any()` column pruning) — one aggregation pass.
+    */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c =>
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(c)).toSeq: _*).collect()(0)
+    val keep = df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+    df.select(keep.map(col).toSeq: _*)
+  }
+}

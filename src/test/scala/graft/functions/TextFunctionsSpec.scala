@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(colExpr).collect()(0).get(0)
+  }
+
+  test("tokenCount") {
+    assert(one(TextFunctions.tokenCount(col("t")), "the quick  brown fox") === 4)
+    assert(one(TextFunctions.tokenCount(col("t")), "") === 0)
+    assert(one(TextFunctions.tokenCount(col("t")), "   ") === 0)
+    assert(one(TextFunctions.tokenCount(col("t")), "one") === 1)
+  }
+
+  test("bpeishTokenCount splits words, numbers and punctuation") {
+    // "it's 42!" -> it, ', s, 42, ! = 5
+    assert(one(TextFunctions.bpeishTokenCount(col("t")), "it's 42!") === 5)
+  }
+
+  test("punctRatio") {
+    assert(one(TextFunctions.punctRatio(col("t")), "abcd") === 0.0)
+    assert(one(TextFunctions.punctRatio(col("t")), "a!b!") === 0.5)
+    assert(one(TextFunctions.punctRatio(col("t")), "") === 0.0)
+  }
+
+  test("stopwordRatio") {
+    assert(one(TextFunctions.stopwordRatio(col("t")), "the cat and the dog") === 0.6)
+    assert(one(TextFunctions.stopwordRatio(col("t")), "") === 0.0)
+  }
+
+  test("langGuess picks marker-dominant language, und when none") {
+    assert(one(TextFunctions.langGuess(col("t")), "the cat is on the mat and it purrs") === "en")
+    assert(one(TextFunctions.langGuess(col("t")), "der hund und die katze ist nicht da") === "de")
+    assert(one(TextFunctions.langGuess(col("t")), "le chat est sur la table et vous") === "fr")
+    assert(one(TextFunctions.langGuess(col("t")), "los gatos y el perro es una familia") === "es")
+    assert(one(TextFunctions.langGuess(col("t")), "zzz qqq xxx") === "und")
+  }
+
+  test("fingerprint is case/whitespace/punct-insensitive") {
+    val a = one(TextFunctions.fingerprint(col("t")), "Hello, World!")
+    val b = one(TextFunctions.fingerprint(col("t")), "  hello world  ")
+    val c = one(TextFunctions.fingerprint(col("t")), "different")
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("charShingles") {
+    assert(one(TextFunctions.charShingles(col("t"), 3), "abcd") ===
+      Seq("abc", "bcd"))
+    assert(one(TextFunctions.charShingles(col("t"), 5), "ab") === Seq())
+    // normalization: uppercase + punctuation folded before shingling
+    assert(one(TextFunctions.charShingles(col("t"), 3), "A-B-C-D") ===
+      Seq("abc", "bcd"))
+  }
+
+  test("wordShingles") {
+    assert(one(TextFunctions.wordShingles(col("t"), 2), "a b c") ===
+      Seq("a b", "b c"))
+    assert(one(TextFunctions.wordShingles(col("t"), 4), "a b c") === Seq())
+  }
+
+  test("minhashSignature: deterministic, length numHashes, permutation-sensitive") {
+    val sig = TextFunctions.minhashSignature(col("t"), 3, 16, seed = 42)
+    val a = one(sig, "the quick brown fox jumps over the lazy dog")
+    val b = one(sig, "the quick brown fox jumps over the lazy dog")
+    val c = one(sig, "a completely different document about spark")
+    assert(a === b)
+    assert(a !== c)
+    assert(a.asInstanceOf[scala.collection.Seq[_]].length === 16)
+  }
+
+  test("minhash similarity correlates with Jaccard: near-identical docs share most of the signature") {
+    val sig = TextFunctions.minhashSignature(col("t"), 3, 64, seed = 42)
+    val a = one(sig, "the quick brown fox jumps over the lazy dog again and again").asInstanceOf[scala.collection.Seq[Long]]
+    val b = one(sig, "the quick brown fox jumps over the lazy dog again and again!").asInstanceOf[scala.collection.Seq[Long]]
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    assert(agree >= 48, s"expected >=48/64 matching minhashes, got $agree")
+  }
+
+  test("simhash64: identical docs identical hash; near docs within small Hamming distance") {
+    val sh = TextFunctions.simhash64(col("t"))
+    val a = one(sh, "spark is a unified analytics engine for large scale data").asInstanceOf[Long]
+    val b = one(sh, "spark is a unified analytics engine for large scale data").asInstanceOf[Long]
+    val c = one(sh, "spark is a unified analytics engine for large scale data processing").asInstanceOf[Long]
+    assert(a === b)
+    assert(java.lang.Long.bitCount(a ^ c) <= 16)
+  }
+
+  test("shingleHashSet + jaccardSorted: exact Jaccard by merge-intersect") {
+    import spark.implicits._
+    val df = Seq(("abcd", "abcd"), ("abcd", "bcde"), ("abcd", "zzzz")).toDF("a", "b")
+    val j = df.select(TextFunctions.jaccardSorted(
+      TextFunctions.shingleHashSet(col("a"), 3),
+      TextFunctions.shingleHashSet(col("b"), 3)).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) === 1.0)            // {abc,bcd} vs {abc,bcd}
+    assert(j(1) === 1.0 / 3.0)      // {abc,bcd} vs {bcd,cde}
+    assert(j(2) === 0.0)
+  }
+
+  test("qualityScore components") {
+    // long-enough, low punct, has stopwords -> 1.0
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    assert(one(TextFunctions.qualityScore(col("t")), good) === 1.0)
+    // too short -> loses 0.4 length component
+    assert(one(TextFunctions.qualityScore(col("t")), "the end") === 0.6)
+  }
+}

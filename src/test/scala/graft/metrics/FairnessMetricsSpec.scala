@@ -1,0 +1,82 @@
+package graft.metrics
+
+import graft.SparkSpec
+
+/** Golden tests for M1-M6 (SURVEY §2.7) on tiny hand-computed tables,
+  * including the zero-denominator branches the reference special-cases
+  * (reference `replication_package/src/utils.py:37-60`).
+  */
+class FairnessMetricsSpec extends SparkSpec {
+
+  // predictions table: (s1, s2, pred, true)
+  // unpriv = s1==1: 4 rows; priv: 4 rows
+  //   unpriv: pred=1 in 1/4; priv: pred=1 in 3/4
+  private lazy val predDF = {
+    import spark.implicits._
+    Seq(
+      // s1, s2, pred, y_true
+      (1, 0, 1, 1), (1, 0, 0, 1), (1, 1, 0, 0), (1, 1, 0, 0),
+      (0, 0, 1, 1), (0, 0, 1, 0), (0, 1, 1, 1), (0, 1, 0, 0)
+    ).toDF("s1", "s2", "pred", "y_true")
+  }
+
+  private lazy val m = FairnessMetrics.compute(
+    predDF, Seq("s1", "s2"), GroupCondition(Map("s1" -> 1)), "pred", "y_true", positiveLabel = 1)
+
+  test("statistical parity = P(pos|unpriv) - P(pos|priv)  (utils.py:23-30)") {
+    assert(math.abs(m.statisticalParity - (0.25 - 0.75)) < 1e-12)
+  }
+
+  test("disparate impact = min(u/p, p/u) (utils.py:15-20)") {
+    assert(math.abs(m.disparateImpact - (0.25 / 0.75)) < 1e-12)
+  }
+
+  test("equalized odds with the reference's quirky conditionals (utils.py:33-62)") {
+    // reference 'TPR' = P(true=pos | group, pred=pos):
+    //   unpriv: pred=1 rows: 1 with true=1 -> 1/1 = 1.0
+    //   priv:   pred=1 rows: 3, true=1 in 2 -> 2/3
+    // reference 'FPR' = (pred=pos & true!=pos) / (pred!=pos):
+    //   unpriv: numerator 0, denominator 3 -> 0
+    //   priv:   numerator 1, denominator 1 -> 1
+    val expected = math.max(math.abs(1.0 - 2.0 / 3.0), math.abs(0.0 - 1.0))
+    assert(math.abs(m.equalizedOdds - expected) < 1e-12)
+  }
+
+  test("zero-one-loss difference over the sensitive tuple (utils.py:116-121)") {
+    // groups (s1,s2): (1,0): correct 1/2 -> loss .5 ; (1,1): correct 2/2 -> 0
+    //                 (0,0): correct 1/2 -> .5 ; (0,1): 2/2 -> 0
+    assert(math.abs(m.zeroOneLossDiff - 0.5) < 1e-12)
+  }
+
+  test("accuracy (utils.py:260)") {
+    assert(math.abs(m.accuracy - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("zero denominators make the affected rate 0, not NaN (utils.py:37-60)") {
+    import spark.implicits._
+    // unpriv group never predicted positive -> its TPR denominator is 0
+    val df = Seq(
+      (1, 0, 0), (1, 0, 1),
+      (0, 1, 1), (0, 0, 0)
+    ).toDF("s1", "pred", "y_true")
+    val r = FairnessMetrics.compute(
+      df, Seq("s1"), GroupCondition(Map("s1" -> 1)), "pred", "y_true", 1)
+    assert(!r.equalizedOdds.isNaN)
+  }
+
+  test("disparate impact when u == 0 is u/p (=0) per the reference branch") {
+    import spark.implicits._
+    val df = Seq((1, 0, 0), (1, 0, 1), (0, 1, 1), (0, 1, 0)).toDF("s1", "pred", "y_true")
+    val r = FairnessMetrics.compute(
+      df, Seq("s1"), GroupCondition(Map("s1" -> 1)), "pred", "y_true", 1)
+    assert(r.disparateImpact === 0.0)
+  }
+
+  test("GroupCondition renders a conjunction and its whole-negation") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 0), (0, 1)).toDF("a", "b")
+    val gc = GroupCondition(Map("a" -> 1, "b" -> 1))
+    assert(df.where(gc.column).count() === 1)
+    assert(df.where(gc.negated).count() === 2) // negation of the WHOLE conjunction
+  }
+}

@@ -1,0 +1,75 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.0)),  // close to 0
+      (2L, Array(0.0, 1.0, 0.0)),  // orthogonal to 0
+      (3L, Array(-1.0, 0.0, 0.0)), // opposite of 0
+      (4L, Array(0.8, 0.2, 0.0))   // close to 0 and 1
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("dot / l2Norm / cosine column math") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0, 0.0, 1.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.l2Norm(col("a")),
+      Similarity.cosine(col("a"), col("a"))).collect()(0)
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0) === 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val q = vecs.where(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 2)
+      .collect().sortBy(_.getInt(3))
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L) // nearest: cos ~= .9939
+    assert(out(1).getLong(1) === 4L) // next: cos ~= .9701
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("hyperplaneBucket is deterministic and keys nearby vectors together") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), dim = 3, numBits = 6, seed = 42).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), dim = 3, numBits = 6, seed = 42).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === b2)
+    assert(b(0L) === b(1L)) // near-identical directions agree on all sign bits
+    assert(b(0L) !== b(3L)) // opposite vector flips every plane
+  }
+
+  test("lshTopK returns correctly ranked subset of brute force") {
+    val q = vecs.where(col("vec_id") === 0)
+    val out = Similarity.lshTopK(vecs, q, "vec_id", "embedding", k = 3, dim = 3, numBits = 2)
+      .collect()
+    // every returned neighbor shares the query's bucket and ranks correctly
+    val cosines = out.sortBy(_.getInt(3)).map(_.getDouble(2))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+  }
+
+  test("cosineNearDupPairs finds the embedding near-duplicates") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, dim = 3, numBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<name> parquet result (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB over the sfDir tables,
+sorts columns by name and rows by value, and compares cell-by-cell.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"{status}  {name}: {len(got)} rows"); n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracle[name])
+            want_cols = [c[0] for c in res.description]
+            want = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, g = canon(got, got_cols)
+        wc, w = canon(want, want_cols)
+        if gc != wc:
+            print(f"FAIL  {name}: columns {gc} vs oracle {wc}"); n_fail += 1; continue
+        if len(g) != len(w):
+            print(f"FAIL  {name}: {len(g)} rows vs oracle {len(w)}"); n_fail += 1; continue
+        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        if bad:
+            print(f"FAIL  {name}: {len(bad)}/{len(g)} rows differ; first: {bad[0][0]} vs {bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(g)} rows"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
