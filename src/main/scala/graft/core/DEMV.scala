@@ -40,6 +40,11 @@ import org.apache.spark.sql.functions._
   * @param saltBuckets   parallelism per cell in the materialization pass
   * @param shuffleOutput apply the final seeded shuffle (distributional parity
   *                      with `sample(frac=1, random_state=2)`)
+  * @param strategy      how upsampled cells gain rows (SURVEY §2.3 legacy
+  *                      surface): "random" duplicates existing rows (demv
+  *                      1.0.2 semantics); "uniform" | "smote" | "adasyn"
+  *                      synthesize new rows ([[Strategies]]). Downsampling
+  *                      always drops random rows.
   */
 class DEMV(
     val sensitiveVars: Seq[String],
@@ -47,9 +52,12 @@ class DEMV(
     val stop: Long = 10000L,
     val seed: Long = 2L,
     val saltBuckets: Int = 32,
-    val shuffleOutput: Boolean = true) extends Serializable {
+    val shuffleOutput: Boolean = true,
+    val strategy: String = "random") extends Serializable {
 
   require(sensitiveVars.nonEmpty, "sensitiveVars must be non-empty")
+  require(Seq("random", "uniform", "smote", "adasyn").contains(strategy),
+    s"unknown strategy '$strategy' (reference generatemetrics.py:56-57)")
 
   @volatile private var disparitiesState: Seq[Seq[Double]] = Seq.empty
   @volatile private var iterState: Long = 0L
@@ -141,8 +149,27 @@ class DEMV(
     val targets: Map[Seq[Any], Long] = plans.map { p =>
       (cellInfo((p.combo, p.label))._1 :+ p.label) -> p.targetSize
     }.toMap
-    val resized = ExactSampler.resize(
-      df, keyCols, targets, seed, saltBuckets, precomputedOccupancy = Some(cellSaltCounts))
+    val currents: Map[Seq[Any], Long] = plans.map { p =>
+      (cellInfo((p.combo, p.label))._1 :+ p.label) -> p.initialSize
+    }.toMap
+    val resized =
+      if (strategy == "random")
+        ExactSampler.resize(df, keyCols, targets, seed, saltBuckets,
+          precomputedOccupancy = Some(cellSaltCounts))
+      else {
+        // synthesis strategies: drop-to-target for shrinking cells, keep
+        // growing cells whole and union synthesized extras
+        val keepTargets = targets.map { case (key, t) => key -> math.min(t, currents(key)) }
+        val extras = targets.collect { case (key, t) if t > currents(key) => key -> (t - currents(key)) }
+        val kept = ExactSampler.resize(df, keyCols, keepTargets, seed, saltBuckets,
+          precomputedOccupancy = Some(cellSaltCounts))
+        val synth = strategy match {
+          case "uniform" => Strategies.synthesizeUniform(df, keyCols, extras, seed)
+          case "smote" => Strategies.synthesizeSmote(df, keyCols, extras, seed)
+          case "adasyn" => Strategies.synthesizeSmote(df, keyCols, extras, seed, adasyn = true)
+        }
+        kept.unionByName(synth)
+      }
     if (shuffleOutput) resized.orderBy(rand(seed)) else resized
   }
 

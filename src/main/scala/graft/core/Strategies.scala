@@ -1,0 +1,234 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Legacy oversampling strategies (SURVEY §2.3): the replication package
+  * drives `DEMV(strategy=...)` with `random | uniform | smote | adasyn`
+  * (reference `generatemetrics.py:56-57,133`, `utils.py:218`; semantics from
+  * the IP&M paper + imbalanced-learn). `random` duplicates existing rows
+  * (the shipped demv 1.0.2 behavior, implemented by [[ExactSampler]]);
+  * these synthesize NEW rows for the upsampled cells:
+  *
+  *  - `uniform`: each synthetic row draws every feature independently from
+  *    the cell's empirical distribution. Distributed as two shuffles
+  *    regardless of data size: rank cell rows once, explode (row, feature)
+  *    pairs for upsampled cells only, equi-join synthetic pick indexes
+  *    against ranks, pivot back to columns.
+  *  - `smote`: k-NN interpolation (`x + u * (x' - x)` toward a random one
+  *    of the k nearest same-cell neighbors). kNN runs on a bounded seeded
+  *    sample per cell (`sampleCap`) on the driver — O(cells * cap^2) work
+  *    independent of data size; the full-corpus LSH variant is the scale
+  *    path if caps ever bind.
+  *  - `adasyn`: SMOTE with density-weighted base selection (harder/sparser
+  *    regions get more synthetics — approximation of ADASYN's
+  *    majority-neighbor weighting, which needs cross-class neighbors the
+  *    cell structure does not retain; documented deviation).
+  *
+  * All strategies require numeric feature columns (every reference dataset
+  * is all-numeric after ETL — `getdataset.py` drops/encodes strings).
+  */
+object Strategies {
+
+  /** Synthesize `extras(cellKey)` new rows per cell with independent
+    * per-feature empirical sampling. Returns rows with `df`'s exact schema.
+    */
+  def synthesizeUniform(
+      df: DataFrame,
+      keyCols: Seq[String],
+      extras: Map[Seq[Any], Long],
+      seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val featureCols = df.columns.filterNot(keyCols.contains).toSeq
+    requireNumeric(df, featureCols, "uniform")
+    val needed = extras.filter(_._2 > 0)
+    if (needed.isEmpty) return df.limit(0)
+
+    // tiny driver table: (key..., extra count, cell size)
+    val keySchema = df.select(keyCols.map(col): _*).schema
+    val planSchema = StructType(keySchema.fields ++ Seq(
+      StructField("__extra", LongType), StructField("__csize", LongType)))
+    val cellSizes: Map[Seq[Any], Long] = df.groupBy(keyCols.map(col): _*).count().collect()
+      .map(r => (keyCols.indices.map(r.get): Seq[Any]) -> r.getLong(keyCols.length)).toMap
+    val planRows = needed.toSeq.map { case (k, m) =>
+      Row.fromSeq(k ++ Seq[Any](m, cellSizes.getOrElse(k, 0L)))
+    }
+    val plan = spark.createDataFrame(spark.sparkContext.parallelize(planRows, 1), planSchema)
+
+    // skeleton: one row per (cell, synthIdx, feature) with a random pick
+    // index into the cell (extras are bounded by the stop budget, so the
+    // explode fans out at most `stop` rows per cell)
+    val nF = featureCols.length
+    val skeleton = plan
+      .withColumn("__synth", explode(expr("sequence(1, __extra)")))
+      .withColumn("__feat", explode(expr(s"sequence(0, ${nF - 1})")))
+      .withColumn("__pick", (rand(seed) * col("__csize")).cast("long") % col("__csize"))
+      .select((keyCols.map(col) :+ col("__synth") :+ col("__feat") :+ col("__pick")): _*)
+
+    // cell rows ranked once, exploded to (cell, rank, feature, value) for
+    // upsampled cells only
+    val inNeeded = needed.keySet
+    val ranked = df
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(rand(seed + 1))) - 1)
+    val featStructs = featureCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("f"), col(c).cast("double").as("v"))
+    }
+    val exploded = ranked
+      .select((keyCols.map(col) :+ col("__rn") :+ explode(array(featStructs: _*)).as("fv")): _*)
+      .select((keyCols.map(col) :+ col("__rn") :+ col("fv.f").as("__feat") :+ col("fv.v").as("__val")): _*)
+      // prune to upsampled cells before the join (tiny key set -> isin)
+      .join(broadcast(plan.select(keyCols.map(col): _*)), keyCols)
+
+    val joined = skeleton.join(exploded,
+      keyCols :+ "__feat" map identity,
+      "inner")
+      .where(col("__pick") === col("__rn"))
+      .groupBy((keyCols.map(col) :+ col("__synth")): _*)
+      .agg(map_from_arrays(collect_list(col("__feat")), collect_list(col("__val"))).as("__fm"))
+
+    // back to the original schema, casting each feature to its input type
+    val outCols = df.schema.fields.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else element_at(col("__fm"), featureCols.indexOf(f.name)).cast(f.dataType).as(f.name)
+    }
+    joined.select(outCols.toSeq: _*)
+  }
+
+  /** SMOTE / ADASYN synthetic rows: `extras(cellKey)` interpolated rows per
+    * cell. kNN over a seeded per-cell sample of at most `sampleCap` rows,
+    * computed on the driver (bounded memory at any data scale).
+    */
+  def synthesizeSmote(
+      df: DataFrame,
+      keyCols: Seq[String],
+      extras: Map[Seq[Any], Long],
+      seed: Long,
+      k: Int = 5,
+      sampleCap: Int = 1024,
+      adasyn: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val featureCols = df.columns.filterNot(keyCols.contains).toSeq
+    requireNumeric(df, featureCols, if (adasyn) "adasyn" else "smote")
+    val needed = extras.filter(_._2 > 0)
+    if (needed.isEmpty) return df.limit(0)
+
+    // one distributed pass: seeded rank per cell, keep <= sampleCap rows of
+    // the upsampled cells, collect (bounded: cells * cap rows)
+    val ranked = df
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(rand(seed))))
+      .where(col("__rn") <= sampleCap)
+      .drop("__rn")
+    val sampleRows = ranked.collect()
+    val keyIdx = keyCols.map(df.columns.indexOf(_))
+    val featIdx = featureCols.map(df.columns.indexOf(_))
+    val byCell: Map[Seq[Any], Array[Array[Double]]] = sampleRows
+      .groupBy(r => keyIdx.map(r.get): Seq[Any])
+      .map { case (key, rows) =>
+        key -> rows.map(r => featIdx.map(i => numAt(r, i)).toArray)
+      }
+
+    val rng = new scala.util.Random(seed)
+    val synth = scala.collection.mutable.ArrayBuffer.empty[Row]
+    needed.toSeq.sortBy(_._1.map(_.toString).mkString(",")).foreach { case (key, m) =>
+      val pts = byCell.getOrElse(key,
+        throw new IllegalStateException(s"no rows found for cell $key"))
+      val n = pts.length
+      val kEff = math.min(k, n - 1)
+      // pairwise kNN within the bounded sample
+      val neighbors: Array[Array[Int]] =
+        if (kEff <= 0) Array.fill(n)(Array.empty[Int])
+        else pts.zipWithIndex.map { case (p, i) =>
+          pts.zipWithIndex.filter(_._2 != i)
+            .map { case (q, j) => (dist2(p, q), j) }
+            .sortBy(_._1).take(kEff).map(_._2)
+        }
+      // adasyn: weight base rows by mean neighbor distance (sparser ->
+      // more synthetics); smote: uniform base choice
+      val weights: Array[Double] =
+        if (!adasyn || kEff <= 0) Array.fill(n)(1.0)
+        else pts.zipWithIndex.map { case (p, i) =>
+          val ds = neighbors(i).map(j => math.sqrt(dist2(p, pts(j))))
+          if (ds.isEmpty) 1.0 else ds.sum / ds.length + 1e-9
+        }
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val totalW = cum.last
+      var s = 0L
+      while (s < m) {
+        val u = rng.nextDouble() * totalW
+        val base = {
+          val idx = java.util.Arrays.binarySearch(cum, u)
+          math.min(if (idx < 0) -idx - 1 else idx, n - 1)
+        }
+        val p = pts(base)
+        val vec =
+          if (kEff <= 0) p // singleton cell: duplicate (imblearn raises; we degrade)
+          else {
+            val q = pts(neighbors(base)(rng.nextInt(kEff)))
+            val t = rng.nextDouble()
+            p.indices.map(i => p(i) + t * (q(i) - p(i))).toArray
+          }
+        synth += buildRow(df.schema, keyCols, key, featureCols, vec)
+        s += 1
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(synth.toSeq, math.max(1, synth.length / 10000)), df.schema)
+  }
+
+  private def requireNumeric(df: DataFrame, cols: Seq[String], strategy: String): Unit = {
+    val bad = df.schema.fields.filter(f => cols.contains(f.name) && !f.dataType.isInstanceOf[NumericType])
+    require(bad.isEmpty,
+      s"strategy '$strategy' requires numeric feature columns; non-numeric: " +
+        bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +
+        " (the reference datasets are all-numeric after ETL)")
+  }
+
+  private def numAt(r: Row, i: Int): Double = r.get(i) match {
+    case null => 0.0
+    case n: Number => n.doubleValue()
+    case b: Boolean => if (b) 1.0 else 0.0
+    case other => throw new IllegalArgumentException(s"non-numeric value $other")
+  }
+
+  /** Rebuild a Row in the DataFrame's schema from cell-key values and the
+    * synthesized feature vector (ints rounded, matching imblearn's
+    * continuous output cast back by the dtype-preservation contract,
+    * reference `demv/helpers.py:58`).
+    */
+  private def buildRow(
+      schema: StructType,
+      keyCols: Seq[String],
+      keyVals: Seq[Any],
+      featureCols: Seq[String],
+      vec: Array[Double]): Row = {
+    val keyMap = keyCols.zip(keyVals).toMap
+    val featMap = featureCols.zipWithIndex.toMap
+    Row.fromSeq(schema.fields.map { f =>
+      keyMap.get(f.name) match {
+        case Some(v) => v
+        case None =>
+          val v = vec(featMap(f.name))
+          f.dataType match {
+            case DoubleType => v
+            case FloatType => v.toFloat
+            case LongType => math.round(v)
+            case IntegerType => math.round(v).toInt
+            case ShortType => math.round(v).toShort
+            case ByteType => math.round(v).toByte
+            case _: DecimalType => BigDecimal(v)
+            case other => throw new IllegalArgumentException(s"unsupported type $other")
+          }
+      }
+    }.toSeq)
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}

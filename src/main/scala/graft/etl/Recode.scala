@@ -84,13 +84,62 @@ object Recode {
     }
   }
 
-  /** Drop columns that are entirely null (reference `getdataset.py:334`
-    * `isna().any()` column pruning) — one aggregation pass.
+  /** sklearn `LabelEncoder` parity: distinct non-null values sorted
+    * ascending -> 0..n-1 (reference `getdataset.py:49,342,384-399`;
+    * LabelEncoder sorts classes — SURVEY §2.9 F6 notes Spark's
+    * StringIndexer defaults to frequency order, so we do NOT use it).
+    * One small distinct job; the mapping applies as a codegen'd `when`
+    * ladder (class counts are tiny).
     */
+  def labelEncode(df: DataFrame, colName: String): DataFrame = {
+    val values = df.select(colName).distinct().collect()
+      .map(_.get(0)).filter(_ != null)
+      .sortBy(_.toString)
+    val ladder = values.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (v, i)) => when(col(colName) === lit(v), i).otherwise(acc)
+    }
+    df.withColumn(colName, ladder)
+  }
+
+  /** sklearn `OrdinalEncoder` parity for multiple columns: per-column
+    * alphabetically sorted categories -> 0.0..n-1.0 (doubles, as sklearn
+    * returns float64; reference `getdataset.py:50-51`).
+    */
+  def ordinalEncode(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      val values = acc.select(c).distinct().collect()
+        .map(_.get(0)).filter(_ != null)
+        .sortBy(_.toString)
+      val ladder = values.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (a, (v, i)) => when(col(c) === lit(v), i.toDouble).otherwise(a)
+      }
+      acc.withColumn(c, ladder)
+    }
+
+  /** pandas `get_dummies` with an EXPLICIT category list — matches dummies
+    * of a pandas Categorical (e.g. `cut` output), which emits one column per
+    * category even when unobserved (reference `getdataset.py:46-48`).
+    */
+  def oneHotValues(df: DataFrame, colName: String, values: Seq[String]): DataFrame =
+    values.foldLeft(df) { (acc, v) =>
+      acc.withColumn(v, when(col(colName) === v, 1).otherwise(0))
+    }
+
+  /** Drop columns that are entirely null — one aggregation pass. */
   def dropAllNullColumns(df: DataFrame): DataFrame = {
     val counts = df.select(df.columns.map(c =>
       sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(c)).toSeq: _*).collect()(0)
     val keep = df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+    df.select(keep.map(col).toSeq: _*)
+  }
+
+  /** Drop columns containing ANY null (reference `getdataset.py:170-171`:
+    * `isna().any()` column pruning for the crime dataset) — one pass.
+    */
+  def dropColumnsWithNulls(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)).toSeq: _*).collect()(0)
+    val keep = df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) == 0 => c }
     df.select(keep.map(col).toSeq: _*)
   }
 }
