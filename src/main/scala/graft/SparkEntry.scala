@@ -305,6 +305,78 @@ object SparkEntry {
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64, numBits = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // q28: cube / grouping sets — the one-pass marginal computation the
+    // balancer's weight math wants (SURVEY A2)
+    "q28_cube_marginals" -> ((s, dir) =>
+      demvInput(s, dir)
+        .cube(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("s1").asc_nulls_first, col("s2").asc_nulls_first)),
+
+    // q29: session windows via gap-islands (lag + running sum) — the
+    // SQL-expressible twin of the stateful sessionizer
+    // (graft.streaming.EventPipeline.sessionize)
+    "q29_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // q30: BPE-ish subword token counting per language (SURVEY+: text)
+    "q30_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.bpeishTokenCount(col("text"))).as("total_bpe_tokens"))
+        .orderBy(col("lang"))),
+
+    // q31: post-processing prediction balancer — per-group predicted-class
+    // distributions equalized exactly (graft.eval.PostProcess; rows-only:
+    // the transport plan is driver arithmetic, verified in ScalaTest)
+    "q31_postprocess_balance" -> ((s, dir) => {
+      val pred = demvInput(s, dir)
+        .select(col("s1").as("g"), when(col("o_totalprice") > 100000, 1).otherwise(0).as("pred"))
+      graft.eval.PostProcess.adjust(pred, "g", "pred", seed = 7)
+        .groupBy(col("g"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("g"), col("pred"))
+    }),
+
+    // q32: multimodal feature extraction — binary payload columns through
+    // the batched decode plumbing (stub codec; rows-only, deterministic)
+    "q32_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthetic(s, 500, seed = 11)
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("brightness")), 6).as("avg_brightness"),
+          sum(col("byte_len")).as("total_bytes"))
+        .orderBy(col("kind"))
+    }),
+
+    // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
+    // closed sessions per user with a 30-min gap (rows-only; the windowed
+    // q29 is the oracle-checked variant)
+    "q33_sessionize_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+          col("value"))
+        .as[(Long, Long, Double)]
+      graft.streaming.EventPipeline.sessionize(ev, gapMs = 1800L * 1000)
+        .groupByKey(_.userId)
+        .count()
+        .toDF("user_id", "n_closed_sessions")
+        .orderBy(col("user_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -464,6 +536,32 @@ object SparkEntry {
       """SELECT vec_id, label,
         |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q28_cube_marginals" ->
+      """SELECT s1, s2, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS s2,
+        |         o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |GROUP BY CUBE (s1, s2)
+        |ORDER BY s1 NULLS FIRST, s2 NULLS FIRST""".stripMargin,
+    "q29_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q30_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS total_bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

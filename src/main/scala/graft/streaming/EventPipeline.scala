@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (ts, event_type, user_id, value, props).
+  *
+  * The reference engine is pure batch (SURVEY §2.10) — this module is part
+  * of the training-data-pipeline surface: the same aggregations a batch user
+  * writes (q15/q16) expressed as an incremental pipeline with event-time
+  * watermarks, plus a custom sessionizer via mapGroupsWithState. Batch and
+  * stream share the SAME transformation functions (DataFrame -> DataFrame),
+  * so correctness is testable in batch and the streaming path only adds
+  * watermark/trigger/state plumbing.
+  */
+object EventPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window counts/sums per event type — the streaming twin
+    * of SparkEntry q15. Pure transformation: works on batch or streaming
+    * input alike.
+    */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** One finished session row. */
+  final case class SessionSummary(
+      userId: Long,
+      nEvents: Long,
+      totalValue: Double,
+      startMs: Long,
+      endMs: Long)
+
+  private final case class SessionState(
+      nEvents: Long, totalValue: Double, startMs: Long, lastMs: Long)
+
+  /** Custom stateful operator: per-user session windows with an inactivity
+    * gap, via `flatMapGroupsWithState` (SURVEY's KeyValueGroupedDataset
+    * custom-state route — there is no built-in per-session summary with
+    * timeout emission). Each micro-batch merges new events into the open
+    * session, emits every session CLOSED by a gap, keeps the still-open one
+    * in state with a processing-time timeout; the timeout flushes a session
+    * when the user goes silent. In batch execution the same code emits all
+    * gap-closed sessions (timeouts never fire, so the final open session
+    * stays unemitted — streaming-consistent semantics).
+    */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Double)], // (userId, tsMs, value)
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            sorted.foreach { case (_, ts, v) =>
+              open match {
+                case Some(s) if ts - s.lastMs > gapMs =>
+                  closed += SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs)
+                  open = Some(SessionState(1, v, ts, ts))
+                case Some(s) =>
+                  open = Some(SessionState(s.nEvents + 1, s.totalValue + v, s.startMs, math.max(s.lastMs, ts)))
+                case None =>
+                  open = Some(SessionState(1, v, ts, ts))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** End-to-end incremental pipeline: parquet/json file source -> hourly
+    * aggregates -> sink. `format`/`path` describe the source; sink is
+    * in-memory for tests ("memory") or parquet for production.
+    */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceFormat: String = "parquet",
+      queryName: String = "graft_events_hourly",
+      checkpointDir: String,
+      watermark: String = "2 hours"): StreamingQuery = {
+    val stream = spark.readStream
+      .format(sourceFormat)
+      .schema(eventSchema)
+      .load(sourceDir)
+    hourlyAggregates(stream, watermark).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
