@@ -210,19 +210,24 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     // q17: DEMV cell weights — the core algorithm's w_exp/w_obs arithmetic
-    // (SURVEY §2.2) as a verifiable aggregation
+    // (SURVEY §2.2). ONE scan: the (s1,s2,y) cell aggregate is tiny
+    // (<= 2^n * L rows), so the combo/label/total marginals are windows
+    // OVER THE CELLS, not re-scans of the base join — at 100 TB this is
+    // one shuffle of 12 rows instead of three scans of the fact table.
     "q17_demv_weights" -> ((s, dir) => {
-      val d = demvInput(s, dir)
-      val cells = d.groupBy(col("s1"), col("s2"), col("y")).agg(count(lit(1)).as("n"))
-      val total = d.count()
-      val sm = d.groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_combo"))
-      val lm = d.groupBy(col("y")).agg(count(lit(1)).as("n_label"))
-      cells.join(sm, Seq("s1", "s2")).join(broadcast(lm), Seq("y"))
+      val cells = demvInput(s, dir)
+        .groupBy(col("s1"), col("s2"), col("y")).agg(count(lit(1)).as("n"))
+      val wCombo = Window.partitionBy(col("s1"), col("s2"))
+      val wLabel = Window.partitionBy(col("y"))
+      val wAll = Window.partitionBy()
+      val nCombo = sum(col("n")).over(wCombo).cast("double")
+      val nLabel = sum(col("n")).over(wLabel).cast("double")
+      val total = sum(col("n")).over(wAll).cast("double")
+      cells
         .select(col("s1"), col("s2"), col("y"), col("n"),
-          round((col("n_combo") / lit(total.toDouble)) * (col("n_label") / lit(total.toDouble)), 8).as("w_exp"),
-          round(col("n") / lit(total.toDouble), 8).as("w_obs"),
-          round(((col("n_combo") / lit(total.toDouble)) * (col("n_label") / lit(total.toDouble)))
-            / (col("n") / lit(total.toDouble)), 4).as("disparity"))
+          round((nCombo / total) * (nLabel / total), 8).as("w_exp"),
+          round(col("n") / total, 8).as("w_obs"),
+          round(((nCombo / total) * (nLabel / total)) / (col("n") / total), 4).as("disparity"))
         .orderBy(col("s1"), col("s2"), col("y"))
     }),
 

@@ -191,6 +191,72 @@ object TextAlgo {
     if (denom == 0.0) 0.0 else dotAB / denom
   }
 
+  /** Java-regex `\s` membership — the split class `split(trim(s), "\\s+")`
+    * uses; kept exact (NOT Character.isWhitespace, which adds unicode
+    * spaces) for oracle parity with the Column implementation.
+    */
+  @inline private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Iterate whitespace-delimited tokens of lowercase(trim(s)) without
+    * allocating the token array; calls f(token) per token. Returns token
+    * count.
+    */
+  private def foreachLowerToken(s: String, f: String => Unit): Int = {
+    var i = 0
+    val n = s.length
+    var count = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (atEnd || isJavaWs(c)) {
+        if (sb.length() > 0) {
+          count += 1
+          f(sb.toString)
+          sb.setLength(0)
+        }
+      } else {
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Count of lowercased whitespace tokens that are members of `set`, and
+    * the total token count — the fused kernel behind stopwordRatio.
+    * Returns (matches, tokens) packed in a long (matches << 32 | tokens).
+    */
+  def tokenSetStats(s: UTF8String, set: java.util.HashSet[String]): Long = {
+    var matches = 0
+    val tokens = foreachLowerToken(s.toString, t => if (set.contains(t)) matches += 1)
+    (matches.toLong << 32) | (tokens.toLong & 0xFFFFFFFFL)
+  }
+
+  /** Single-pass language-ID: per-language marker-set hit counts over the
+    * lowercased tokens, argmax in declaration order, 'und' when all zero —
+    * identical semantics to the Column when-ladder it replaces.
+    */
+  def langGuess(
+      s: UTF8String,
+      sets: Array[java.util.HashSet[String]],
+      codes: Array[UTF8String]): UTF8String = {
+    val hits = new Array[Int](sets.length)
+    foreachLowerToken(s.toString, { t =>
+      var i = 0
+      while (i < sets.length) { if (sets(i).contains(t)) hits(i) += 1; i += 1 }
+    })
+    var best = 0
+    var bestIdx = -1
+    var i = 0
+    while (i < hits.length) {
+      if (hits(i) > best) { best = hits(i); bestIdx = i }
+      i += 1
+    }
+    if (bestIdx < 0) UTF8String.fromString("und") else codes(bestIdx)
+  }
+
   /** Sign-sketch bucket: bit i of the result is the sign of vec . planes(i).
     * planes is row-major: numBits rows of dim doubles.
     */

@@ -31,12 +31,16 @@ object TextFunctions {
     when(len === 0, lit(0.0)).otherwise((len - noPunct).cast("double") / len.cast("double"))
   }
 
-  /** Fraction of tokens that are (lowercased) English stopwords. */
+  /** Fraction of tokens that are (lowercased) English stopwords — one
+    * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
+    * a single tokenization, no interpreted array filter.
+    */
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = split(trim(lower(c)), "\\s+")
-    val stops = array(stopwords.map(lit): _*)
-    when(length(trim(c)) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks).cast("double"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol2, expression => toExpr2}
+    val packed = toCol2(TokenSetStatsExpr(toExpr2(c), stopwords))
+    val matches = shiftrightunsigned(packed, 32).cast("double")
+    val tokens = packed.bitwiseAND(lit(0xFFFFFFFFL)).cast("double")
+    when(tokens === 0, lit(0.0)).otherwise(matches / tokens)
   }
 
   val defaultStopwords: Seq[String] =
@@ -62,24 +66,15 @@ object TextFunctions {
     * single codegen'd expression (no shuffle, no UDF).
     */
   def langGuess(c: Column): Column = {
-    val toks = split(trim(lower(c)), "\\s+")
-    def hits(words: Seq[String]): Column = {
-      val arr = array(words.map(lit): _*)
-      size(filter(toks, t => array_contains(arr, t)))
-    }
-    val en = hits(Seq("the", "and", "of", "to", "is", "you", "that", "it"))
-    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"))
-    val fr = hits(Seq("le", "la", "les", "et", "est", "vous", "que", "pas"))
-    val es = hits(Seq("el", "los", "las", "es", "y", "que", "por", "una"))
-    val scores = map(
-      lit("en"), en, lit("de"), de, lit("fr"), fr, lit("es"), es)
-    // argmax with deterministic tie-break on language code order en<de<fr<es
-    val best = greatest(en, de, fr, es)
-    when(best === 0, lit("und"))
-      .when(en === best, lit("en"))
-      .when(de === best, lit("de"))
-      .when(fr === best, lit("fr"))
-      .otherwise(lit("es"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol2, expression => toExpr2}
+    // single compiled pass over the tokens; argmax ties break in
+    // declaration order (en < de < fr < es), 'und' when nothing matches —
+    // identical to the when-ladder this replaces ([[LangGuessExpr]])
+    toCol2(LangGuessExpr(toExpr2(c), Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "vous", "que", "pas"),
+      "es" -> Seq("el", "los", "las", "es", "y", "que", "por", "una"))))
   }
 
   /** Canonical document fingerprint: md5 of the lowercased text with all

