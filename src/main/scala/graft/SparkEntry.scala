@@ -368,6 +368,23 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // q34: average odds difference (SURVEY M4) — per-class one-vs-rest
+    // TPR/FPR vectors, reproducing the reference's missing-parens formula
+    // (utils.py:113) — oracle-checked against the same arithmetic in SQL
+    "q34_avg_odds" -> ((s, dir) => {
+      import graft.metrics.{FairnessMetrics, GroupCondition}
+      val pred = demvInput(s, dir).select(
+        col("s1"),
+        col("y").as("y_true"),
+        when(col("o_totalprice") > 100000, "F").otherwise("O").as("pred"))
+      val aod = FairnessMetrics.averageOddsDifference(
+        pred, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
+      import s.implicits._
+      aod.toSeq.map { case (c, v) =>
+        (c.toString, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("class", "aod").orderBy(col("class"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap (rows-only; the windowed
     // q29 is the oracle-checked variant)
@@ -567,6 +584,24 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS total_bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q34_avg_odds" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS u,
+        |         o_orderstatus AS yt,
+        |         CASE WHEN o_totalprice > 100000 THEN 'F' ELSE 'O' END AS yp
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT DISTINCT yt AS c FROM t UNION SELECT DISTINCT yp AS c FROM t),
+        |r AS (SELECT c, u,
+        |  CAST(sum(CASE WHEN yt = c AND yp = c THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+        |  CAST(sum(CASE WHEN yt = c AND yp <> c THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+        |  CAST(sum(CASE WHEN yt <> c AND yp = c THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+        |  CAST(sum(CASE WHEN yt <> c AND yp <> c THEN 1 ELSE 0 END) AS DOUBLE) AS tn
+        |  FROM t CROSS JOIN cls GROUP BY c, u)
+        |SELECT ru.c AS class,
+        |  round((ru.fp / (ru.fp + ru.tn) - rp.fp / (rp.fp + rp.tn))
+        |        + (ru.tp / (ru.tp + ru.fn) - rp.tp / (rp.tp + rp.fn)) / 2, 6) AS aod
+        |FROM r ru JOIN r rp ON ru.c = rp.c AND ru.u = 1 AND rp.u = 0
+        |ORDER BY class""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -136,4 +136,67 @@ object FairnessMetrics {
     case (x: Number, y: Number) => x.doubleValue() == y.doubleValue()
     case _ => a == b
   }
+
+  /** M4 — average odds difference (reference `utils.py:97-113`): per-class
+    * one-vs-rest TPR/FPR from each group's confusion matrix, combined as
+    *
+    *   (fprU - fprP) + (tprU - tprP) / 2
+    *
+    * NOTE the reference's missing parentheses: only the TPR difference is
+    * halved. Reproduced faithfully here (SURVEY §2.7 M4 — the documented
+    * default); [[averageOddsDifferenceFixed]] computes the intended
+    * `((fprU - fprP) + (tprU - tprP)) / 2`. One aggregation pass; per-class
+    * results keyed by class value. A class absent from a group yields NaN
+    * rates (the reference crashes on shape mismatch instead).
+    */
+  def averageOddsDifference(
+      predDF: DataFrame,
+      unpriv: GroupCondition,
+      predCol: String,
+      trueCol: String): Map[Any, Double] =
+    aodImpl(predDF, unpriv, predCol, trueCol, faithfulBug = true)
+
+  /** M4 with the parenthesization the formula intends. */
+  def averageOddsDifferenceFixed(
+      predDF: DataFrame,
+      unpriv: GroupCondition,
+      predCol: String,
+      trueCol: String): Map[Any, Double] =
+    aodImpl(predDF, unpriv, predCol, trueCol, faithfulBug = false)
+
+  private def aodImpl(
+      predDF: DataFrame,
+      unpriv: GroupCondition,
+      predCol: String,
+      trueCol: String,
+      faithfulBug: Boolean): Map[Any, Double] = {
+    val cells = predDF
+      .groupBy(unpriv.column.as("__u"), col(trueCol).as("__t"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.get(1), r.get(2)) -> r.getLong(3)).toMap
+    val classes = cells.keysIterator.flatMap { case (_, t, p) => Iterator(t, p) }
+      .toSeq.distinct.sortBy(_.toString)
+    def rates(uGroup: Boolean): Map[Any, (Double, Double)] = {
+      val g = cells.collect { case ((u, t, p), n) if u == uGroup => (t, p) -> n }
+      val total = g.values.sum.toDouble
+      classes.map { c =>
+        val tp = g.collect { case ((t, p), n) if valueEq(t, c) && valueEq(p, c) => n }.sum.toDouble
+        val fn = g.collect { case ((t, p), n) if valueEq(t, c) && !valueEq(p, c) => n }.sum.toDouble
+        val fp = g.collect { case ((t, p), n) if !valueEq(t, c) && valueEq(p, c) => n }.sum.toDouble
+        val tn = total - tp - fn - fp
+        c -> (fp / (fp + tn), tp / (tp + fn)) // (FPR, TPR); 0/0 -> NaN
+      }.toMap
+    }
+    val u = rates(uGroup = true)
+    val p = rates(uGroup = false)
+    classes.map { c =>
+      val (fprU, tprU) = u(c)
+      val (fprP, tprP) = p(c)
+      val v =
+        if (faithfulBug) (fprU - fprP) + (tprU - tprP) / 2
+        else ((fprU - fprP) + (tprU - tprP)) / 2
+      c -> v
+    }.toMap
+  }
 }

@@ -72,6 +72,25 @@ class FairnessMetricsSpec extends SparkSpec {
     assert(r.disparateImpact === 0.0)
   }
 
+  test("average odds difference: per-class OvR rates with the reference's missing-parens bug (utils.py:97-113)") {
+    // binary case on the main fixture; compute by hand:
+    // unpriv (s1=1): y_true: 1,1,0,0; pred: 1,0,0,0
+    //   class 1: TP=1 FN=1 FP=0 TN=2 -> TPR=.5 FPR=0
+    // priv (s1=0): y_true: 1,0,1,0; pred: 1,1,1,0
+    //   class 1: TP=2 FN=0 FP=1 TN=1 -> TPR=1 FPR=.5
+    val aod = FairnessMetrics.averageOddsDifference(
+      predDF, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
+    // faithful bug: (fprU-fprP) + (tprU-tprP)/2 = (0-.5) + (.5-1)/2 = -.75
+    assert(math.abs(aod(1) - (-0.75)) < 1e-12)
+    // fixed: ((0-.5) + (.5-1))/2 = -.5
+    val fixed = FairnessMetrics.averageOddsDifferenceFixed(
+      predDF, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
+    assert(math.abs(fixed(1) - (-0.5)) < 1e-12)
+    // class 0 mirrors: unpriv class0: TP=2 FN=0 FP=1 TN=1 -> TPR=1, FPR=.5
+    //                  priv class0:   TP=1 FN=1 FP=0 TN=2 -> TPR=.5, FPR=0
+    assert(math.abs(aod(0) - (0.5 + 0.25)) < 1e-12)
+  }
+
   test("GroupCondition renders a conjunction and its whole-negation") {
     import spark.implicits._
     val df = Seq((1, 1), (1, 0), (0, 1)).toDF("a", "b")
