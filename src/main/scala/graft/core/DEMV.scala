@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   *                      1.0.2 semantics); "uniform" | "smote" | "adasyn"
   *                      synthesize new rows ([[Strategies]]). Downsampling
   *                      always drops random rows.
+  * @param idCols        optional stable row-identifier columns used for the
+  *                      sampling salt — lets the counting job prune its
+  *                      scan to sensitiveVars ++ label ++ idCols instead of
+  *                      the full row width (see [[ExactSampler.resize]]);
+  *                      essential on wide tables at scale
   */
 class DEMV(
     val sensitiveVars: Seq[String],
@@ -53,7 +58,8 @@ class DEMV(
     val seed: Long = 2L,
     val saltBuckets: Int = 32,
     val shuffleOutput: Boolean = true,
-    val strategy: String = "random") extends Serializable {
+    val strategy: String = "random",
+    val idCols: Option[Seq[String]] = None) extends Serializable {
 
   require(sensitiveVars.nonEmpty, "sensitiveVars must be non-empty")
   require(Seq("random", "uniform", "smote", "adasyn").contains(strategy),
@@ -89,14 +95,19 @@ class DEMV(
 
     val keyCols = sensitiveVars :+ labelCol
     val saltCol = "__graft_salt"
+    // salt from idCols when provided (count job scans only keyCols+idCols —
+    // column-pruned on wide tables); otherwise all columns
+    val saltInput = idCols.getOrElse(df.columns.toSeq)
     val salted = df.withColumn(
       saltCol,
-      pmod(xxhash64(df.columns.toSeq.map(col) :+ lit(seed): _*), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(saltInput.map(col) :+ lit(seed): _*), lit(saltBuckets)).cast("int"))
 
-    // Job 1 (the only full scan before materialization): per-(cell, salt)
-    // counts; cell counts, marginals and the total all derive from it on the
-    // driver — at most 2^n * L * saltBuckets rows.
-    val cellSaltCounts = salted.groupBy(keyCols.map(col) :+ col(saltCol): _*).count().collect()
+    // Job 1: per-(cell, salt) counts; cell counts, marginals and the total
+    // all derive from it on the driver — at most 2^n * L * saltBuckets rows.
+    // With idCols set this scan reads only keyCols ++ idCols.
+    val cellSaltCounts = salted
+      .select((keyCols :+ saltCol).map(col): _*)
+      .groupBy(keyCols.map(col) :+ col(saltCol): _*).count().collect()
 
     // canonical (0/1 combo, label) -> (original combo values, cell count);
     // original values are kept so sampler join keys match the column types.
@@ -155,14 +166,14 @@ class DEMV(
     val resized =
       if (strategy == "random")
         ExactSampler.resize(df, keyCols, targets, seed, saltBuckets,
-          precomputedOccupancy = Some(cellSaltCounts))
+          precomputedOccupancy = Some(cellSaltCounts), saltCols = idCols)
       else {
         // synthesis strategies: drop-to-target for shrinking cells, keep
         // growing cells whole and union synthesized extras
         val keepTargets = targets.map { case (key, t) => key -> math.min(t, currents(key)) }
         val extras = targets.collect { case (key, t) if t > currents(key) => key -> (t - currents(key)) }
         val kept = ExactSampler.resize(df, keyCols, keepTargets, seed, saltBuckets,
-          precomputedOccupancy = Some(cellSaltCounts))
+          precomputedOccupancy = Some(cellSaltCounts), saltCols = idCols)
         val synth = strategy match {
           case "uniform" => Strategies.synthesizeUniform(df, keyCols, extras, seed)
           case "smote" => Strategies.synthesizeSmote(df, keyCols, extras, seed)
@@ -170,7 +181,7 @@ class DEMV(
         }
         kept.unionByName(synth)
       }
-    if (shuffleOutput) resized.orderBy(rand(seed)) else resized
+    if (shuffleOutput) DEMV.seededShuffle(resized, seed) else resized
   }
 
   private def anyToBinary(v: Any, name: String): Int = v match {
@@ -205,6 +216,21 @@ object DEMV {
     */
   def binaryCombos(n: Int): Seq[Seq[Int]] =
     (0 until (1 << n)).map(i => (0 until n).map(b => (i >> (n - 1 - b)) & 1))
+
+  /** Seeded uniform permutation (distributional parity with pandas
+    * `sample(frac=1, random_state=2)`, reference `demv/helpers.py:98`) as
+    * ONE hash-partition shuffle + partition-local sort on a materialized
+    * seeded random key. `orderBy(rand)` would be a RANGE sort: an extra
+    * boundary-sampling job plus a global sort — pure overhead when the
+    * contract is "uniformly shuffled", not "globally ordered".
+    */
+  def seededShuffle(df: DataFrame, seed: Long): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.withColumn("__graft_shuffle", rand(seed))
+      .repartition(n, col("__graft_shuffle"))
+      .sortWithinPartitions(col("__graft_shuffle"))
+      .drop("__graft_shuffle")
+  }
 
   /** Ordering matching `np.unique`'s ascending sort for label values. */
   val anyOrdering: Ordering[Any] = new Ordering[Any] {

@@ -29,11 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object ExactSampler {
 
-  /** Per-group targets keyed by the values of `groupCols` (in order). */
-  /** @param precomputedOccupancy optional (groupCols..., salt, count) rows
-    *        from an earlier aggregation with the SAME seed/saltBuckets (the
-    *        salt is content-hashed, so it reproduces) — lets callers like
-    *        [[DEMV]] avoid a second full scan.
+  /** Per-group targets keyed by the values of `groupCols` (in order).
+    *
+    * @param precomputedOccupancy optional (groupCols..., salt, count) rows
+    *        from an earlier aggregation with the SAME seed/saltBuckets/
+    *        saltCols (the salt is content-hashed, so it reproduces) — lets
+    *        callers like [[DEMV]] avoid a second full scan.
+    * @param saltCols columns to hash for the salt. Default: all columns.
+    *        At scale, pass a stable row-identifier subset (a primary key):
+    *        the occupancy COUNT job then prunes its scan to
+    *        groupCols ++ saltCols instead of reading the full row width —
+    *        on a wide 100 TB table that is the difference between scanning
+    *        2 columns and 100. Must distinguish rows within a group
+    *        (duplicate salt values only skew bucket balance, not
+    *        correctness).
     */
   def resize(
       df: DataFrame,
@@ -41,15 +50,17 @@ object ExactSampler {
       targets: Map[Seq[Any], Long],
       seed: Long = 42L,
       saltBuckets: Int = 32,
-      precomputedOccupancy: Option[Array[Row]] = None): DataFrame = {
+      precomputedOccupancy: Option[Array[Row]] = None,
+      saltCols: Option[Seq[String]] = None): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(saltBuckets > 0, "saltBuckets must be positive")
     val spark = df.sparkSession
     val originalCols = df.columns.toSeq
     val saltCol = "__graft_salt"
+    val saltInput = saltCols.getOrElse(originalCols)
     val salted = df.withColumn(
       saltCol,
-      pmod(xxhash64(originalCols.map(col) :+ lit(seed): _*), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(saltInput.map(col) :+ lit(seed): _*), lit(saltBuckets)).cast("int"))
 
     // Job 1: (group, salt) occupancy — tiny result (groups * saltBuckets).
     val occupancy: Array[Row] = precomputedOccupancy.getOrElse(

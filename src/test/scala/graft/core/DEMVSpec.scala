@@ -117,6 +117,18 @@ class DEMVSpec extends SparkSpec {
     assert(e.getMessage.contains("s1=1"))
   }
 
+  test("idCols salt path (pruned count scan) produces the same cell sizes") {
+    val wide = new DEMV(Seq("s1", "s2"), shuffleOutput = false)
+    val narrow = new DEMV(Seq("s1", "s2"), shuffleOutput = false, idCols = Some(Seq("id")))
+    val a = wide.fitTransform(fixture, "y").groupBy("s1", "s2", "y").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val b = narrow.fitTransform(fixture, "y").groupBy("s1", "s2", "y").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(a === b)
+    assert(wide.getCellPlans.map(p => (p.combo, p.label, p.targetSize)) ===
+      narrow.getCellPlans.map(p => (p.combo, p.label, p.targetSize)))
+  }
+
   test("missing column raises") {
     val e = intercept[IllegalArgumentException] {
       new DEMV(Seq("nope")).fitTransform(fixture, "y")
