@@ -1,0 +1,51 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.data.Datasets
+import graft.eval.ConfusionMatrices
+import graft.metrics.GroupCondition
+
+/** Confusion-matrix pipeline CLI — the reference's third entry point
+  * (`generatecm`, reference `confusionmatrix.py:208-229`; SURVEY §3.3):
+  * load dataset -> (optional DEMV) -> out-of-fold predictions -> per-group
+  * normalized confusion tables -> CSV. The reference renders PDFs; counts
+  * tables are the engine output (S8: plotting is a driver-side concern).
+  *
+  * {{{
+  * runMain graft.cli.GenerateCM <dataset> <debiaser: biased|demv>
+  *   [--classifier logistic] [--data-dir d] [--out-dir o] [--folds k]
+  * }}}
+  */
+object GenerateCM {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: GenerateCM <dataset> <debiaser> [--classifier c] [--data-dir d] [--out-dir o] [--folds k]")
+    val dataset = args(0)
+    val debiaser = args(1)
+    def opt(flag: String, default: String): String =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }.getOrElse(default)
+    val classifier = opt("--classifier", "logistic")
+    val dataDir = opt("--data-dir", "data")
+    val outDir = opt("--out-dir", "confusionmatrices")
+    val folds = opt("--folds", "10").toInt
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the reference's generatecm always loads with 2 features
+    // (confusionmatrix.py:216)
+    val spec = Datasets.get(spark, dataset, dataDir, numberOfFeatures = 2)
+    val oof = ConfusionMatrices.outOfFoldPredictions(
+      spec, classifier, debiaser = if (debiaser == "demv") Some("demv") else None, k = folds)
+    val cm = ConfusionMatrices.perGroup(oof, GroupCondition(spec.unprivGroup))
+    val path = s"$outDir/cm_${dataset}_${debiaser}_$classifier.csv"
+    cm.orderBy("group", "y_true", "y_pred")
+      .coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+    println(s"wrote confusion matrices -> $path")
+    spark.stop()
+  }
+}

@@ -65,10 +65,18 @@ object Similarity {
     toCol(HyperplaneBucketExpr(toExpr(vec), planes, dim))
   }
 
-  /** LSH-bucketed ANN: exact cosine top-k but only among corpus vectors in
-    * the same hyperplane bucket as the query (single equi-join on the bucket
-    * key; multi-probe = 0 keeps it one shuffle). Recall < 1 by construction;
-    * raise numBits for precision, lower for recall.
+  /** LSH-bucketed ANN: exact cosine top-k but only among corpus vectors
+    * whose hyperplane bucket matches one of the query's probe buckets.
+    *
+    * Multi-probe: besides its own bucket, each QUERY probes the buckets at
+    * Hamming distance 1 from its sketch (each sign bit flipped once) —
+    * the standard recall lever: vectors near a hyperplane land just across
+    * it, and flipping that bit recovers them. Probing expands only the
+    * (small, broadcast) query side by `numBits`; the corpus is still
+    * scanned once and joined on a single equi-key, so the plan shape and
+    * shuffle count are unchanged at any corpus size. Recall grows from
+    * p^b toward p^(b-1)-ish per neighbor; `probes = 0` restores the
+    * single-bucket variant.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -78,13 +86,24 @@ object Similarity {
       k: Int,
       dim: Int,
       numBits: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__b0"))
+    val probeBuckets =
+      if (probes <= 0) array(col("__b0"))
+      else array((col("__b0") +: (0 until numBits).map(b =>
+        col("__b0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = base
+      .select(col("query_id"), col("__qv"), explode(probeBuckets).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      // a neighbor can match several probes of the same query -> dedupe
+      // before ranking
+      .select(col("query_id"), col("neighbor_id"), col("__cv"), col("__qv"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
