@@ -385,6 +385,37 @@ object SparkEntry {
       }.toDF("class", "aod").orderBy(col("class"))
     }),
 
+    // q35: exact all-pairs embedding-cosine near-duplicates — the
+    // brute-force baseline the LSH variant approximates (SURVEY+: dedup by
+    // embedding); compiled cosine keeps the O(n^2/2) pair scan codegen'd
+    "q35_cosine_neardup_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.alias("ea")
+      val b = e.alias("eb")
+      a.join(b, col("ea.vec_id") < col("eb.vec_id"))
+        .withColumn("cosine", Similarity.cosine(col("ea.v"), col("eb.v")))
+        .where(col("cosine") >= 0.3)
+        .select(col("ea.vec_id").as("id_a"), col("eb.vec_id").as("id_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q36: composed corpus-cleaning pipeline — quality filter + language
+    // agreement + exact dedup, per-source stats. The end-to-end shape of a
+    // training-data prep job, every stage individually oracle-verified
+    "q36_corpus_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("guess", TextFunctions.langGuess(col("text")))
+        .where(col("quality") >= 0.7 && col("guess") === col("lang"))
+      Dedup.exact(d, "text", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap (rows-only; the windowed
     // q29 is the oracle-checked variant)
@@ -584,6 +615,46 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS total_bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q35_cosine_neardup_exact" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q36_corpus_clean" ->
+      """WITH f AS (SELECT source, doc_id, lang, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |      / len(string_split_regex(trim(text), '\s+')) END AS stop_r,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |  FROM documents),
+        |scored AS (SELECT *,
+        |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN punct < 0.2 THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN stop_r > 0.01 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |    ELSE 'es' END AS guess
+        |  FROM f),
+        |filt AS (SELECT * FROM scored WHERE quality >= 0.7 AND guess = lang),
+        |keep AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM filt)
+        |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+        |FROM keep WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
     "q34_avg_odds" ->
       """WITH t AS (
         |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS u,

@@ -129,6 +129,34 @@ object Dedup {
         TextFunctions.jaccardSorted(col("ja.sh"), col("jb.sh")).as("jaccard"))
   }
 
+  /** Winnowing-fingerprint candidate pairs: documents sharing at least
+    * `minShared` MOSS fingerprints (any common substring of length >=
+    * shingleSize + window - 1 guarantees a shared fingerprint). Plan:
+    * explode (id, fingerprint) -> self-join on the fingerprint ->
+    * group-count pairs — ids and 8-byte hashes in the shuffle, never text.
+    */
+  def winnowingCandidatePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 5,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(TextFunctions.winnowingFingerprints(col(textCol), shingleSize, window)).as("fp"))
+    val trimmed = fps
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val l = trimmed.alias("wl")
+    val r = trimmed.alias("wr")
+    l.join(r, col("wl.fp") === col("wr.fp") && col("wl.id") < col("wr.id"))
+      .groupBy(col("wl.id").as("id_a"), col("wr.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+
   /** SimHash near-dup buckets: documents whose 64-bit SimHash agrees on a
     * 16-bit block under each of 4 rotations land in the same bucket — any
     * pair within Hamming distance 3 shares at least one block (pigeonhole).

@@ -113,6 +113,51 @@ object TextAlgo {
     if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): the minimum shingle hash of every window of `w`
+    * consecutive k-shingles, rightmost-min tie-break, deduplicated and
+    * sorted. Guarantees any shared substring of length >= k + w - 1
+    * yields a shared fingerprint — the standard robust document
+    * fingerprint for plagiarism/near-dup detection. O(n) via a monotone
+    * deque.
+    */
+  def winnowing(text: String, k: Int, w: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    if (hs.isEmpty) return hs
+    if (hs.length <= w) {
+      var m = hs(0)
+      var i = 1
+      while (i < hs.length) { if (hs(i) <= m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](hs.length / w + 1)
+    val deque = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < hs.length) {
+      while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) {
+        val m = hs(deque.peekFirst())
+        if (out.isEmpty || out.last != m) out += m
+      }
+      i += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    // dedupe after sort (non-adjacent repeats)
+    var wIdx = 1
+    i = 1
+    while (i < arr.length) {
+      if (arr(i) != arr(wIdx - 1)) { arr(wIdx) = arr(i); wIdx += 1 }
+      i += 1
+    }
+    if (wIdx == arr.length) arr else java.util.Arrays.copyOf(arr, wIdx)
+  }
+
+  def winnowingData(s: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(winnowing(s.toString, k, w))
+
   /** Exact Jaccard of two SORTED distinct long arrays (merge-intersect). */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val n1 = a.numElements()

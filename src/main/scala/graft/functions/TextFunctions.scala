@@ -123,6 +123,14 @@ object TextFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     toCol(JaccardSortedExpr(toExpr(a), toExpr(b)))
 
+  /** Winnowing (MOSS) document fingerprints: sorted distinct window-min
+    * rolling shingle hashes — any shared substring of length >=
+    * shingleSize + window - 1 produces a shared fingerprint
+    * ([[WinnowingExpr]], [[TextAlgo.winnowing]]).
+    */
+  def winnowingFingerprints(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
+    toCol(WinnowingExpr(toExpr(text), shingleSize, window))
+
   /** 64-bit SimHash over whitespace tokens: bit b of the output is the sign
     * of sum over tokens of (bit b of the token hash ? +1 : -1). Native
     * codegen'd expression ([[SimHash64Expr]], [[TextAlgo.simhash64]]).

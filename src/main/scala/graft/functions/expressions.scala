@@ -91,6 +91,25 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing (MOSS) fingerprint set of a string column: sorted distinct
+  * window-min shingle hashes ([[TextAlgo.winnowing]]).
+  */
+case class WinnowingExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.winnowingData(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.winnowingData($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowingExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */

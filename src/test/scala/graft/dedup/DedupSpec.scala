@@ -55,6 +55,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("winnowing candidate pairs surface near-dups, not unrelated docs") {
+    val pairs = Dedup.winnowingCandidatePairs(docs, "text", "doc_id", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
   test("jaccardOfPair computes exact pairwise similarity") {
     val j = Dedup.jaccardOfPair(docs.where(col("doc_id").isin(1, 2)), "text", "doc_id")
       .collect()(0).getDouble(2)

@@ -103,6 +103,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(j(2) === 0.0)
   }
 
+  test("winnowing fingerprints: deterministic, shared substring guarantees overlap") {
+    val fp = TextFunctions.winnowingFingerprints(col("t"), shingleSize = 5, window = 4)
+    val a = one(fp, "the quick brown fox jumps over the lazy dog near the river")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val b = one(fp, "INTRO text then the quick brown fox jumps over the lazy dog near the river AND MORE")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val c = one(fp, "completely different content with no overlap whatsoever in any region")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    // winnowing guarantee: shared substring of length >= k+w-1 (8) shares
+    // at least one fingerprint
+    assert((a & b).nonEmpty)
+    assert((a & b).size > (a & c).size)
+    // deterministic
+    val a2 = one(fp, "the quick brown fox jumps over the lazy dog near the river")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    assert(a === a2)
+    // sorted distinct
+    val arr = one(fp, "the quick brown fox jumps over the lazy dog near the river")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(arr === arr.sorted && arr.distinct.length === arr.length)
+  }
+
   test("qualityScore components") {
     // long-enough, low punct, has stopwords -> 1.0
     val good = "the quick brown fox jumps over the lazy dog and runs far away home"
