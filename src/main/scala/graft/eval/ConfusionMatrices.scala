@@ -33,13 +33,15 @@ object ConfusionMatrices {
       case _ => spec.df
     }
     val featureCols = base.columns.filterNot(_ == spec.label).toSeq
-    val numClasses = base.select(spec.label).distinct().count().toInt
-    val folded = CrossVal.withFolds(base, k, seed).cache()
+    val allLabels = CrossVal.labelValues(base, spec.label)
+    val folded = CrossVal.withFolds(
+      CrossVal.indexLabel(base, spec.label, allLabels), k, seed).cache()
     try {
       (0 until k).map { fold =>
-        val model = CrossVal.pipeline(classifier, featureCols, spec.label, numClasses)
+        val model = CrossVal.pipeline(classifier, featureCols, "__y", allLabels.length)
           .fit(folded.where(col("__fold") =!= fold))
-        model.transform(folded.where(col("__fold") === fold))
+        CrossVal.mapPredictionBack(
+          model.transform(folded.where(col("__fold") === fold)), allLabels)
           .select((featureCols.map(col) :+ col(spec.label).as("y_true") :+ col("prediction")): _*)
       }.reduce(_ unionByName _)
     } finally folded.unpersist()

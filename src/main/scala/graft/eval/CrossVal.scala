@@ -43,6 +43,37 @@ object CrossVal {
     df.withColumn("__fold",
       pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(k)).cast("int"))
 
+  /** spark.ml classifiers require labels in [0, numClasses) — the reference
+    * datasets use arbitrary label values (cmc {1,2,3}, wine {4..7}, crime
+    * {0,100,...,500}; sklearn accepts them, spark.ml does not). Index the
+    * label to a dense 0-based column for training and map predictions back
+    * to the ORIGINAL label domain, so fairness metrics and outputs stay in
+    * reference terms.
+    *
+    * @return (df with "__y" indexed label, ascending original label values)
+    */
+  def labelValues(df: DataFrame, labelCol: String): Seq[Any] =
+    df.select(labelCol).distinct().collect().map(_.get(0)).sortBy(_.toString).toSeq
+
+  /** Add "__y" = the 0-based index of `labelCol` within `values` (the
+    * mapping must be derived ONCE from the full dataset — a fold can miss
+    * classes).
+    */
+  def indexLabel(df: DataFrame, labelCol: String, values: Seq[Any]): DataFrame = {
+    val ladder = values.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (v, i)) => when(col(labelCol) === lit(v), i.toDouble).otherwise(acc)
+    }
+    df.withColumn("__y", ladder)
+  }
+
+  /** Map a 0-based prediction column back to the original label domain. */
+  def mapPredictionBack(df: DataFrame, values: Seq[Any], predCol: String = "prediction"): DataFrame = {
+    val back = values.zipWithIndex.foldLeft(lit(null)) {
+      case (acc, (v, i)) => when(col(predCol) === i.toDouble, lit(v)).otherwise(acc)
+    }
+    df.withColumn(predCol, back)
+  }
+
   /** E3/E4: the reference's classifier matrix (`generatemetrics.py:173-196`).
     * GBT and SVC are binary-only in spark.ml -> OneVsRest wrap when the
     * label has more than two classes (SURVEY E4).
@@ -98,7 +129,8 @@ object CrossVal {
       seed: Long = 2L): Seq[MetricRow] = {
     val labelCol = spec.label
     val featureCols = spec.df.columns.filterNot(_ == labelCol).toSeq
-    val numClasses = spec.df.select(labelCol).distinct().count().toInt
+    val allLabels = labelValues(spec.df, labelCol)
+    val numClasses = allLabels.length
     val folded = withFolds(spec.df, k, seed).cache()
     try {
       (0 until k).flatMap { fold =>
@@ -115,8 +147,10 @@ object CrossVal {
                 shuffleOutput = false, strategy = method).fitTransform(trainBase, labelCol)
             case other => throw new IllegalArgumentException(s"Unknown method '$other'")
           }
-          val model = pipeline(classifier, featureCols, labelCol, numClasses).fit(train)
-          val pred = model.transform(test)
+          val model = pipeline(classifier, featureCols, "__y", numClasses)
+            .fit(indexLabel(train, labelCol, allLabels))
+          val pred = mapPredictionBack(
+            model.transform(indexLabel(test, labelCol, allLabels)), allLabels)
           val m = FairnessMetrics.compute(
             pred, spec.sensitiveVars, GroupCondition(spec.unprivGroup),
             "prediction", labelCol, spec.positiveLabel)
