@@ -59,7 +59,8 @@ class DEMV(
     val saltBuckets: Int = 32,
     val shuffleOutput: Boolean = true,
     val strategy: String = "random",
-    val idCols: Option[Seq[String]] = None) extends Serializable {
+    val idCols: Option[Seq[String]] = None,
+    val verbose: Boolean = false) extends Serializable {
 
   require(sensitiveVars.nonEmpty, "sensitiveVars must be non-empty")
   require(Seq("random", "uniform", "smote", "adasyn").contains(strategy),
@@ -149,6 +150,10 @@ class DEMV(
       if (r.maxIterHit)
         org.slf4j.LoggerFactory.getLogger(classOf[DEMV]).warn(
           s"DEMV cell ($c, $l): max iterations ($stop) reached")
+      if (verbose)
+        org.slf4j.LoggerFactory.getLogger(classOf[DEMV]).info(
+          s"DEMV cell ($c, $l): size $g0 -> ${r.targetSize} in ${r.iters} iterations " +
+            s"(final disparity ${r.trace.lastOption.getOrElse(Double.NaN)})")
       DEMV.CellPlan(c, l, g0, r.targetSize, r.iters, r.trace, r.maxIterHit)
     }
     plansState = plans
