@@ -82,10 +82,14 @@ object Strategies {
       // prune to upsampled cells before the join (tiny key set -> isin)
       .join(broadcast(plan.select(keyCols.map(col): _*)), keyCols)
 
-    val joined = skeleton.join(exploded,
-      keyCols :+ "__feat" map identity,
-      "inner")
-      .where(col("__pick") === col("__rn"))
+    // the pick index is part of the EQUI-join key (renamed to match):
+    // joining on (cell, feat) alone and post-filtering pick = rn would
+    // materialize |cell| rows per (synthetic, feature) before filtering —
+    // an O(m * c * F) blowup the hash join avoids entirely
+    val joined = skeleton.join(
+        exploded.withColumnRenamed("__rn", "__pick"),
+        (keyCols :+ "__feat" :+ "__pick").map(identity),
+        "inner")
       .groupBy((keyCols.map(col) :+ col("__synth")): _*)
       .agg(map_from_arrays(collect_list(col("__feat")), collect_list(col("__val"))).as("__fm"))
 
