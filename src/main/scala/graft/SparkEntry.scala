@@ -385,6 +385,19 @@ object SparkEntry {
       }.toDF("class", "aod").orderBy(col("class"))
     }),
 
+    // q37: IVF ANN — k-means coarse quantizer + probed exact re-rank
+    // (rows-only: centroids are KMeans-seeded; recall properties covered in
+    // ScalaTest against brute force)
+    "q37_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64,
+        nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q35: exact all-pairs embedding-cosine near-duplicates — the
     // brute-force baseline the LSH variant approximates (SURVEY+: dedup by
     // embedding); compiled cosine keeps the O(n^2/2) pair scan codegen'd

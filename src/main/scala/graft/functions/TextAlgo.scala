@@ -321,6 +321,42 @@ object TextAlgo {
     out
   }
 
+  /** Indexes of the `nProbe` nearest centroids (euclidean) to `vec`.
+    * `centroids` is row-major (nLists x dim). Selection sort over the
+    * distance array — nLists is small (hundreds), nProbe smaller.
+    */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Double], dim: Int, nProbe: Int): ArrayData = {
+    val nLists = centroids.length / dim
+    val n = math.min(vec.numElements(), dim)
+    val d2 = new Array[Double](nLists)
+    var c = 0
+    while (c < nLists) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { val d = vec.getDouble(i) - centroids(off + i); s += d * d; i += 1 }
+      d2(c) = s
+      c += 1
+    }
+    val p = math.min(nProbe, nLists)
+    val out = new Array[Int](p)
+    val taken = new Array[Boolean](nLists)
+    var j = 0
+    while (j < p) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < nLists) {
+        if (!taken(c) && d2(c) < bestD) { bestD = d2(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out.map(_.toLong))
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

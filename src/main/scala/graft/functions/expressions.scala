@@ -207,6 +207,31 @@ case class HyperplaneBucketExpr(child: Expression, planes: Seq[Double], dim: Int
     copy(child = newChild)
 }
 
+/** Indexes (as array<long>) of the nProbe nearest centroids to an
+  * array<double> vector column — the IVF assignment/probe primitive.
+  * `centroids` is row-major (nLists x dim), held as a codegen reference
+  * object.
+  */
+case class NearestCentroidsExpr(child: Expression, centroids: Seq[Double], dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  require(dim > 0 && centroids.nonEmpty && centroids.length % dim == 0 && nProbe > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.nearestCentroids(input.asInstanceOf[ArrayData], centArr, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.nearestCentroids($c, $ref, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two array<double> columns; 0 for zero-norm inputs. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -112,6 +112,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe` nearest
+    * centroids and re-ranks exactly (cosine) within those cells only.
+    *
+    * Plan shape: centroids train once (spark.ml KMeans — distributed,
+    * seeded) and ship as a codegen constant; corpus assignment is a
+    * compiled argmin per row ([[graft.functions.NearestCentroidsExpr]]);
+    * candidate generation is ONE equi-join of the corpus's cell id against
+    * the exploded (query, probe-cell) pairs — query side is broadcast, the
+    * corpus is scanned once and never pairwise-compared. Higher recall per
+    * candidate than sign-sketch LSH when the corpus is clustered; `nProbe`
+    * trades recall for cost.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.NearestCentroidsExpr
+
+    // train the coarse quantizer on the corpus vectors
+    val train = corpus.select(array_to_vector(col(vecCol)).as("__fv"))
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__fv").setMaxIter(10)
+    val centroids: Seq[Double] =
+      km.fit(train).clusterCenters.toSeq.flatMap(_.toArray.padTo(dim, 0.0))
+
+    def cellsOf(vec: Column, probes: Int): Column =
+      toCol(NearestCentroidsExpr(toExpr(vec), centroids, dim, probes))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      cellsOf(col(vecCol), 1)(0).as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(cellsOf(col(vecCol), nProbe)).as("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (pairs must share a bucket).
     */

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("ivfTopK: clustered corpus, probing recovers the true neighbors") {
+    import spark.implicits._
+    // two tight clusters around (1,0,0) and (0,1,0); queries from cluster A
+    val rng = new scala.util.Random(4)
+    val a = (0L until 40L).map(i => (i, Array(1.0 + rng.nextGaussian() * 0.05, rng.nextGaussian() * 0.05, 0.0)))
+    val b = (100L until 140L).map(i => (i, Array(rng.nextGaussian() * 0.05, 1.0 + rng.nextGaussian() * 0.05, 0.0)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 0)
+    val out = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, dim = 3, nLists = 2, nProbe = 1, seed = 7)
+      .collect()
+    assert(out.length === 5)
+    // with nProbe=1 all neighbors come from the query's own cluster
+    assert(out.forall(_.getLong(1) < 100L))
+    // and they rank by true cosine: compare against brute force
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    val ivf = out.map(_.getLong(1)).toSet
+    assert((bf & ivf).size >= 4, s"IVF should recover the in-cluster top-k, got $ivf vs $bf")
+  }
+
   test("cosineNearDupPairs finds the embedding near-duplicates") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.95, dim = 3, numBits = 2)
