@@ -59,6 +59,38 @@ class ExactSamplerSpec extends SparkSpec {
     assert(got.sum === 33L)
   }
 
+  test("property sweep: allocation invariants under random weights/targets") {
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 300) {
+      val nBuckets = 1 + rng.nextInt(8)
+      val weights = Array.fill(nBuckets)(rng.nextInt(100).toLong)
+      val sum = weights.sum
+      if (sum > 0) {
+        // capped allocation: any target in [0, sum]
+        val target = (rng.nextDouble() * sum).toLong
+        val keep = ExactSampler.allocate(target, weights)
+        assert(keep.sum === target)
+        keep.zip(weights).foreach { case (k, w) => assert(k >= 0 && k <= w) }
+        // uncapped: any non-negative extra, including far beyond occupancy
+        val extra = (rng.nextDouble() * sum * 3).toLong
+        val got = ExactSampler.allocateUncapped(extra, weights)
+        assert(got.sum === extra)
+        assert(got.forall(_ >= 0))
+      }
+    }
+  }
+
+  test("resize handles extreme skew: one giant bucket, many empty-ish ones") {
+    import spark.implicits._
+    // 95% of rows share one salt-relevant content profile
+    val skewed = ((0 until 950).map(i => (i.toLong, "g", "same")) ++
+      (0 until 50).map(i => ((1000 + i).toLong, "g", s"uniq$i"))).toDF("id", "g", "payload")
+    val out = ExactSampler.resize(skewed, Seq("g"), Map(Seq[Any]("g") -> 400L), seed = 3)
+    assert(out.count() === 400)
+    val out2 = ExactSampler.resize(skewed, Seq("g"), Map(Seq[Any]("g") -> 2500L), seed = 3)
+    assert(out2.count() === 2500)
+  }
+
   test("seed changes the sampled rows but not the sizes") {
     val a = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 1L)
     val b = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 2L)
