@@ -115,10 +115,13 @@ object SparkEntry {
         .orderBy(col("size_class"), col("p_brand"))
     }),
 
-    // q07: quantile binning via ntile (SURVEY A5/F4 analog, deterministic)
+    // q07: quantile binning via ntile (SURVEY A5/F4 analog, deterministic).
+    // NOT ntile().over(Window.orderBy(...)) — that funnels every row through
+    // one task; Ranking.withNtile range-partitions, offsets, and applies the
+    // exact ntile bucket formula, all stages parallel.
     "q07_ntile_orders" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .withColumn("bucket", ntile(5).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      graft.etl.Ranking.withNtile(t(s, dir, "orders"),
+        Seq(col("o_totalprice"), col("o_orderkey")), 5, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("lo"),
@@ -219,11 +222,13 @@ object SparkEntry {
         .groupBy(col("s1"), col("s2"), col("y")).agg(count(lit(1)).as("n"))
       val wCombo = Window.partitionBy(col("s1"), col("s2"))
       val wLabel = Window.partitionBy(col("y"))
-      val wAll = Window.partitionBy()
       val nCombo = sum(col("n")).over(wCombo).cast("double")
       val nLabel = sum(col("n")).over(wLabel).cast("double")
-      val total = sum(col("n")).over(wAll).cast("double")
+      // grand total as a broadcast scalar, NOT an empty-partition window —
+      // same single-row result without the "No Partition Defined" WindowExec
+      val total = col("__total").cast("double")
       cells
+        .crossJoin(broadcast(cells.agg(sum(col("n")).as("__total"))))
         .select(col("s1"), col("s2"), col("y"), col("n"),
           round((nCombo / total) * (nLabel / total), 8).as("w_exp"),
           round(col("n") / total, 8).as("w_obs"),
@@ -381,7 +386,11 @@ object SparkEntry {
         pred, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
       import s.implicits._
       aod.toSeq.map { case (c, v) =>
-        (c.toString, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // a class absent from one group yields NaN rates (documented aodImpl
+        // deviation) — emit NaN rather than crash in BigDecimal
+        (c.toString,
+          if (v.isNaN || v.isInfinite) v
+          else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toDF("class", "aod").orderBy(col("class"))
     }),
 
@@ -430,13 +439,15 @@ object SparkEntry {
     }),
 
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
-    // closed sessions per user with a 30-min gap (rows-only; the windowed
-    // q29 is the oracle-checked variant)
+    // closed sessions per user with a 30-min gap. In batch the final open
+    // session per user never emits (streaming-consistent semantics), so the
+    // oracle is q29's session SQL minus one session per user. unix_millis
+    // (exact integer ms, floor) mirrors DuckDB's epoch_ms — a double-seconds
+    // conversion would round differently near ms boundaries.
     "q33_sessionize_stateful" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
-        .select(col("user_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
-          col("value"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
         .as[(Long, Long, Double)]
       graft.streaming.EventPipeline.sessionize(ev, gapMs = 1800L * 1000)
         .groupByKey(_.userId)
@@ -468,11 +479,11 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q04_conditional_counts" ->
       """SELECT count(*) AS n_total,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-        |  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_high,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_urgent_high
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_high
         |FROM orders""".stripMargin,
     "q05_distinct_flags" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
@@ -506,11 +517,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY qty_bin""".stripMargin,
     "q11_onehot_priority" ->
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
-        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
-        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
-        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q12_replace_region" ->
       """SELECT CASE CAST(n_regionkey AS VARCHAR)
@@ -534,7 +545,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q16_events_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q17_demv_weights" ->
@@ -553,6 +564,61 @@ object SparkEntry {
         |  round(((sm.n_combo * 1.0 / tot.nt) * (lm.n_label * 1.0 / tot.nt)) / (c.n * 1.0 / tot.nt), 4) AS disparity
         |FROM cells c, tot JOIN sm ON c.s1 = sm.s1 AND c.s2 = sm.s2 JOIN lm ON c.y = lm.y
         |ORDER BY c.s1, c.s2, c.y""".stripMargin,
+    // q18 oracle: replay BalanceMath.balanceCell in SQL. With roundLevel=1,
+    // pyRound(raw,1)==1.0 is EXACTLY the open double interval (0.95, 1.05):
+    // neither boundary is representable and no double lies between the
+    // boundary double and its decimal value, so the half-even tie rule never
+    // fires. The +-1 walk's stopping size is the first series point past g0
+    // (up) / below g0 (down) where the raw ratio enters the stop predicate;
+    // overshoot -> parity of the remaining budget decides the oscillation.
+    "q18_demv_balance" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS s2,
+        |         o_orderstatus AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT s1, s2, y, count(*) AS g0 FROM t GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM t),
+        |sm AS (SELECT s1, s2, count(*) AS n_combo FROM t GROUP BY 1, 2),
+        |lm AS (SELECT y, count(*) AS n_label FROM t GROUP BY 1),
+        |base AS (
+        |  SELECT c.s1, c.s2, c.y, c.g0, tot.nt,
+        |    (CAST(sm.n_combo AS DOUBLE) / tot.nt) * (CAST(lm.n_label AS DOUBLE) / tot.nt) AS wexp
+        |  FROM cells c JOIN sm ON c.s1 = sm.s1 AND c.s2 = sm.s2 JOIN lm ON c.y = lm.y CROSS JOIN tot),
+        |series AS (SELECT s FROM generate_series(1, 2000000) gs(s)),
+        |walk AS (
+        |  SELECT b.s1, b.s2, b.y, b.g0, series.s,
+        |    b.wexp / (CAST(series.s AS DOUBLE) / b.nt) AS raw
+        |  FROM base b JOIN series ON series.s <= b.g0 + 10000),
+        |up_t AS (SELECT s1, s2, y, min(s) AS t FROM walk
+        |         WHERE s > g0 AND raw < CAST(1.05 AS DOUBLE) GROUP BY 1, 2, 3),
+        |dn_t AS (SELECT s1, s2, y, max(s) AS t FROM walk
+        |         WHERE s < g0 AND raw > CAST(0.95 AS DOUBLE) GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT b.s1, b.s2, b.y,
+        |    CASE
+        |      WHEN b.wexp / (CAST(b.g0 AS DOUBLE) / b.nt) > CAST(0.95 AS DOUBLE)
+        |       AND b.wexp / (CAST(b.g0 AS DOUBLE) / b.nt) < CAST(1.05 AS DOUBLE) THEN b.g0
+        |      WHEN b.wexp / (CAST(b.g0 AS DOUBLE) / b.nt) > 1 THEN
+        |        CASE
+        |          WHEN u.t IS NULL THEN b.g0 + 10000
+        |          WHEN b.wexp / (CAST(u.t AS DOUBLE) / b.nt) > CAST(0.95 AS DOUBLE) THEN u.t
+        |          WHEN (10000 - (u.t - b.g0)) % 2 = 1 THEN u.t - 1
+        |          ELSE u.t
+        |        END
+        |      ELSE
+        |        CASE
+        |          WHEN d.t IS NULL THEN (CASE WHEN 10000 <= b.g0 - 1 THEN b.g0 - 10000 ELSE 0 END)
+        |          WHEN b.g0 - d.t > 10000 THEN b.g0 - 10000
+        |          WHEN b.wexp / (CAST(d.t AS DOUBLE) / b.nt) < CAST(1.05 AS DOUBLE) THEN d.t
+        |          WHEN (10000 - (b.g0 - d.t)) % 2 = 1 THEN d.t + 1
+        |          ELSE d.t
+        |        END
+        |    END AS n_after
+        |  FROM base b LEFT JOIN up_t u ON b.s1 = u.s1 AND b.s2 = u.s2 AND b.y = u.y
+        |              LEFT JOIN dn_t d ON b.s1 = d.s1 AND b.s2 = d.s2 AND b.y = d.y)
+        |SELECT s1, s2, y, CAST(n_after AS BIGINT) AS n_after
+        |FROM fin WHERE n_after > 0 ORDER BY s1, s2, y""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
@@ -622,11 +688,11 @@ object SparkEntry {
         |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
-        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS total_bpe_tokens
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]'))) AS BIGINT) AS total_bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q35_cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
@@ -666,7 +732,7 @@ object SparkEntry {
         |    PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
         |    ORDER BY doc_id) AS rn
         |  FROM filt)
-        |SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM keep WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
     "q34_avg_odds" ->
       """WITH t AS (
@@ -686,6 +752,48 @@ object SparkEntry {
         |        + (ru.tp / (ru.tp + ru.fn) - rp.tp / (rp.tp + rp.fn)) / 2, 6) AS aod
         |FROM r ru JOIN r rp ON ru.c = rp.c AND ru.u = 1 AND rp.u = 0
         |ORDER BY class""".stripMargin,
+    // q31 oracle: PostProcess.adjust transports every (group, class) cell to
+    // its largest-remainder quota of the overall class distribution, so the
+    // final counts ARE the quotas — pure arithmetic on (group, class) counts.
+    // Float op order matches the Scala (classShare = n_class/total first,
+    // then * gSize); rank ties break on the class string, as in adjust().
+    "q31_postprocess_balance" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+        |         CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS pred
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT g, pred, count(*) AS n FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM t),
+        |cls AS (SELECT pred, CAST(sum(n) AS DOUBLE) AS n_class FROM cells GROUP BY 1),
+        |grp AS (SELECT g, sum(n) AS g_size FROM cells GROUP BY 1),
+        |raw AS (SELECT grp.g, cls.pred, grp.g_size,
+        |          (cls.n_class / tot.nt) * CAST(grp.g_size AS DOUBLE) AS x
+        |        FROM grp CROSS JOIN cls CROSS JOIN tot),
+        |fl AS (SELECT g, pred, g_size, CAST(trunc(x) AS BIGINT) AS fx, x - trunc(x) AS frac FROM raw),
+        |rem AS (SELECT g, any_value(g_size) - sum(fx) AS r FROM fl GROUP BY g),
+        |rk AS (SELECT fl.*, rem.r,
+        |         row_number() OVER (PARTITION BY fl.g ORDER BY fl.frac DESC, CAST(fl.pred AS VARCHAR)) AS rn
+        |       FROM fl JOIN rem ON fl.g = rem.g)
+        |SELECT g, pred, CAST(fx + CASE WHEN rn <= r THEN 1 ELSE 0 END AS BIGINT) AS n
+        |FROM rk WHERE fx + CASE WHEN rn <= r THEN 1 ELSE 0 END > 0
+        |ORDER BY g, pred""".stripMargin,
+    // q33 oracle: in batch the stateful sessionizer emits only gap-CLOSED
+    // sessions — the final open session per user never emits — so closed
+    // sessions = q29's session count minus one, and single-session users
+    // produce no row. epoch_ms mirrors unix_millis (both floor to ms).
+    "q33_sessionize_stateful" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(max(session_id) - 1 AS BIGINT) AS n_closed_sessions
+        |FROM s GROUP BY user_id HAVING max(session_id) > 1 ORDER BY user_id""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -1,0 +1,150 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking: the distributed replacement for
+  * `Window.orderBy(...)` with no partition spec, which funnels every row
+  * through a single task ("No Partition Defined" warning — the one true
+  * scale-killer plan flagged in round 1's q07).
+  *
+  * Plan (TeraSort-with-explicit-boundaries):
+  *   1. count the rows (column-pruned scan);
+  *   2. draw a bounded deterministic sample of the sort keys — a seeded
+  *      xxhash64 threshold filter, NOT `df.sample` — sort it on the driver
+  *      and take `numPartitions - 1` split points;
+  *   3. assign each row a range id by comparing its key tuple against the
+  *      split-point literals (codegen'd when-ladder, no shuffle);
+  *   4. per-range counts -> cumulative offsets on the driver (tiny);
+  *   5. global rank = offset + row_number over a window PARTITIONED by the
+  *      range id — one hash shuffle of the data, every stage parallel.
+  *
+  * Why not `repartitionByRange` + `spark_partition_id`: RangePartitioner
+  * seeds its reservoir sampling with the RDD id, which changes on every
+  * action, so two jobs over the same DataFrame see DIFFERENT partition
+  * boundaries — offsets computed in one job are wrong in the next. Data-
+  * derived boundary literals make the range id a pure function of the row.
+  *
+  * Sort keys must be non-null; include a tiebreaker column to make the
+  * order total, or equal tuples receive arbitrary relative ranks.
+  */
+object Ranking {
+
+  private val SampleCap = 65536L
+
+  /** `a > b` lexicographically over the key tuple. */
+  private def tupleGt(cols: Seq[Column], bound: Seq[Any]): Column =
+    cols.zip(bound).foldRight(lit(false)) { case ((c, b), rest) =>
+      c > lit(b) || (c === lit(b) && rest)
+    }
+
+  /** Append a 1-based dense global row number ordered by `sortCols`. */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0,
+      seed: Long = 42L): DataFrame =
+    rankedWithTotal(df, sortCols, outCol, numPartitions, seed)._1
+
+  /** SQL `ntile(k)` over a global order, computed from the scalable global
+    * row number instead of a single-partition window: the first `n mod k`
+    * buckets take `ceil(n/k)` rows, the rest `floor(n/k)` (exact ntile
+    * semantics).
+    */
+  def withNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      outCol: String,
+      numPartitions: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val rnCol = "__graft_global_rn"
+    val (ranked, total) = rankedWithTotal(df, sortCols, rnCol, numPartitions, seed)
+    if (total == 0) return ranked.withColumn(outCol, lit(null).cast("int")).drop(rnCol)
+    val base = total / k
+    val rem = total % k
+    val r0 = col(rnCol) - 1
+    val bucket =
+      if (base == 0) r0 + 1 // fewer rows than buckets: one row per bucket
+      else when(r0 < rem * (base + 1), floor(r0 / (base + 1)) + 1)
+        .otherwise(lit(rem) + floor((r0 - rem * (base + 1)) / base) + 1)
+    ranked.withColumn(outCol, bucket.cast("int")).drop(rnCol)
+  }
+
+  private def rankedWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int,
+      seed: Long): (DataFrame, Long) = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyStruct = struct(sortCols: _*)
+
+    val total = df.count()
+    if (total == 0) return (df.withColumn(outCol, lit(null).cast("long")), 0L)
+
+    // Deterministic bounded key sample: threshold on a seeded hash, so the
+    // same rows are picked in every job. Sample quality only affects BALANCE,
+    // never correctness of the rank.
+    val scale = 1000000L
+    val thresh = math.min(scale, math.max(1L, SampleCap * scale / total))
+    val sample: Array[Row] = df
+      .where(pmod(xxhash64(keyStruct, lit(seed)), lit(scale)) < lit(thresh))
+      .select(sortCols: _*)
+      .collect()
+    implicit val ord: Ordering[AnyComparable] = anyComparableOrdering
+    val sortedKeys: Array[Seq[Any]] = sample
+      .map(r => (0 until r.length).map(r.get): Seq[Any])
+      .sortBy(k => k.map(AnyComparable(_)): Seq[AnyComparable])(
+        math.Ordering.Implicits.seqOrdering[Seq, AnyComparable])
+    val parts = math.max(1, math.min(n, sortedKeys.length + 1))
+    val bounds: Seq[Seq[Any]] =
+      (1 until parts).map(i => sortedKeys((i.toLong * sortedKeys.length / parts).toInt))
+
+    val pidCol = "__graft_range_pid"
+    // range id = number of split points strictly below this key
+    val pidExpr = bounds.foldLeft(lit(0)) { (e, b) =>
+      e + when(tupleGt(sortCols, b), 1).otherwise(0)
+    }
+    val withPid = df.withColumn(pidCol, pidExpr)
+
+    val counts = withPid.groupBy(col(pidCol)).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until parts).map { p =>
+        val o = p -> acc; acc += counts.getOrElse(p, 0L); o
+      }.toMap
+    }
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, o)) =>
+      when(col(pidCol) === p, lit(o)).otherwise(e)
+    }
+    val ranked = withPid
+      .withColumn(outCol,
+        row_number().over(Window.partitionBy(col(pidCol)).orderBy(sortCols: _*)).cast("long")
+          + offsetExpr)
+      .drop(pidCol)
+    (ranked, total)
+  }
+
+  /** Driver-side ordering for sampled key values (numbers, strings, dates) —
+    * must agree with Spark's ascending column ordering on the same types.
+    */
+  private final case class AnyComparable(v: Any)
+  private val anyComparableOrdering: Ordering[AnyComparable] = new Ordering[AnyComparable] {
+    def compare(a: AnyComparable, b: AnyComparable): Int = (a.v, b.v) match {
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+      case (x: Number, y: Number) => java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+    }
+  }
+}

@@ -65,7 +65,10 @@ object PostProcess {
         val raw = classes.map(c => c -> classShare(c) * gSize)
         val floors = raw.map { case (c, x) => c -> x.toLong }.toMap
         var rem = gSize - floors.values.sum
-        val order = raw.sortBy { case (c, x) => -(x - x.toLong) }.map(_._1)
+        // largest-remainder order; ties broken by class string so the quota
+        // is deterministic regardless of Map iteration order (the DuckDB
+        // oracle for q31 replays exactly this rank)
+        val order = raw.sortBy { case (c, x) => (-(x - x.toLong), String.valueOf(c)) }.map(_._1)
         val out = scala.collection.mutable.Map(floors.toSeq: _*)
         var i = 0
         while (rem > 0) { out(order(i % order.length)) += 1; rem -= 1; i += 1 }

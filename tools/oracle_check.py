@@ -51,6 +51,22 @@ def main(sf_dir, out_dir):
             res = con.execute(oracle[name])
             want_cols = [c[0] for c in res.description]
             want = res.fetchall()
+            # Driver-hash parity heuristic: surface physical-type differences
+            # (e.g. DuckDB HUGEINT vs Spark BIGINT sums) that value compare
+            # can't see. Warning only — value compare still decides pass/fail.
+            got_types = dict(
+                (c[0], c[1]) for c in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
+            want_types = dict(
+                (c[0], c[1]) for c in con.execute(
+                    f"DESCRIBE {oracle[name]}").fetchall())
+            int_family = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+            for c in sorted(set(got_types) & set(want_types)):
+                gt, wt = got_types[c], want_types[c]
+                # int-width differences hash green in the driver (r01 evidence);
+                # HUGEINT / DECIMAL / float-vs-int do not
+                if gt != wt and not (gt in int_family and wt in int_family):
+                    print(f"TYPE? {name}.{c}: spark {gt} vs oracle {wt}")
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
         gc, g = canon(got, got_cols)
