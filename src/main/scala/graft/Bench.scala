@@ -20,9 +20,16 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark
       // prune the projection and under-measure the real work)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          // -1 sentinel: a broken query must not masquerade as a fast one
+          System.err.println(s"BENCH FAIL $name: $t")
+          t.printStackTrace()
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -438,6 +438,36 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q38: winnowing (MOSS) fingerprint candidate pairs — any shared
+    // substring of length >= shingleSize + window - 1 guarantees a shared
+    // fingerprint; explode + equi-join on 8-byte hashes, text never
+    // shuffled (rows-only: fingerprints are seeded-hash-specific; the
+    // guarantee properties are covered in DedupSpec)
+    // The synthetic corpus draws words from a ~40-word vocabulary, so short
+    // character shingles are all boilerplate (5-char shingles put every doc
+    // pair over any threshold). 20-char shingles span ~4 words — rare across
+    // unrelated docs, dense inside near-duplicates: k=20/w=4/minShared=10
+    // recovers exactly the minhash near-dup band (25 pairs at sf0.01).
+    // maxBucketSize=64: a fingerprint shared by more docs is template noise,
+    // and keeping it makes the candidate join quadratic in the bucket size —
+    // the skew cap IS the scale story of this operator.
+    "q38_winnowing_pairs" -> ((s, dir) =>
+      Dedup.winnowingCandidatePairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleSize = 20, window = 4, minShared = 10, maxBucketSize = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // q39: LSH-bucketed cosine near-dup — the scale-safe sibling of q35's
+    // exact all-pairs baseline: candidate pairs must share a hyperplane
+    // bucket, so the pair count scales with bucket occupancy, not n^2
+    // (rows-only: bucket assignment is seeded-plane specific)
+    "q39_cosine_neardup_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.3, dim = 64, numBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the

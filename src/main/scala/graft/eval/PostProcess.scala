@@ -120,4 +120,176 @@ object PostProcess {
       predCol: String,
       seed: Long = 42L): DataFrame =
     adjust(withCombined(predDF, groupCondition), "combined", predCol, seed)
+
+  // ------------------------------------------------------------------
+  // Equalized-odds post-processing (the reference BinaryBalancer's other
+  // constraint, `utils.py:307-316`): equalize per-group TPR AND FPR, not
+  // just prediction rates. Hardt/Price/Srebro 2016 derived-predictor
+  // semantics: the relabeled prediction depends only on (group, yhat) via
+  // mixing probabilities, so each group's achievable (FPR, TPR) set is the
+  // convex hull of {(0,0), (FPR_g, TPR_g), (1,1), (1-FPR_g, 1-TPR_g)};
+  // the common target is the accuracy-optimal vertex of the intersection
+  // of those hulls. Everything is driver arithmetic on the 4K confusion
+  // counts; ONE distributed pass applies exact-count flips.
+  // ------------------------------------------------------------------
+
+  /** Per-group mixing plan toward the common (targetFpr, targetTpr).
+    * `mix(g) = (a, b)`: P(yhat'=1 | yhat=1) = a, P(yhat'=1 | yhat=0) = b.
+    */
+  final case class OddsPlan(
+      targetTpr: Double,
+      targetFpr: Double,
+      mix: Map[Any, (Double, Double)])
+
+  /** Compute the equalized-odds plan from per-group confusion counts
+    * `(tp, fn, fp, tn)`. Pure driver geometry: Sutherland-Hodgman clip of
+    * the groups' feasible quadrilaterals, then the vertex maximizing
+    * overall accuracy `tpr*P(y=1) - fpr*P(y=0)` (deterministic tie-break:
+    * lower fpr, then higher tpr).
+    */
+  def equalizedOddsPlan(stats: Map[Any, (Long, Long, Long, Long)]): OddsPlan = {
+    require(stats.nonEmpty, "equalizedOddsPlan needs at least one group")
+    val eps = 1e-12
+    val rates = stats.map { case (g, (tp, fn, fp, tn)) =>
+      require(tp + fn > 0 && fp + tn > 0,
+        s"group $g needs both classes present to define TPR/FPR")
+      g -> (fp.toDouble / (fp + tn), tp.toDouble / (tp + fn)) // (fpr, tpr)
+    }
+    val pos = stats.valuesIterator.map(s => s._1 + s._2).sum.toDouble
+    val neg = stats.valuesIterator.map(s => s._3 + s._4).sum.toDouble
+    val p1 = pos / (pos + neg)
+
+    val (tFpr, tTpr) =
+      if (rates.values.exists { case (f, t) => math.abs(t - f) < eps }) {
+        // a group indistinguishable from random forces the target onto the
+        // diagonal; pick the accuracy-optimal end
+        if (p1 >= 0.5) (1.0, 1.0) else (0.0, 0.0)
+      } else {
+        // clip the quadrilaterals, ccw winding: below-diagonal vertex first
+        // ((0,0) -> Rbar -> (1,1) -> R for R above the diagonal)
+        def quad(f: Double, t: Double): Seq[(Double, Double)] =
+          if (t > f) Seq((0.0, 0.0), (1 - f, 1 - t), (1.0, 1.0), (f, t))
+          else Seq((0.0, 0.0), (f, t), (1.0, 1.0), (1 - f, 1 - t))
+        val polys = rates.values.map { case (f, t) => quad(f, t) }
+        val clipped = polys.reduce(clipConvex)
+        require(clipped.nonEmpty, "empty feasible region (numeric degeneracy)")
+        val best = clipped.maxBy { case (f, t) =>
+          (t * p1 - f * (1 - p1), -f, t) // accuracy, then deterministic ties
+        }
+        best
+      }
+
+    val mix = rates.map { case (g, (f, t)) =>
+      val det = t - f
+      val (a, b) =
+        if (math.abs(det) < eps) (tTpr, tTpr) // degenerate: constant mixing
+        else (
+          ((1 - f) * tTpr - (1 - t) * tFpr) / det,
+          (t * tFpr - f * tTpr) / det)
+      g -> (clamp01(a), clamp01(b))
+    }
+    OddsPlan(tTpr, tFpr, mix)
+  }
+
+  private def clamp01(x: Double): Double = math.min(1.0, math.max(0.0, x))
+
+  /** Sutherland-Hodgman: intersect convex polygon `subject` with convex
+    * clip polygon `clip` (both ccw).
+    */
+  private def clipConvex(
+      subject: Seq[(Double, Double)],
+      clip: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    def inside(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Boolean =
+      (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) >= -1e-12
+    def intersect(p: (Double, Double), q: (Double, Double),
+        a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val a1 = q._2 - p._2; val b1 = p._1 - q._1
+      val c1 = a1 * p._1 + b1 * p._2
+      val a2 = b._2 - a._2; val b2 = a._1 - b._1
+      val c2 = a2 * a._1 + b2 * a._2
+      val det = a1 * b2 - a2 * b1
+      if (math.abs(det) < 1e-18) p
+      else ((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
+    }
+    clip.indices.foldLeft(subject) { (poly, i) =>
+      if (poly.isEmpty) poly
+      else {
+        val a = clip(i); val b = clip((i + 1) % clip.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        poly.indices.foreach { j =>
+          val p = poly(j); val q = poly((j + 1) % poly.length)
+          val pIn = inside(p, a, b); val qIn = inside(q, a, b)
+          if (pIn) out += p
+          if (pIn != qIn) out += intersect(p, q, a, b)
+        }
+        out.toSeq
+      }
+    }
+  }
+
+  /** Relabel binary predictions so every group's realized TPR and FPR move
+    * to the common accuracy-optimal target (equalized odds). Labels are
+    * used only to COMPUTE the plan (tiny collected confusion counts); the
+    * applied flip depends on (group, yhat) alone, per the derived-predictor
+    * contract, so realized rates match the target in expectation (exact-
+    * count seeded flips, hypergeometric noise ~ 1/sqrt(cell)).
+    */
+  def equalizeOdds(
+      predDF: DataFrame,
+      groupCol: String,
+      predCol: String,
+      labelCol: String,
+      seed: Long = 42L): DataFrame = {
+    val counts = predDF
+      .groupBy(col(groupCol), col(labelCol).cast("int").as("__y"),
+        col(predCol).cast("int").as("__p"))
+      .count().collect()
+      .map(r => (r.get(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val domain = counts.keys.flatMap(k => Seq(k._2, k._3)).toSet -- Set(0, 1)
+    require(domain.isEmpty,
+      s"equalizeOdds needs binary 0/1 labels and predictions, found: $domain")
+    val groups = counts.keys.map(_._1).toSeq.distinct
+    val stats: Map[Any, (Long, Long, Long, Long)] = groups.map { g =>
+      g -> ((
+        counts.getOrElse((g, 1, 1), 0L), counts.getOrElse((g, 1, 0), 0L),
+        counts.getOrElse((g, 0, 1), 0L), counts.getOrElse((g, 0, 0), 0L)))
+    }.toMap
+    val plan = equalizedOddsPlan(stats)
+
+    // exact-count application: in each (group, yhat) cell rank rows by a
+    // seeded random and flip the tail — one extra shuffle, no labels read
+    val n1: Map[Any, Long] = groups.map(g =>
+      g -> (counts.getOrElse((g, 1, 1), 0L) + counts.getOrElse((g, 0, 1), 0L))).toMap
+    val n0: Map[Any, Long] = groups.map(g =>
+      g -> (counts.getOrElse((g, 1, 0), 0L) + counts.getOrElse((g, 0, 0), 0L))).toMap
+    val w = Window.partitionBy(col(groupCol), col(predCol)).orderBy(rand(seed))
+    val ranked = predDF.withColumn("__rn", row_number().over(w))
+    var relabel: org.apache.spark.sql.Column = col(predCol)
+    groups.foreach { g =>
+      val (a, b) = plan.mix(g)
+      val keep1 = math.round(a * n1(g)) // yhat=1 rows that STAY 1
+      val make1 = math.round(b * n0(g)) // yhat=0 rows that BECOME 1
+      relabel = when(
+        col(groupCol) === lit(g) && col(predCol) === 1 && col("__rn") > keep1,
+        lit(0)).otherwise(relabel)
+      relabel = when(
+        col(groupCol) === lit(g) && col(predCol) === 0 && col("__rn") <= make1,
+        lit(1)).otherwise(relabel)
+    }
+    ranked
+      .withColumn(predCol, relabel.cast(predDF.schema(predCol).dataType))
+      .drop("__rn")
+  }
+
+  /** Reference-shaped surface: equalized odds across the `combined` group
+    * column derived from a group condition (bug-compatible derivation, see
+    * [[withCombined]]).
+    */
+  def blackboxEqOdds(
+      predDF: DataFrame,
+      groupCondition: Seq[(String, Any)],
+      predCol: String,
+      labelCol: String,
+      seed: Long = 42L): DataFrame =
+    equalizeOdds(withCombined(predDF, groupCondition), "combined", predCol, labelCol, seed)
 }

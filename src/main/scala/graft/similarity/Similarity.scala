@@ -125,6 +125,37 @@ object Similarity {
     * candidate than sign-sketch LSH when the corpus is clustered; `nProbe`
     * trades recall for cost.
     */
+  /** Train the IVF coarse quantizer on a BOUNDED deterministic sample of the
+    * corpus: the `cap` rows with the smallest seeded xxhash64 of their id
+    * (TakeOrdered — per-partition top-k then a tiny merge, never a full
+    * sort). Centroid quality needs on the order of 100-1000 points per list,
+    * not the corpus — at 100 TB, training on every vector would be a
+    * multi-pass KMeans job paid per query (round-1 q37 spent 20% of the
+    * whole bench re-training). Returns row-major `nLists x dim` centroids
+    * to pass to [[ivfTopK]] and reuse across queries.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nLists: Int = 16,
+      seed: Long = 42L,
+      sampleCap: Int = 0): Seq[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cap = if (sampleCap > 0) sampleCap else 256 * nLists
+    val train = corpus
+      .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(cap)
+      .select(array_to_vector(col("__v")).as("__fv"))
+      .persist() // KMeans iterates over its input; don't re-run the TakeOrdered per iteration
+    try {
+      val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__fv").setMaxIter(10)
+      km.fit(train).clusterCenters.toSeq.flatMap(_.toArray.padTo(dim, 0.0))
+    } finally { train.unpersist(false) }
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -134,20 +165,17 @@ object Similarity {
       dim: Int,
       nLists: Int = 16,
       nProbe: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L,
+      centroids: Option[Seq[Double]] = None): DataFrame = {
     import graft.functions.NearestCentroidsExpr
 
-    // train the coarse quantizer on the corpus vectors
-    val train = corpus.select(array_to_vector(col(vecCol)).as("__fv"))
-    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__fv").setMaxIter(10)
-    val centroids: Seq[Double] =
-      km.fit(train).clusterCenters.toSeq.flatMap(_.toArray.padTo(dim, 0.0))
+    // coarse quantizer: caller-provided (train once, reuse per query) or
+    // trained here on the bounded sample
+    val cent: Seq[Double] =
+      centroids.getOrElse(trainIvfCentroids(corpus, idCol, vecCol, dim, nLists, seed))
 
     def cellsOf(vec: Column, probes: Int): Column =
-      toCol(NearestCentroidsExpr(toExpr(vec), centroids, dim, probes))
+      toCol(NearestCentroidsExpr(toExpr(vec), cent, dim, probes))
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       cellsOf(col(vecCol), 1)(0).as("__cell"))

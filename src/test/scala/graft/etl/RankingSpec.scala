@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankingSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    // shuffled values with duplicates in the first key; (v, id) is unique
+    val rng = new scala.util.Random(7)
+    rng.shuffle((1 to 997).toList).map(i => (i % 50, i.toLong)).toDF("v", "id")
+      .repartition(7)
+  }
+
+  test("withGlobalRowNumber equals the single-partition rank") {
+    val got = Ranking.withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn", numPartitions = 5)
+      .select("v", "id", "rn").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("rank is stable across repeated actions (deterministic boundaries)") {
+    val ranked = Ranking.withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn")
+    val a = ranked.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = ranked.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a === b)
+    // ranks are a permutation of 1..n
+    assert(a.map(_._3).sorted === (1L to 997L))
+  }
+
+  test("withNtile matches SQL ntile bucket sizes and boundaries") {
+    val got = Ranking.withNtile(df, Seq(col("v"), col("id")), 5, "bucket", numPartitions = 5)
+      .select("v", "id", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = df.withColumn("bucket",
+        ntile(5).over(Window.orderBy(col("v"), col("id"))))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === want)
+  }
+
+  test("ntile with more buckets than rows gives one row per bucket") {
+    import spark.implicits._
+    val tiny = Seq((3, 1L), (1, 2L), (2, 3L)).toDF("v", "id")
+    val got = Ranking.withNtile(tiny, Seq(col("v"), col("id")), 5, "bucket")
+      .select("v", "bucket").collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(1 -> 1, 2 -> 2, 3 -> 3))
+  }
+
+  test("empty input ranks to an empty result") {
+    val empty = df.where(col("v") < 0)
+    assert(Ranking.withGlobalRowNumber(empty, Seq(col("v")), "rn").count() === 0)
+    assert(Ranking.withNtile(empty, Seq(col("v")), 4, "b").count() === 0)
+  }
+}

@@ -48,4 +48,85 @@ class PostProcessSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(dist.values.forall(_ === 1L))
   }
+
+  // ------------------------------------------------------------------
+  // equalized odds (reference BinaryBalancer TPR/FPR constraint)
+  // ------------------------------------------------------------------
+
+  test("equalizedOddsPlan: common target inside both groups' feasible sets") {
+    // g0: TPR 0.9, FPR 0.4; g1: TPR 0.6, FPR 0.2
+    val stats: Map[Any, (Long, Long, Long, Long)] = Map(
+      (0: Any) -> ((1800L, 200L, 800L, 1200L)),
+      (1: Any) -> ((1200L, 800L, 400L, 1600L)))
+    val plan = PostProcess.equalizedOddsPlan(stats)
+    // mixing coefficients are probabilities
+    plan.mix.values.foreach { case (a, b) =>
+      assert(a >= 0.0 && a <= 1.0); assert(b >= 0.0 && b <= 1.0)
+    }
+    // both groups land exactly on the target analytically
+    stats.foreach { case (g, (tp, fn, fp, tn)) =>
+      val tpr = tp.toDouble / (tp + fn); val fpr = fp.toDouble / (fp + tn)
+      val (a, b) = plan.mix(g)
+      val newTpr = a * tpr + b * (1 - tpr)
+      val newFpr = a * fpr + b * (1 - fpr)
+      assert(math.abs(newTpr - plan.targetTpr) < 1e-9, s"group $g tpr")
+      assert(math.abs(newFpr - plan.targetFpr) < 1e-9, s"group $g fpr")
+    }
+    // the target is inside the unit square and not degenerate
+    assert(plan.targetTpr >= plan.targetFpr - 1e-9)
+  }
+
+  test("equalizedOddsPlan: identical groups keep their own rates") {
+    val stats: Map[Any, (Long, Long, Long, Long)] = Map(
+      (0: Any) -> ((900L, 100L, 200L, 800L)),
+      (1: Any) -> ((900L, 100L, 200L, 800L)))
+    val plan = PostProcess.equalizedOddsPlan(stats)
+    // feasible region is the group's own quad; the accuracy-max vertex is
+    // the classifier's own operating point
+    assert(math.abs(plan.targetTpr - 0.9) < 1e-9)
+    assert(math.abs(plan.targetFpr - 0.2) < 1e-9)
+    plan.mix.values.foreach { case (a, b) =>
+      assert(math.abs(a - 1.0) < 1e-9); assert(math.abs(b) < 1e-9)
+    }
+  }
+
+  test("equalizeOdds: realized per-group TPR/FPR converge to the target") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // build exact counts: g0 (tp 1800, fn 200, fp 800, tn 1200),
+    //                     g1 (tp 1200, fn 800, fp 400, tn 1600)
+    def cell(g: Int, y: Int, p: Int, n: Int, base: Int) =
+      (0 until n).map(i => (g, y, p, base + i))
+    val rows = cell(0, 1, 1, 1800, 0) ++ cell(0, 1, 0, 200, 10000) ++
+      cell(0, 0, 1, 800, 20000) ++ cell(0, 0, 0, 1200, 30000) ++
+      cell(1, 1, 1, 1200, 40000) ++ cell(1, 1, 0, 800, 50000) ++
+      cell(1, 0, 1, 400, 60000) ++ cell(1, 0, 0, 1600, 70000)
+    val df = rng.shuffle(rows).toDF("g", "y", "pred", "id").repartition(4)
+    val out = PostProcess.equalizeOdds(df, "g", "pred", "y", seed = 3)
+    assert(out.count() === 8000)
+
+    val stats: Map[Any, (Long, Long, Long, Long)] = Map(
+      (0: Any) -> ((1800L, 200L, 800L, 1200L)),
+      (1: Any) -> ((1200L, 800L, 400L, 1600L)))
+    val plan = PostProcess.equalizedOddsPlan(stats)
+    val cm = out.groupBy("g", "y", "pred").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+      .withDefaultValue(0L)
+    Seq(0, 1).foreach { g =>
+      val tpr = cm((g, 1, 1)).toDouble / (cm((g, 1, 1)) + cm((g, 1, 0)))
+      val fpr = cm((g, 0, 1)).toDouble / (cm((g, 0, 1)) + cm((g, 0, 0)))
+      // flips are label-blind: realized rates are hypergeometric around the
+      // target, sigma ~ 0.011 at these cell sizes
+      assert(math.abs(tpr - plan.targetTpr) < 0.05, s"g=$g tpr=$tpr vs ${plan.targetTpr}")
+      assert(math.abs(fpr - plan.targetFpr) < 0.05, s"g=$g fpr=$fpr vs ${plan.targetFpr}")
+    }
+  }
+
+  test("equalizeOdds rejects non-binary domains") {
+    import spark.implicits._
+    val df = Seq((0, 2, 1), (1, 0, 1)).toDF("g", "y", "pred")
+    intercept[IllegalArgumentException] {
+      PostProcess.equalizeOdds(df, "g", "pred", "y")
+    }
+  }
 }

@@ -86,6 +86,25 @@ class SimilaritySpec extends SparkSpec {
     assert((bf & ivf).size >= 4, s"IVF should recover the in-cluster top-k, got $ivf vs $bf")
   }
 
+  test("ivfTopK with precomputed centroids matches in-call training") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4)
+    val a = (0L until 40L).map(i => (i, Array(1.0 + rng.nextGaussian() * 0.05, rng.nextGaussian() * 0.05, 0.0)))
+    val b = (100L until 140L).map(i => (i, Array(rng.nextGaussian() * 0.05, 1.0 + rng.nextGaussian() * 0.05, 0.0)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      dim = 3, nLists = 2, seed = 7)
+    assert(cents.length === 2 * 3)
+    val reused = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, dim = 3, nLists = 2, nProbe = 1, seed = 7, centroids = Some(cents))
+      .collect().map(_.getLong(1)).toSet
+    val trained = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, dim = 3, nLists = 2, nProbe = 1, seed = 7)
+      .collect().map(_.getLong(1)).toSet
+    assert(reused === trained)
+  }
+
   test("cosineNearDupPairs finds the embedding near-duplicates") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.95, dim = 3, numBits = 2)
