@@ -105,6 +105,11 @@ object ExactSampler {
       spark.sparkContext.parallelize(quotaRows.toSeq, 1), quotaSchema)
 
     // Job 2: rank within (group, salt), keep/replicate per quota.
+    // rand(seed) is re-drawn if a task retries or the lineage recomputes:
+    // WHICH rows survive can differ between attempts, but counts are exact
+    // either way — matching the reference, whose per-row sampling is also
+    // unseeded (demv/helpers.py:15-17). If retry-stable row identity is
+    // ever needed, switch the sort key to xxhash64(idCols..., seed).
     val w = Window
       .partitionBy((groupCols :+ saltCol).map(col): _*)
       .orderBy(rand(seed))

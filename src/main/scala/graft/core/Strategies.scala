@@ -86,12 +86,16 @@ object Strategies {
     // joining on (cell, feat) alone and post-filtering pick = rn would
     // materialize |cell| rows per (synthetic, feature) before filtering —
     // an O(m * c * F) blowup the hash join avoids entirely
+    // struct collect, not parallel collect_list(feat)/collect_list(val):
+    // collect_list drops nulls, so a null feature value would desynchronize
+    // the key/value arrays and fail deep inside MapData — structs keep the
+    // pair intact and map_from_entries carries the null value through
     val joined = skeleton.join(
         exploded.withColumnRenamed("__rn", "__pick"),
         (keyCols :+ "__feat" :+ "__pick").map(identity),
         "inner")
       .groupBy((keyCols.map(col) :+ col("__synth")): _*)
-      .agg(map_from_arrays(collect_list(col("__feat")), collect_list(col("__val"))).as("__fm"))
+      .agg(map_from_entries(collect_list(struct(col("__feat"), col("__val")))).as("__fm"))
 
     // back to the original schema, casting each feature to its input type
     val outCols = df.schema.fields.map { f =>
@@ -134,6 +138,14 @@ object Strategies {
       .map { case (key, rows) =>
         key -> rows.map(r => featIdx.map(i => numAt(r, i)).toArray)
       }
+    // honesty: a full sample (== cap) means the cell is larger than the cap
+    // and neighbors come from the seeded sample, not the whole cell
+    val capped = byCell.collect { case (key, pts) if pts.length >= sampleCap => key }
+    if (capped.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"${if (adasyn) "adasyn" else "smote"}: kNN sample cap ($sampleCap) binds for " +
+          s"cells ${capped.mkString("; ")} — interpolation neighbors are drawn from the " +
+          s"seeded sample, not the full cell (imblearn uses the full cell)")
 
     val rng = new scala.util.Random(seed)
     val synth = scala.collection.mutable.ArrayBuffer.empty[Row]

@@ -38,10 +38,21 @@ final case class MetricRow(
   */
 object CrossVal {
 
-  /** E1: add a deterministic fold column in [0, k). */
-  def withFolds(df: DataFrame, k: Int, seed: Long = 2L): DataFrame =
+  /** E1: add a deterministic fold column in [0, k).
+    *
+    * Hashing all columns (the default) sends DUPLICATE rows to the same
+    * fold — they can never straddle train/test, a mild but deterministic
+    * bias vs sklearn's positional KFold (documented deviation; positional
+    * splits don't exist in a distributed setting without a total order).
+    * Pass `idCols` (a unique row identifier) to spread duplicates
+    * independently and to prune the hash input on wide tables.
+    */
+  def withFolds(df: DataFrame, k: Int, seed: Long = 2L,
+      idCols: Option[Seq[String]] = None): DataFrame = {
+    val cols = idCols.getOrElse(df.columns.toSeq)
     df.withColumn("__fold",
-      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(k)).cast("int"))
+      pmod(xxhash64(cols.map(col) :+ lit(seed): _*), lit(k)).cast("int"))
+  }
 
   /** spark.ml classifiers require labels in [0, numClasses) — the reference
     * datasets use arbitrary label values (cmc {1,2,3}, wine {4..7}, crime
@@ -53,7 +64,10 @@ object CrossVal {
     * @return (df with "__y" indexed label, ascending original label values)
     */
   def labelValues(df: DataFrame, labelCol: String): Seq[Any] =
-    df.select(labelCol).distinct().collect().map(_.get(0)).sortBy(_.toString).toSeq
+    // numeric-aware ascending sort = np.unique's ordering (a toString sort
+    // would put 10 before 2 for labels like {2, 10})
+    df.select(labelCol).distinct().collect().map(_.get(0))
+      .sortBy(identity)(graft.core.DEMV.anyOrdering).toSeq
 
   /** Add "__y" = the 0-based index of `labelCol` within `values` (the
     * mapping must be derived ONCE from the full dataset — a fold can miss

@@ -66,6 +66,54 @@ object Reductions {
     df.withColumn("__w", w)
   }
 
+  /** One EG iterate retained for the randomized ensemble. */
+  final case class Iterate(
+      model: PipelineModel,
+      lambdas: Map[Seq[Any], Double],
+      groupLosses: Map[Seq[Any], Double],
+      overallLoss: Double,
+      maxViolation: Double)
+
+  /** fairlearn-semantics EG result: a DISTRIBUTION over the round iterates
+    * (reference `generatemetrics.py:101-131` — fairlearn's
+    * `ExponentiatedGradient.predict` samples one inner classifier per call).
+    * `transform` draws a seeded per-row choice among the iterate
+    * predictions, so replication users see the ensemble's variance band,
+    * not a deterministic best iterate.
+    */
+  final case class FittedEnsemble(
+      iterates: Seq[Iterate],
+      weights: Seq[Double],
+      seed: Long) {
+    require(iterates.nonEmpty && iterates.length == weights.length)
+
+    /** Expected per-group 0-1 loss of the mixture. */
+    def mixtureGroupLosses: Map[Seq[Any], Double] =
+      iterates.head.groupLosses.keys.map { g =>
+        g -> iterates.zip(weights).map { case (it, w) => w * it.groupLosses(g) }.sum
+      }.toMap
+
+    /** Randomized prediction: per-row seeded draw over iterate predictions.
+      * One pass; Q model scorings, no shuffle.
+      */
+    def transform(df: DataFrame): DataFrame = {
+      val scoreCols = Seq("__features_raw", "__features", "rawPrediction", "probability")
+      var cur = df.withColumn("__draw", rand(seed))
+      iterates.zipWithIndex.foreach { case (it, i) =>
+        cur = it.model.transform(cur)
+          .withColumnRenamed("prediction", s"__p$i")
+          .drop(scoreCols: _*)
+      }
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val pick = iterates.indices.tail.foldLeft(
+        when(col("__draw") < cum(0), col("__p0"))) { (e, i) =>
+        e.when(col("__draw") < cum(i), col(s"__p$i"))
+      }.otherwise(col(s"__p${iterates.length - 1}"))
+      cur.withColumn("prediction", pick)
+        .drop(iterates.indices.map(i => s"__p$i") :+ "__draw": _*)
+    }
+  }
+
   object ExponentiatedGradient {
     /** @param bound  per-group 0-1 loss upper bound (reference uses 0.1)
       * @param eta    multiplicative step size
@@ -79,9 +127,49 @@ object Reductions {
         bound: Double = 0.1,
         eta: Double = 2.0,
         rounds: Int = 5): FittedReduction = {
+      val best = run(train, featureCols, labelCol, sensitiveCols, bound, eta, rounds)
+        .minBy(it => it.overallLoss + 10.0 * it.maxViolation) // feasibility-first
+      FittedReduction(best.model, best.lambdas, best.groupLosses, rounds)
+    }
+
+    /** fairlearn-fidelity variant: return the randomized ensemble over the
+      * iterates. Weights are uniform over the FEASIBLE iterates (violation
+      * <= eps past the bound) — the no-regret average play — falling back
+      * to the best single iterate when none is feasible. (fairlearn derives
+      * its mixture from the saddle-point LP; uniform-over-feasible is the
+      * documented simplification, with the same support.)
+      */
+    def fitEnsemble(
+        train: DataFrame,
+        featureCols: Seq[String],
+        labelCol: String,
+        sensitiveCols: Seq[String],
+        bound: Double = 0.1,
+        eta: Double = 2.0,
+        rounds: Int = 5,
+        eps: Double = 0.02,
+        seed: Long = 42L): FittedEnsemble = {
+      val its = run(train, featureCols, labelCol, sensitiveCols, bound, eta, rounds)
+      val feasible = its.filter(_.maxViolation <= eps)
+      if (feasible.nonEmpty)
+        FittedEnsemble(feasible, Seq.fill(feasible.length)(1.0 / feasible.length), seed)
+      else {
+        val best = its.minBy(it => it.overallLoss + 10.0 * it.maxViolation)
+        FittedEnsemble(Seq(best), Seq(1.0), seed)
+      }
+    }
+
+    private def run(
+        train: DataFrame,
+        featureCols: Seq[String],
+        labelCol: String,
+        sensitiveCols: Seq[String],
+        bound: Double,
+        eta: Double,
+        rounds: Int): Seq[Iterate] = {
       val pipe = basePipeline(featureCols, labelCol)
       var lambdas = Map.empty[Seq[Any], Double].withDefaultValue(0.0)
-      var best: Option[(Double, PipelineModel, Map[Seq[Any], Double], Map[Seq[Any], Double])] = None
+      val its = Seq.newBuilder[Iterate]
       var round = 0
       while (round < rounds) {
         val weighted = withWeights(train, sensitiveCols, lambdas)
@@ -89,8 +177,7 @@ object Reductions {
         val losses = groupLosses(model.transform(train), sensitiveCols, labelCol)
         val maxViolation = losses.valuesIterator.map(l => math.max(0.0, l - bound)).foldLeft(0.0)(math.max)
         val overall = losses.values.sum / losses.size
-        val objective = overall + 10.0 * maxViolation // feasibility-first
-        if (best.forall(_._1 > objective)) best = Some((objective, model, lambdas, losses))
+        its += Iterate(model, lambdas, losses, overall, maxViolation)
         // exponentiated update on violations, capped to keep weights sane
         lambdas = losses.map { case (g, l) =>
           val next = lambdas(g) * math.exp(eta * (l - bound)) + (if (lambdas(g) == 0.0 && l > bound) 0.1 else 0.0)
@@ -98,8 +185,7 @@ object Reductions {
         }.withDefaultValue(0.0)
         round += 1
       }
-      val (_, m, lam, losses) = best.get
-      FittedReduction(m, lam, losses, rounds)
+      its.result()
     }
   }
 

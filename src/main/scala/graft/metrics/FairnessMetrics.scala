@@ -176,7 +176,7 @@ object FairnessMetrics {
       .collect()
       .map(r => (r.getBoolean(0), r.get(1), r.get(2)) -> r.getLong(3)).toMap
     val classes = cells.keysIterator.flatMap { case (_, t, p) => Iterator(t, p) }
-      .toSeq.distinct.sortBy(_.toString)
+      .toSeq.distinct.sortBy(identity)(graft.core.DEMV.anyOrdering) // np.unique order
     def rates(uGroup: Boolean): Map[Any, (Double, Double)] = {
       val g = cells.collect { case ((u, t, p), n) if u == uGroup => (t, p) -> n }
       val total = g.values.sum.toDouble

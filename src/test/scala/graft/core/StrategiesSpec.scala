@@ -70,6 +70,42 @@ class StrategiesSpec extends SparkSpec {
     }
   }
 
+  test("smote: cap-bound cell (> sampleCap rows) still interpolates inside the hull") {
+    import spark.implicits._
+    // one cell of 3000 rows > the 1024 default cap: neighbors come from the
+    // seeded sample (warn logged), but every synthetic row must stay inside
+    // the cell's per-feature convex hull
+    val rng = new scala.util.Random(9)
+    val big = (0 until 3000).map(i => (1, 1, 200.0 + rng.nextDouble * 50, i))
+      .toDF("s", "y", "f1", "f2")
+    val out = Strategies.synthesizeSmote(big, key, Map(Seq[Any](1, 1) -> 40L), seed = 5)
+      .collect()
+    assert(out.length === 40)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 200.0 && r.getDouble(2) <= 250.0, s"f1 out of hull: $r")
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 2999, s"f2 out of hull: $r")
+    }
+  }
+
+  test("uniform: null feature values survive the synthesis pipeline") {
+    import spark.implicits._
+    // a null f1 in the upsampled cell must not desynchronize the collected
+    // feature map (collect_list drops nulls; the struct collect must not)
+    val withNull = Seq(
+      (1, 1, Some(500.0), 100), (1, 1, None, 101), (1, 1, Some(501.0), 102))
+      .toDF("s", "y", "f1", "f2")
+    val out = Strategies.synthesizeUniform(withNull, key, Map(Seq[Any](1, 1) -> 30L), seed = 5)
+      .collect()
+    assert(out.length === 30)
+    // every row has a valid f2 from the cell; f1 may be null (drawn from a
+    // null source row) or one of the cell's values
+    out.foreach { r =>
+      assert(r.getInt(3) >= 100 && r.getInt(3) <= 102)
+      if (!r.isNullAt(2)) assert(r.getDouble(2) >= 500.0 && r.getDouble(2) <= 501.0)
+    }
+    assert(out.exists(_.isNullAt(2)), "some synthetic rows should draw the null value")
+  }
+
   test("non-numeric feature columns raise a clear error") {
     import spark.implicits._
     val bad = Seq((0, 1, "text")).toDF("s", "y", "t")

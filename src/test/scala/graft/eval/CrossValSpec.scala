@@ -22,6 +22,20 @@ class CrossValSpec extends SparkSpec {
     assert(again.sorted === sizes.toSeq.sorted)
   }
 
+  test("withFolds idCols: duplicates co-fold by default, spread with an id") {
+    import spark.implicits._
+    val dup = Seq.fill(40)((1, 2.0)).zipWithIndex.map { case ((a, b), i) => (a, b, i) }
+      .toDF("a", "b", "id")
+    // hashing only the duplicated payload puts everything in ONE fold
+    val payloadFolds = CrossVal.withFolds(dup.select("a", "b"), 4)
+      .select("__fold").distinct().count()
+    assert(payloadFolds === 1)
+    // an id column spreads them
+    val idFolds = CrossVal.withFolds(dup, 4, idCols = Some(Seq("id")))
+      .select("__fold").distinct().count()
+    assert(idFolds > 1)
+  }
+
   test("biased logistic CV: one row per fold, learnable accuracy") {
     val rows = CrossVal.crossVal(spec, "logistic", method = "biased", k = 3)
     assert(rows.length === 3)

@@ -34,6 +34,35 @@ class ReductionsSpec extends SparkSpec {
     assert(pred.count() === 800)
   }
 
+  test("fitEnsemble returns a normalized mixture over feasible iterates") {
+    val ens = Reductions.ExponentiatedGradient.fitEnsemble(
+      train, Seq("x1", "x2"), "y", Seq("s1"), bound = 0.45, rounds = 3, eps = 0.05)
+    assert(ens.iterates.nonEmpty)
+    assert(math.abs(ens.weights.sum - 1.0) < 1e-9)
+    assert(ens.weights.forall(w => w >= 0 && w <= 1))
+    // mixture losses are convex combinations of iterate losses
+    val mix = ens.mixtureGroupLosses
+    mix.foreach { case (g, l) =>
+      val ls = ens.iterates.map(_.groupLosses(g))
+      assert(l >= ls.min - 1e-9 && l <= ls.max + 1e-9)
+    }
+  }
+
+  test("ensemble transform is a seeded per-row draw over iterate predictions") {
+    val ens = Reductions.ExponentiatedGradient.fitEnsemble(
+      train, Seq("x1", "x2"), "y", Seq("s1"), bound = 0.45, rounds = 3, eps = 0.05, seed = 9)
+    val out = ens.transform(train)
+    assert(out.count() === 800)
+    val preds = out.select("prediction").collect().map(_.getDouble(0)).toSet
+    assert(preds.subsetOf(Set(0.0, 1.0)))
+    // same seed -> identical draw; prediction agrees with SOME iterate per row
+    val again = ens.transform(train).select("x1", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).sorted.toSeq
+    val first = out.select("x1", "prediction").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).sorted.toSeq
+    assert(again === first)
+  }
+
   test("GridSearch picks a multiplier and returns group losses") {
     val fitted = Reductions.GridSearch.fit(
       train, Seq("x1", "x2"), "y", Seq("s1"), Map("s1" -> 0), bound = 0.2)
