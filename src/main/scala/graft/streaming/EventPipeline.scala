@@ -44,26 +44,43 @@ object EventPipeline {
       startMs: Long,
       endMs: Long)
 
-  private final case class SessionState(
+  /** Open-session state carried between micro-batches. NOT private: the
+    * streaming state encoder's generated code must construct it (a private
+    * case class fails codegen at runtime; batch execution never serializes
+    * state, so only a real streamed run exposes this).
+    */
+  final case class SessionState(
       nEvents: Long, totalValue: Double, startMs: Long, lastMs: Long)
 
   /** Custom stateful operator: per-user session windows with an inactivity
     * gap, via `flatMapGroupsWithState` (SURVEY's KeyValueGroupedDataset
     * custom-state route — there is no built-in per-session summary with
     * timeout emission). Each micro-batch merges new events into the open
-    * session, emits every session CLOSED by a gap, keeps the still-open one
-    * in state with a processing-time timeout; the timeout flushes a session
-    * when the user goes silent. In batch execution the same code emits all
-    * gap-closed sessions (timeouts never fire, so the final open session
-    * stays unemitted — streaming-consistent semantics).
+    * session, emits every session CLOSED by a gap, and keeps the still-open
+    * one in state with an EVENT-time timeout at `lastMs + gapMs`: the open
+    * session flushes when the WATERMARK passes its gap — deterministic,
+    * replayable, and no wall-clock timer churn (a processing-time timeout
+    * makes the micro-batch engine spin empty batches to poll timers). In
+    * batch execution the same code emits all gap-closed sessions; timeouts
+    * never fire, so the final open session stays unemitted —
+    * streaming-consistent semantics.
     */
   def sessionize(
       events: org.apache.spark.sql.Dataset[(Long, Long, Double)], // (userId, tsMs, value)
       gapMs: Long): org.apache.spark.sql.Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_._1)
+    // event-time column + watermark (lateness = the gap) so EventTimeTimeout
+    // has a clock; withWatermark is a no-op in batch execution
+    val withEventTime = events.toDF("_1", "_2", "_3")
+      .withColumn("__et", timestamp_millis(col("_2")))
+      .withWatermark("__et", s"$gapMs milliseconds")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    // captured OUTSIDE the closure: in batch execution there is no watermark
+    // (getCurrentWatermarkMs throws) and timeouts are meaningless
+    val streaming = events.isStreaming
+    withEventTime.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -73,7 +90,7 @@ object EventPipeline {
             val sorted = rows.toSeq.sortBy(_._2)
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            sorted.foreach { case (_, ts, v) =>
+            sorted.foreach { case (_, ts, v, _) =>
               open match {
                 case Some(s) if ts - s.lastMs > gapMs =>
                   closed += SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs)
@@ -86,7 +103,11 @@ object EventPipeline {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // flush when the watermark passes lastMs + gap; must stay
+              // strictly ahead of the current watermark
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
