@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * through a single task ("No Partition Defined" warning — the one true
   * scale-killer plan flagged in round 1's q07).
   *
-  * Plan (TeraSort-with-explicit-boundaries):
-  *   1. count the rows (column-pruned scan);
-  *   2. draw a bounded deterministic sample of the sort keys — a seeded
-  *      xxhash64 threshold filter, NOT `df.sample` — sort it on the driver
-  *      and take `numPartitions - 1` split points;
-  *   3. assign each row a range id by comparing its key tuple against the
-  *      split-point literals (codegen'd when-ladder, no shuffle);
-  *   4. per-range counts -> cumulative offsets on the driver (tiny);
-  *   5. global rank = offset + row_number over a window PARTITIONED by the
+  * Plan (TeraSort-with-explicit-boundaries), three jobs total:
+  *   1. draw a bounded deterministic sample of the sort keys — TakeOrdered
+  *      on a seeded xxhash64, NOT `df.sample` — sort it on the driver and
+  *      take `numPartitions - 1` split points;
+  *   2. assign each row a range id by comparing its key tuple against the
+  *      split-point literals (codegen'd when-ladder, no shuffle); per-range
+  *      counts -> cumulative offsets on the driver (tiny; the row total
+  *      falls out for free);
+  *   3. global rank = offset + row_number over a window PARTITIONED by the
   *      range id — one hash shuffle of the data, every stage parallel.
   *
   * Why not `repartitionByRange` + `spark_partition_id`: RangePartitioner
@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private val SampleCap = 65536L
+  // boundary-sample size: ~128 samples per split point at 32 partitions is
+  // plenty for balance, and keeps the TakeOrdered driver merge
+  // (numPartitions * cap rows) trivial
+  private val SampleCap = 4096L
 
   /** `a > b` lexicographically over the key tuple. */
   private def tupleGt(cols: Seq[Column], bound: Seq[Any]): Column =
@@ -84,17 +87,14 @@ object Ranking {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keyStruct = struct(sortCols: _*)
 
-    val total = df.count()
-    if (total == 0) return (df.withColumn(outCol, lit(null).cast("long")), 0L)
-
-    // Deterministic bounded key sample: threshold on a seeded hash, so the
-    // same rows are picked in every job. Sample quality only affects BALANCE,
-    // never correctness of the rank.
-    val scale = 1000000L
-    val thresh = math.min(scale, math.max(1L, SampleCap * scale / total))
+    // Deterministic bounded key sample: the SampleCap keys with the smallest
+    // seeded hash (TakeOrdered — per-partition top-k, tiny driver merge).
+    // No count pass needed, and the same rows are picked in every job.
+    // Sample quality only affects BALANCE, never correctness of the rank.
     val sample: Array[Row] = df
-      .where(pmod(xxhash64(keyStruct, lit(seed)), lit(scale)) < lit(thresh))
-      .select(sortCols: _*)
+      .select((sortCols :+ xxhash64(keyStruct, lit(seed)).as("__graft_h")): _*)
+      .orderBy(col("__graft_h")).limit(SampleCap.toInt)
+      .drop("__graft_h")
       .collect()
     implicit val ord: Ordering[AnyComparable] = anyComparableOrdering
     val sortedKeys: Array[Seq[Any]] = sample
@@ -114,6 +114,8 @@ object Ranking {
 
     val counts = withPid.groupBy(col(pidCol)).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total == 0) return (df.withColumn(outCol, lit(null).cast("long")), 0L)
     val offsets: Map[Int, Long] = {
       var acc = 0L
       (0 until parts).map { p =>

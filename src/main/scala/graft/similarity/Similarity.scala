@@ -141,19 +141,94 @@ object Similarity {
       dim: Int,
       nLists: Int = 16,
       seed: Long = 42L,
-      sampleCap: Int = 0): Seq[Double] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      sampleCap: Int = 0,
+      maxIter: Int = 10): Seq[Double] = {
     val cap = if (sampleCap > 0) sampleCap else 256 * nLists
-    val train = corpus
+    // ONE distributed job collects the sample; Lloyd's on <= cap points is
+    // driver-trivial (cap * nLists * dim flops per iteration) — spark.ml
+    // KMeans here would cost a dozen scheduler round-trips to cluster a
+    // few thousand rows
+    val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
       .orderBy(col("__h")).limit(cap)
-      .select(array_to_vector(col("__v")).as("__fv"))
-      .persist() // KMeans iterates over its input; don't re-run the TakeOrdered per iteration
-    try {
-      val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__fv").setMaxIter(10)
-      km.fit(train).clusterCenters.toSeq.flatMap(_.toArray.padTo(dim, 0.0))
-    } finally { train.unpersist(false) }
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Any](0).toArray.map {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+      })
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    lloyd(sample, math.min(nLists, sample.length), dim, seed, maxIter)
+      .padTo(nLists * dim, 0.0)
+  }
+
+  /** Seeded Lloyd's k-means with k-means++ init, on the driver. Returns
+    * row-major k x dim centroids.
+    */
+  private def lloyd(
+      pts: Array[Array[Double]], k: Int, dim: Int, seed: Long, maxIter: Int): Seq[Double] = {
+    val rng = new scala.util.Random(seed)
+    val n = pts.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rng.nextInt(n)))
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (centers.length < k) {
+      var i = 0
+      while (i < n) { minD(i) = math.min(minD(i), d2(pts(i), centers.last)); i += 1 }
+      val totalW = minD.sum
+      val pick =
+        if (totalW <= 0) rng.nextInt(n)
+        else {
+          val u = rng.nextDouble() * totalW
+          var acc = 0.0; var j = 0
+          while (j < n - 1 && acc + minD(j) < u) { acc += minD(j); j += 1 }
+          j
+        }
+      centers += pts(pick)
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          val d = d2(pts(i), centers(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val cnts = new Array[Long](centers.length)
+      i = 0
+      while (i < n) {
+        val c = assign(i); cnts(c) += 1
+        var j = 0
+        while (j < math.min(dim, pts(i).length)) { sums(c)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (cnts(c) > 0) {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / cnts(c); j += 1 }
+          centers(c) = m
+        } // empty cluster: keep its previous center
+        c += 1
+      }
+      iter += 1
+    }
+    centers.toSeq.flatMap(c => c.padTo(dim, 0.0).take(dim))
   }
 
   def ivfTopK(
