@@ -151,20 +151,38 @@ object CrossVal {
         val test = folded.where(col("__fold") === fold).drop("__fold")
         val trainBase = folded.where(col("__fold") =!= fold).drop("__fold")
         (0 until repetitions).map { rep =>
-          val train = method match {
-            case "biased" => trainBase
-            case "demv" | "random" =>
-              new DEMV(spec.sensitiveVars, stop = stop, seed = seed + fold * 31 + rep,
-                shuffleOutput = false).fitTransform(trainBase, labelCol)
-            case "uniform" | "smote" | "adasyn" =>
-              new DEMV(spec.sensitiveVars, stop = stop, seed = seed + fold * 31 + rep,
-                shuffleOutput = false, strategy = method).fitTransform(trainBase, labelCol)
-            case other => throw new IllegalArgumentException(s"Unknown method '$other'")
+          // "eg"/"grid" are in-processing reductions (reference
+          // `generatemetrics.py:101-131`): the fair model IS the method, so
+          // they bypass the plain classifier pipeline. Both train a
+          // logistic learner internally (matching BASELINE.md's eg/grid
+          // rows); `classifier` is ignored for them.
+          val pred = method match {
+            case "eg" =>
+              val ens = Reductions.ExponentiatedGradient.fitEnsemble(
+                indexLabel(trainBase, labelCol, allLabels), featureCols, "__y",
+                spec.sensitiveVars, bound = 0.1, seed = seed + fold * 31 + rep)
+              mapPredictionBack(ens.transform(indexLabel(test, labelCol, allLabels)), allLabels)
+            case "grid" =>
+              val fitted = Reductions.GridSearch.fit(
+                indexLabel(trainBase, labelCol, allLabels), featureCols, "__y",
+                spec.sensitiveVars, spec.unprivGroup, bound = 0.1)
+              mapPredictionBack(fitted.transform(indexLabel(test, labelCol, allLabels)), allLabels)
+            case _ =>
+              val train = method match {
+                case "biased" => trainBase
+                case "demv" | "random" =>
+                  new DEMV(spec.sensitiveVars, stop = stop, seed = seed + fold * 31 + rep,
+                    shuffleOutput = false).fitTransform(trainBase, labelCol)
+                case "uniform" | "smote" | "adasyn" =>
+                  new DEMV(spec.sensitiveVars, stop = stop, seed = seed + fold * 31 + rep,
+                    shuffleOutput = false, strategy = method).fitTransform(trainBase, labelCol)
+                case other => throw new IllegalArgumentException(s"Unknown method '$other'")
+              }
+              val model = pipeline(classifier, featureCols, "__y", numClasses)
+                .fit(indexLabel(train, labelCol, allLabels))
+              mapPredictionBack(
+                model.transform(indexLabel(test, labelCol, allLabels)), allLabels)
           }
-          val model = pipeline(classifier, featureCols, "__y", numClasses)
-            .fit(indexLabel(train, labelCol, allLabels))
-          val pred = mapPredictionBack(
-            model.transform(indexLabel(test, labelCol, allLabels)), allLabels)
           val m = FairnessMetrics.compute(
             pred, spec.sensitiveVars, GroupCondition(spec.unprivGroup),
             "prediction", labelCol, spec.positiveLabel)
