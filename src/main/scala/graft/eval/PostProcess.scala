@@ -93,22 +93,13 @@ object PostProcess {
     }
 
     if (moves.isEmpty) return predDF
-    // one pass: rank rows inside each (group, class) cell, apply the move
-    // ranges [lo, hi) -> new class
-    val w = Window.partitionBy(col(groupCol), col(predCol)).orderBy(rand(seed))
-    val ranked = predDF.withColumn("__rn", row_number().over(w))
-    var offset = Map.empty[(Any, Any), Long].withDefaultValue(0L)
-    var relabel: org.apache.spark.sql.Column = col(predCol)
-    moves.foreach { m =>
-      val lo = offset((m.group, m.fromClass))
-      val hi = lo + m.n
-      relabel = when(
-        col(groupCol) === lit(m.group) && col(predCol) === lit(m.fromClass) &&
-          col("__rn") > lo && col("__rn") <= hi,
-        lit(m.toClass)).otherwise(relabel)
-      offset = offset.updated((m.group, m.fromClass), hi)
-    }
-    ranked.withColumn(predCol, relabel).drop("__rn")
+    // one salted exact-count pass: a plain Window.partitionBy(group, class)
+    // would put each cell in ONE task — the single-task hazard the core
+    // sampler already solves; ExactRelabel salts the rank windows
+    val byCell: Map[Seq[Any], Seq[(Any, Long)]] = moves.toSeq
+      .groupBy(m => Seq(m.group, m.fromClass))
+      .map { case (cell, ms) => cell -> ms.map(m => (m.toClass, m.n)) }
+    graft.core.ExactRelabel.relabel(predDF, Seq(groupCol, predCol), predCol, byCell, seed)
   }
 
   /** Reference `blackbox`/`blackboxbin` surface: derive `combined`, adjust
@@ -256,29 +247,31 @@ object PostProcess {
     }.toMap
     val plan = equalizedOddsPlan(stats)
 
-    // exact-count application: in each (group, yhat) cell rank rows by a
-    // seeded random and flip the tail — one extra shuffle, no labels read
+    // exact-count application via the salted relabel primitive: flip
+    // round((1-a) * n1) of each group's yhat=1 rows to 0 and round(b * n0)
+    // of its yhat=0 rows to 1 — seeded, no labels read at apply time, no
+    // single-task-per-cell windows
     val n1: Map[Any, Long] = groups.map(g =>
       g -> (counts.getOrElse((g, 1, 1), 0L) + counts.getOrElse((g, 0, 1), 0L))).toMap
     val n0: Map[Any, Long] = groups.map(g =>
       g -> (counts.getOrElse((g, 1, 0), 0L) + counts.getOrElse((g, 0, 0), 0L))).toMap
-    val w = Window.partitionBy(col(groupCol), col(predCol)).orderBy(rand(seed))
-    val ranked = predDF.withColumn("__rn", row_number().over(w))
-    var relabel: org.apache.spark.sql.Column = col(predCol)
-    groups.foreach { g =>
+    // the pred column may be any numeric type; cells are keyed by the
+    // ORIGINAL column values observed in the data
+    val predVals: Map[Int, Any] = predDF
+      .select(col(predCol)).distinct().collect().map(_.get(0))
+      .map(v => v.asInstanceOf[Number].intValue() -> v).toMap
+    val byCell: Map[Seq[Any], Seq[(Any, Long)]] = groups.flatMap { g =>
       val (a, b) = plan.mix(g)
-      val keep1 = math.round(a * n1(g)) // yhat=1 rows that STAY 1
-      val make1 = math.round(b * n0(g)) // yhat=0 rows that BECOME 1
-      relabel = when(
-        col(groupCol) === lit(g) && col(predCol) === 1 && col("__rn") > keep1,
-        lit(0)).otherwise(relabel)
-      relabel = when(
-        col(groupCol) === lit(g) && col(predCol) === 0 && col("__rn") <= make1,
-        lit(1)).otherwise(relabel)
-    }
-    ranked
-      .withColumn(predCol, relabel.cast(predDF.schema(predCol).dataType))
-      .drop("__rn")
+      val flip1 = n1(g) - math.round(a * n1(g)) // yhat=1 rows that BECOME 0
+      val make1 = math.round(b * n0(g))         // yhat=0 rows that BECOME 1
+      Seq(
+        predVals.get(1).filter(_ => flip1 > 0).map(v1 =>
+          Seq[Any](g, v1) -> Seq((predVals.getOrElse(0, 0): Any, flip1))),
+        predVals.get(0).filter(_ => make1 > 0).map(v0 =>
+          Seq[Any](g, v0) -> Seq((predVals.getOrElse(1, 1): Any, make1)))
+      ).flatten
+    }.toMap
+    graft.core.ExactRelabel.relabel(predDF, Seq(groupCol, predCol), predCol, byCell, seed)
   }
 
   /** Reference-shaped surface: equalized odds across the `combined` group
