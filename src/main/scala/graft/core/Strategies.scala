@@ -67,20 +67,46 @@ object Strategies {
       .withColumn("__pick", (rand(seed) * col("__csize")).cast("long") % col("__csize"))
       .select((keyCols.map(col) :+ col("__synth") :+ col("__feat") :+ col("__pick")): _*)
 
-    // cell rows ranked once, exploded to (cell, rank, feature, value) for
-    // upsampled cells only
-    val inNeeded = needed.keySet
-    val ranked = df
+    // cell rows get a DENSE 0-based per-cell index, then explode to
+    // (cell, rank, feature, value) — upsampled cells only. The index comes
+    // from a SALTED two-level rank (rank within (cell, salt) + per-salt
+    // offsets from a tiny occupancy job), not Window.partitionBy(cell):
+    // a single upsampled cell can be most of the table at scale, and an
+    // unsalted cell window would funnel it through one task. Pruning to
+    // the needed cells happens BEFORE the window so untouched cells are
+    // never ranked at all.
+    val saltBuckets = 32
+    val saltCol = "__graft_usalt"
+    val pruned = df
+      .join(broadcast(plan.select(keyCols.map(col): _*)), keyCols, "left_semi")
+      .withColumn(saltCol,
+        pmod(xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), lit(saltBuckets)).cast("int"))
+    val occ = pruned.groupBy(keyCols.map(col) :+ col(saltCol): _*).count().collect()
+      .map(r => ((keyCols.indices.map(r.get): Seq[Any]), r.getInt(keyCols.length)) ->
+        r.getLong(keyCols.length + 1)).toMap
+    val offsetRows = occ.keys.groupBy(_._1).toSeq.flatMap { case (cell, ks) =>
+      var acc = 0L
+      ks.map(_._2).toSeq.sorted.map { s =>
+        val r = Row.fromSeq(cell ++ Seq[Any](s, acc)); acc += occ((cell, s)); r
+      }
+    }
+    val offsetSchema = StructType(keySchema.fields ++ Seq(
+      StructField(saltCol, IntegerType), StructField("__graft_off", LongType)))
+    val offsetsDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    val ranked = pruned
+      .join(broadcast(offsetsDF), keyCols :+ saltCol)
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(rand(seed + 1))) - 1)
+        (row_number().over(
+          Window.partitionBy((keyCols :+ saltCol).map(col): _*).orderBy(rand(seed + 1)))
+          - 1).cast("long") + col("__graft_off"))
+      .drop(saltCol, "__graft_off")
     val featStructs = featureCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("f"), col(c).cast("double").as("v"))
     }
     val exploded = ranked
       .select((keyCols.map(col) :+ col("__rn") :+ explode(array(featStructs: _*)).as("fv")): _*)
       .select((keyCols.map(col) :+ col("__rn") :+ col("fv.f").as("__feat") :+ col("fv.v").as("__val")): _*)
-      // prune to upsampled cells before the join (tiny key set -> isin)
-      .join(broadcast(plan.select(keyCols.map(col): _*)), keyCols)
 
     // the pick index is part of the EQUI-join key (renamed to match):
     // joining on (cell, feat) alone and post-filtering pick = rn would
