@@ -40,7 +40,8 @@ object GenerateCM {
     // (confusionmatrix.py:216)
     val spec = Datasets.get(spark, dataset, dataDir, numberOfFeatures = 2)
     val oof = ConfusionMatrices.outOfFoldPredictions(
-      spec, classifier, debiaser = if (debiaser == "demv") Some("demv") else None, k = folds)
+      spec, classifier,
+      debiaser = if (debiaser == "biased") None else Some(debiaser), k = folds)
     val cm = ConfusionMatrices.perGroup(oof, GroupCondition(spec.unprivGroup))
     val path = s"$outDir/cm_${dataset}_${debiaser}_$classifier.csv"
     cm.orderBy("group", "y_true", "y_pred")

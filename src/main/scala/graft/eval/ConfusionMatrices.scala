@@ -19,6 +19,13 @@ object ConfusionMatrices {
     * once by a model that never saw it (reference `getprediction`,
     * `confusionmatrix.py:186-205`; optional whole-dataset DEMV first,
     * `:160-165`).
+    *
+    * `debiaser` covers the reference's full roster
+    * (`confusionmatrix.py:167-184`): `demv` (pre-processing, whole-dataset
+    * balance), `eg` / `grid` (in-processing reductions, fitted per fold),
+    * `blackbox` (post-processing rate transport on the assembled
+    * predictions), `blackbox_eqodds` (post-processing TPR/FPR equalization,
+    * binary labels only).
     */
   def outOfFoldPredictions(
       spec: DatasetSpec,
@@ -36,15 +43,35 @@ object ConfusionMatrices {
     val allLabels = CrossVal.labelValues(base, spec.label)
     val folded = CrossVal.withFolds(
       CrossVal.indexLabel(base, spec.label, allLabels), k, seed).cache()
-    try {
-      (0 until k).map { fold =>
-        val model = CrossVal.pipeline(classifier, featureCols, "__y", allLabels.length)
-          .fit(folded.where(col("__fold") =!= fold))
-        CrossVal.mapPredictionBack(
-          model.transform(folded.where(col("__fold") === fold)), allLabels)
-          .select((featureCols.map(col) :+ col(spec.label).as("y_true") :+ col("prediction")): _*)
-      }.reduce(_ unionByName _)
-    } finally folded.unpersist()
+    val oof =
+      try {
+        (0 until k).map { fold =>
+          val train = folded.where(col("__fold") =!= fold)
+          val test = folded.where(col("__fold") === fold)
+          val pred = debiaser match {
+            case Some("eg") =>
+              Reductions.ExponentiatedGradient.fitEnsemble(
+                train, featureCols, "__y", spec.sensitiveVars, seed = seed + fold)
+                .transform(test)
+            case Some("grid") =>
+              Reductions.GridSearch.fit(
+                train, featureCols, "__y", spec.sensitiveVars, spec.unprivGroup)
+                .transform(test)
+            case _ =>
+              CrossVal.pipeline(classifier, featureCols, "__y", allLabels.length)
+                .fit(train).transform(test)
+          }
+          CrossVal.mapPredictionBack(pred, allLabels)
+            .select((featureCols.map(col) :+ col(spec.label).as("y_true") :+ col("prediction")): _*)
+        }.reduce(_ unionByName _)
+      } finally folded.unpersist()
+    debiaser match {
+      case Some("blackbox") =>
+        PostProcess.blackbox(oof, spec.unprivGroup.toSeq, "prediction", seed)
+      case Some("blackbox_eqodds") =>
+        PostProcess.blackboxEqOdds(oof, spec.unprivGroup.toSeq, "prediction", "y_true", seed)
+      case _ => oof
+    }
   }
 
   /** Per-group normalized confusion matrix: for the unprivileged group and

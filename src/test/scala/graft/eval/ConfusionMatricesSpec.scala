@@ -31,6 +31,26 @@ class ConfusionMatricesSpec extends SparkSpec {
     assert(oof.columns.contains("prediction"))
   }
 
+  test("outOfFoldPredictions with in/post-processing debiasers (eg, blackbox, blackbox_eqodds)") {
+    val df = graft.data.Generator.classification(spark, 300, nFeatures = 4,
+      nClasses = 2, nInformative = 3, nSensitive = 1, seed = 13)
+    val spec = DatasetSpec(df, "y", 1, Seq("s1"), Map("s1" -> 0), 10)
+    // eg: per-fold randomized ensemble
+    val eg = ConfusionMatrices.outOfFoldPredictions(spec, "logistic",
+      debiaser = Some("eg"), k = 2)
+    assert(eg.count() === 300)
+    // blackbox: post-hoc rate transport on the assembled predictions
+    val bb = ConfusionMatrices.outOfFoldPredictions(spec, "logistic",
+      debiaser = Some("blackbox"), k = 2)
+    assert(bb.count() === 300)
+    // blackbox_eqodds: TPR/FPR equalization (binary labels)
+    val eq = ConfusionMatrices.outOfFoldPredictions(spec, "logistic",
+      debiaser = Some("blackbox_eqodds"), k = 2)
+    assert(eq.count() === 300)
+    assert(eq.select("prediction").distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].intValue()).toSet.subsetOf(Set(0, 1)))
+  }
+
   test("end-to-end on little_synt.csv: DEMV improves fairness vs biased (SURVEY §5.5)") {
     // the reference's committed 100x13 synthetic fixture
     val path = "/root/reference/replication_package/data/little_synt.csv"
