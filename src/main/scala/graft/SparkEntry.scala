@@ -468,6 +468,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q40: intra-document repetition — duplicate word-n-gram fraction, the
+    // quality signal corpus cleaning thresholds on (compiled kernel;
+    // DuckDB replays the exact n-gram construction via list comprehension)
+    "q40_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.dupNgramFraction(col("text"), 3), 6).as("dup3"),
+        round(TextFunctions.dupNgramFraction(col("text"), 5), 6).as("dup5"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -824,6 +834,23 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, CAST(max(session_id) - 1 AS BIGINT) AS n_closed_sessions
         |FROM s GROUP BY user_id HAVING max(session_id) > 1 ORDER BY user_id""".stripMargin,
+    "q40_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  len(w) - 2 AS t3,
+        |  len(list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+        |    for i in range(1, greatest(len(w) - 1, 1))])) AS d3,
+        |  len(w) - 4 AS t5,
+        |  len(list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+        |    for i in range(1, greatest(len(w) - 3, 1))])) AS d5
+        |  FROM w)
+        |SELECT doc_id,
+        |  round(CASE WHEN t3 <= 0 THEN 0.0 ELSE 1.0 - CAST(d3 AS DOUBLE) / t3 END, 6) AS dup3,
+        |  round(CASE WHEN t5 <= 0 THEN 0.0 ELSE 1.0 - CAST(d5 AS DOUBLE) / t5 END, 6) AS dup5
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

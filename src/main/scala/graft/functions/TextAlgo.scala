@@ -269,6 +269,43 @@ object TextAlgo {
     count
   }
 
+  /** Duplicate word-n-gram fraction: `1 - distinct/total` over the
+    * whitespace-token n-grams of the document (original case), 0 when the
+    * document has fewer than n tokens — the standard intra-document
+    * repetition signal LLM-corpus quality filters threshold on. Exact
+    * n-gram strings (not hashes) so the DuckDB oracle can replay it
+    * verbatim; one pass, one HashSet per row.
+    */
+  def dupNgramFraction(s: UTF8String, n: Int): Double = {
+    val str = s.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isJavaWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isJavaWs(str.charAt(i))) i += 1
+      if (i > start) words += str.substring(start, i)
+    }
+    val total = words.length - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(p + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      p += 1
+    }
+    1.0 - seen.size.toDouble / total
+  }
+
   /** Count of lowercased whitespace tokens that are members of `set`, and
     * the total token count — the fused kernel behind stopwordRatio.
     * Returns (matches, tokens) packed in a long (matches << 32 | tokens).

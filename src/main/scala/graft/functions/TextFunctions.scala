@@ -31,6 +31,15 @@ object TextFunctions {
     when(len === 0, lit(0.0)).otherwise((len - noPunct).cast("double") / len.cast("double"))
   }
 
+  /** Duplicate word-n-gram fraction (intra-document repetition signal, the
+    * filter LLM-corpus cleaning thresholds on) — one compiled pass
+    * ([[DupNgramFractionExpr]]).
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColD, expression => toExprD}
+    toColD(DupNgramFractionExpr(toExprD(c), n))
+  }
+
   /** Fraction of tokens that are (lowercased) English stopwords — one
     * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
     * a single tokenization, no interpreted array filter.

@@ -110,6 +110,25 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Duplicate word-n-gram fraction of a string column (intra-document
+  * repetition signal); 0 for documents with fewer than n tokens.
+  */
+case class DupNgramFractionExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_ngram_fraction"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.dupNgramFraction(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.dupNgramFraction($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): DupNgramFractionExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */

@@ -28,6 +28,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.punctRatio(col("t")), "") === 0.0)
   }
 
+  test("dupNgramFraction: repetition signal with exact n-gram accounting") {
+    val c = TextFunctions.dupNgramFraction(col("t"), 3)
+    // "a b c a b c a b c": 7 3-grams, 3 distinct -> 1 - 3/7
+    assert(one(c, "a b c a b c a b c") === (1.0 - 3.0 / 7.0))
+    // all-distinct text -> 0
+    assert(one(c, "one two three four") === 0.0)
+    // fewer than n tokens -> 0 (not NaN)
+    assert(one(c, "one two") === 0.0)
+    assert(one(c, "") === 0.0)
+    // fully repeated single token, n=1: 5 tokens 1 distinct
+    assert(one(TextFunctions.dupNgramFraction(col("t"), 1), "x x x x x") === 0.8)
+    // case-sensitive: "A b" != "a b"
+    assert(one(TextFunctions.dupNgramFraction(col("t"), 2), "A b a b") === 0.0)
+  }
+
   test("stopwordRatio") {
     assert(one(TextFunctions.stopwordRatio(col("t")), "the cat and the dog") === 0.6)
     assert(one(TextFunctions.stopwordRatio(col("t")), "") === 0.0)
