@@ -478,6 +478,40 @@ object SparkEntry {
         round(TextFunctions.dupNgramFraction(col("text"), 5), 6).as("dup5"))
         .orderBy(col("doc_id"))),
 
+    // q41: exact word-5-gram Jaccard near-dup pairs with exact-string
+    // BLOCKING — candidates must share at least one word-8-gram (rare
+    // across unrelated docs, dense inside near-duplicates), so the pair
+    // count follows block occupancy, not n^2. The fully-oracle-able twin of
+    // the hashed MinHash-LSH path (q23): same plan shape, no seeds. Set ops
+    // stay in codegen'd built-ins (array_intersect/array_union); only ids +
+    // n-gram sets shuffle, never raw text.
+    "q41_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordNgrams(col("text"), 5).as("ng"),
+        TextFunctions.wordNgrams(col("text"), 8).as("blk"))
+      // blocking join and dedup shuffle IDS ONLY (8-byte keys, not the
+      // ~10KB n-gram arrays); the sets re-attach to the few surviving
+      // candidate pairs afterwards
+      val ex = d.select(col("doc_id"), explode(col("blk")).as("b8"))
+      val cand = ex.alias("xa")
+        .join(ex.alias("xb"),
+          col("xa.b8") === col("xb.b8") && col("xa.doc_id") < col("xb.doc_id"))
+        .select(col("xa.doc_id").as("id_a"), col("xb.doc_id").as("id_b"))
+        .distinct()
+      val sets = d.select(col("doc_id"), col("ng"))
+      val withSets = cand
+        .join(sets.select(col("doc_id").as("id_a"), col("ng").as("nga")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("ng").as("ngb")), Seq("id_b"))
+      val inter = size(array_intersect(col("nga"), col("ngb")))
+      val union = size(array_union(col("nga"), col("ngb")))
+      withSets
+        .select(col("id_a"), col("id_b"),
+          when(union === 0, lit(0.0))
+            .otherwise(round(inter.cast("double") / union.cast("double"), 6)).as("jaccard"))
+        .where(col("jaccard") >= 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -851,6 +885,29 @@ object SparkEntry {
         |  round(CASE WHEN t3 <= 0 THEN 0.0 ELSE 1.0 - CAST(d3 AS DOUBLE) / t3 END, 6) AS dup3,
         |  round(CASE WHEN t5 <= 0 THEN 0.0 ELSE 1.0 - CAST(d5 AS DOUBLE) / t5 END, 6) AS dup5
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q41_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+        |    for i in range(1, greatest(len(w) - 3, 1))]) AS ng,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+        |    for i in range(1, greatest(len(w) - 6, 1))]) AS blk
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(blk) AS b8 FROM n),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b,
+        |  len(list_intersect(na.ng, nb.ng)) AS i,
+        |  len(list_distinct(list_concat(na.ng, nb.ng))) AS u
+        |  FROM cand c JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) AS jaccard
+        |FROM p
+        |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -306,6 +306,44 @@ object TextAlgo {
     1.0 - seen.size.toDouble / total
   }
 
+  /** DISTINCT word-n-grams of the document (original case, space-joined,
+    * insertion order) — the exact-string twin of the hashed shingle set,
+    * kept oracle-replayable for set-similarity baselines.
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isJavaWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isJavaWs(str.charAt(i))) i += 1
+      if (i > start) words += str.substring(start, i)
+    }
+    val total = words.length - n + 1
+    if (total <= 0) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val seen = new java.util.LinkedHashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(p + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      p += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Count of lowercased whitespace tokens that are members of `set`, and
     * the total token count — the fused kernel behind stopwordRatio.
     * Returns (matches, tokens) packed in a long (matches << 32 | tokens).

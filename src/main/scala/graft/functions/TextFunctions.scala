@@ -40,6 +40,15 @@ object TextFunctions {
     toColD(DupNgramFractionExpr(toExprD(c), n))
   }
 
+  /** Distinct word-n-grams (exact strings) — one compiled pass
+    * ([[WordNgramsExpr]]); combine with array_intersect/array_union for
+    * exact set similarity.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColN, expression => toExprN}
+    toColN(WordNgramsExpr(toExprN(c), n))
+  }
+
   /** Fraction of tokens that are (lowercased) English stopwords — one
     * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
     * a single tokenization, no interpreted array filter.

@@ -129,6 +129,26 @@ case class DupNgramFractionExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct word-n-grams of a string column as array<string> (exact
+  * strings, oracle-replayable) — pairs with built-in codegen'd
+  * array_intersect/array_union for exact set-similarity baselines.
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */

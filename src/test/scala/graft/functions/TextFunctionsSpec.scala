@@ -43,6 +43,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.dupNgramFraction(col("t"), 2), "A b a b") === 0.0)
   }
 
+  test("wordNgrams: distinct space-joined n-grams, original case") {
+    val got = one(TextFunctions.wordNgrams(col("t"), 2), "a b c a b")
+      .asInstanceOf[collection.Seq[String]].toSet
+    assert(got === Set("a b", "b c", "c a"))
+    assert(one(TextFunctions.wordNgrams(col("t"), 3), "x y")
+      .asInstanceOf[collection.Seq[String]].isEmpty)
+    assert(one(TextFunctions.wordNgrams(col("t"), 1), "  padded   words  ")
+      .asInstanceOf[collection.Seq[String]].toSet === Set("padded", "words"))
+  }
+
   test("stopwordRatio") {
     assert(one(TextFunctions.stopwordRatio(col("t")), "the cat and the dog") === 0.6)
     assert(one(TextFunctions.stopwordRatio(col("t")), "") === 0.0)
