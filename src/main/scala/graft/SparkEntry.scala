@@ -530,7 +530,59 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }))
 
+  /** q39's hyperplanes are PURE seed output (no data dependence), so the
+    * oracle can embed them as literals: same `Random(42)` Box-Muller
+    * sequence as `Similarity.hyperplaneBucket`, row-major numBits x dim.
+    * `Double.toString` round-trips exactly through DuckDB's parser, and
+    * both engines accumulate the dot product in ascending index order.
+    */
+  private lazy val q39PlaneLits: Seq[String] = {
+    val rng = new scala.util.Random(42L)
+    Seq.fill(4 * 64)(rng.nextGaussian()).grouped(64)
+      .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")).toSeq
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q39_cosine_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${q39PlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.v, c.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE list_dot_product(a.v, c.v) /
+         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q27: same embedded planes; multi-probe = own bucket + each sign bit
+    // flipped once, exact re-rank within candidates
+    "q27_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${q39PlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, bucket AS b0 FROM b WHERE vec_id < 3),
+         |probes AS (SELECT query_id,
+         |  unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket FROM q),
+         |cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+         |  FROM probes p JOIN b c ON p.bucket = c.bucket AND p.query_id <> c.vec_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  list_dot_product(cv.v, qv.v) /
+         |    (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+         |  FROM cand JOIN b cv ON cand.neighbor_id = cv.vec_id
+         |            JOIN b qv ON cand.query_id = qv.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
