@@ -512,6 +512,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q42: per-language top-k tokens (heavy hitters) — aggregate FIRST
+    // (token counts per lang are vocabulary-bounded), then a window over
+    // the tiny aggregate; deterministic tie-break on the token
+    "q42_top_tokens" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))))
+        .where(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // q43: lexical diversity per language — total/distinct tokens and
+    // type-token ratio, the corpus-analytics cut of the token pipeline
+    "q43_lexical_diversity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_types"),
+          round(countDistinct(col("token")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("type_token_ratio"))
+        .orderBy(col("lang"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -960,6 +989,17 @@ object SparkEntry {
         |FROM p
         |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "q42_top_tokens" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY 1, 2),
+        |r AS (SELECT lang, token, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
+        |SELECT lang, rank, token, n FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q43_lexical_diversity" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_types,
+        |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
+        |FROM t WHERE length(token) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
     "q26_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
