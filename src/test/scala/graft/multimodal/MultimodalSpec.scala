@@ -20,10 +20,74 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length === 50)
     assert(f1.map(_.toString).toSeq === f2.map(_.toString).toSeq)
     f1.foreach { r =>
-      assert(r.getInt(2) >= 64 && r.getInt(2) < 256) // byte_len
+      assert(r.getInt(2) > 0) // byte_len
       val b = r.getDouble(4)
-      assert(b >= 0.0 && b <= 1.0) // brightness normalized
+      assert(b >= 0.0 && b <= 1.0) // brightness/level normalized
     }
+  }
+
+  test("real codecs: images decode as pgm, audio as wav, video falls to stub") {
+    val f = Multimodal.extractFeatures(media)
+    val byKind = f.groupBy("kind", "codec").count().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byKind === Set(("image", "pgm"), ("audio", "wav"), ("video", "stub")))
+    // decoded image dims equal the metadata dims
+    val img = Multimodal.extractFeatures(media).where(col("kind") === "image")
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val meta = media.where(col("kind") === "image")
+      .select(col("media_id"), col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(img === meta)
+    // decoded wav sample rate and duration match the generator
+    val aud = Multimodal.extractFeatures(media).where(col("kind") === "audio")
+      .select("sample_rate", "duration_ms").collect()
+    aud.foreach { r =>
+      assert(r.getInt(0) === 8000)
+      assert(r.getLong(1) >= 50 && r.getLong(1) <= 250)
+    }
+  }
+
+  test("PGM golden decode: exact mean luminance of a hand-built image") {
+    // 2x2 P5, maxval 255, pixels 0, 255, 100, 55 -> mean 102.5/255
+    val payload = "P5\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, -1, 100, 55) // -1 == 0xFF
+    val Some((w, h, lum, codec)) = Multimodal.decodePnm(payload)
+    assert((w, h, codec) === ((2, 2, "pgm")))
+    assert(math.abs(lum - (0 + 255 + 100 + 55) / 4.0 / 255.0) < 1e-12)
+    // truncated pixel data is rejected, not misread
+    assert(Multimodal.decodePnm(payload.dropRight(1)).isEmpty)
+  }
+
+  test("WAV golden decode: silence has rms 0, full-scale square has rms ~1") {
+    val silence = Multimodal.wavBytes(8000, new Array[Byte](8000 * 2)) // 1s
+    val Some((r1, d1, rms1)) = Multimodal.decodeWavPcm16(silence)
+    assert(r1 === 8000 && d1 === 1000L && rms1 === 0.0)
+    val data = new Array[Byte](1000 * 2)
+    var i = 0
+    while (i < 1000) { data(i * 2) = 0xFF.toByte; data(i * 2 + 1) = 0x7F.toByte; i += 1 }
+    val Some((_, _, rms2)) = Multimodal.decodeWavPcm16(Multimodal.wavBytes(8000, data))
+    assert(rms2 > 0.99 && rms2 <= 1.0)
+  }
+
+  test("resizeImages: real nearest-neighbor resample, parse-back verified") {
+    val resized = Multimodal.resizeImages(media, 4, 4)
+    assert(resized.schema === media.schema)
+    val feats = Multimodal.extractFeatures(resized).where(col("codec") === "pgm")
+      .select("width", "height").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r => assert(r.getInt(0) === 4 && r.getInt(1) === 4) }
+    // non-image payloads pass through untouched
+    val audioBytes = resized.where(col("kind") === "audio")
+      .select(length(col("payload"))).collect().map(_.getInt(0)).toSeq
+    val origAudio = media.where(col("kind") === "audio")
+      .select(length(col("payload"))).collect().map(_.getInt(0)).toSeq
+    assert(audioBytes.sorted === origAudio.sorted)
+    // constant-color image resizes to the same mean luminance
+    val const = "P5\n3 3\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](9)(80)
+    val Some(small) = Multimodal.resizePnmNearest(const, 2, 2)
+    val Some((_, _, lum, _)) = Multimodal.decodePnm(small)
+    assert(math.abs(lum - 80.0 / 255.0) < 1e-12)
   }
 
   test("feature table carries no binary column (shuffle-safe)") {
