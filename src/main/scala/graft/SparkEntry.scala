@@ -362,14 +362,18 @@ object SparkEntry {
     }),
 
     // q32: multimodal feature extraction — binary payload columns through
-    // the batched decode plumbing (stub codec; rows-only, deterministic)
+    // the batched decode plumbing. Images/audio decode for REAL (pure-JVM
+    // PGM/WAV codecs); video exercises the stub fallback (rows-only: the
+    // synthetic payload generation is seeded Scala, not SQL-replayable)
     "q32_media_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.synthetic(s, 500, seed = 11)
       graft.multimodal.Multimodal.extractFeatures(media)
-        .groupBy(col("kind"))
+        .groupBy(col("kind"), col("codec"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("brightness")), 6).as("avg_brightness"),
-          sum(col("byte_len")).as("total_bytes"))
+          sum(col("byte_len")).as("total_bytes"),
+          max(col("width")).as("max_width"),
+          max(col("sample_rate")).as("max_sample_rate"))
         .orderBy(col("kind"))
     }),
 

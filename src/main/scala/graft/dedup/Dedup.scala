@@ -39,6 +39,28 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Streaming exact dedup: drop any document whose normalized fingerprint
+    * was already seen within the event-time watermark — the incremental
+    * twin of [[exact]] for continuous ingestion. State is one fingerprint
+    * per kept document, evicted once the watermark passes `delay`, so state
+    * size follows the dedup horizon, not the stream length. In batch
+    * execution the same call degrades to a plain fingerprint dropDuplicates
+    * (first-seen arbitrary — batch has no arrival order).
+    */
+  def streamingExactDedup(
+      df: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String): DataFrame = {
+    val withFp = df.withColumn("__graft_fp", TextFunctions.fingerprint(col(textCol)))
+    val deduped =
+      if (df.isStreaming)
+        withFp.withWatermark(eventTimeCol, delay)
+          .dropDuplicatesWithinWatermark("__graft_fp")
+      else withFp.dropDuplicates("__graft_fp")
+    deduped.drop("__graft_fp")
+  }
+
   /** MinHash-LSH candidate pairs: ids (a, b), a < b, that share at least one
     * LSH band. `bands * rowsPerBand` hash functions; two documents with
     * Jaccard similarity s collide in some band with prob

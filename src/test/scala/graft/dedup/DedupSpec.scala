@@ -29,6 +29,38 @@ class DedupSpec extends SparkSpec {
     assert(g(4L) === 1L)
   }
 
+  test("streamingExactDedup drops in-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val t0 = 1000000000L
+    val stream = source.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = Dedup.streamingExactDedup(stream, "text", "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_dedup")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      source.addData((1L, "hello world", t0), (2L, "other text", t0 + 10))
+      q.processAllAvailable()
+      // same fingerprint arriving in a later batch inside the watermark: dropped
+      source.addData((3L, "HELLO   world!", t0 + 1000), (4L, "fresh content", t0 + 1001))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM t_dedup").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streamingExactDedup batch fallback dedups by fingerprint") {
+    val out = Dedup.streamingExactDedup(
+      docs.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      "text", "ts", "10 minutes")
+    assert(out.count() === 4) // docs 1 and 2 share a fingerprint
+  }
+
   test("minhash LSH surfaces the near-duplicate pair and not unrelated docs") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       shingleSize = 5, bands = 16, rowsPerBand = 2)
