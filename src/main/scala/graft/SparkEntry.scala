@@ -406,7 +406,7 @@ object SparkEntry {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64,
-        nLists = 16, nProbe = 4)
+        nLists = 16, nProbe = 4, corpusAssign = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -493,10 +493,12 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.wordNgrams(col("text"), 5).as("ng"),
         TextFunctions.wordNgrams(col("text"), 8).as("blk"))
-      // blocking join and dedup shuffle IDS ONLY (8-byte keys, not the
-      // ~10KB n-gram arrays); the sets re-attach to the few surviving
-      // candidate pairs afterwards
-      val ex = d.select(col("doc_id"), explode(col("blk")).as("b8"))
+      // blocking join and dedup shuffle IDS + 8-byte HASHES only (neither
+      // the n-gram arrays nor the ~45-char block strings); a 2^-64 hash
+      // collision could only add a spurious candidate, which the exact
+      // Jaccard filter then rejects. Sets re-attach to the few survivors.
+      val ex = d.select(col("doc_id"), explode(col("blk")).as("__b8s"))
+        .select(col("doc_id"), xxhash64(col("__b8s")).as("b8"))
       val cand = ex.alias("xa")
         .join(ex.alias("xb"),
           col("xa.b8") === col("xb.b8") && col("xa.doc_id") < col("xb.doc_id"))

@@ -105,6 +105,29 @@ class SimilaritySpec extends SparkSpec {
     assert(reused === trained)
   }
 
+  test("IVF recall on the real embeddings table beats the 12/15 bar (and LSH)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = emb.where(col("vec_id") < 3)
+    def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = neighborSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id"))
+    val ivf = neighborSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, nLists = 16, nProbe = 4, corpusAssign = 2)
+      .select("query_id", "neighbor_id"))
+    assert(bf.size === 15)
+    val recall = (bf & ivf).size
+    assert(recall >= 12, s"IVF recall $recall/15 below the 12/15 bar")
+    val lsh = neighborSet(Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, numBits = 4)
+      .select("query_id", "neighbor_id"))
+    assert(recall >= (bf & lsh).size,
+      s"IVF ($recall) should beat sign-sketch LSH (${(bf & lsh).size}) on this corpus")
+  }
+
   test("cosineNearDupPairs finds the embedding near-duplicates") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.95, dim = 3, numBits = 2)
