@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("winnowing guarantee: any shared substring of length >= k+w-1 yields a shared fingerprint") {
+    import spark.implicits._
+    // MOSS property (Schleimer et al. 2003): with shingle size k and window
+    // w, two documents sharing any substring of length k+w-1 share at least
+    // one selected fingerprint. Seeded sweep over random placements.
+    val k = 5; val w = 4
+    val rng = new scala.util.Random(17)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    def randStr(n: Int) = Seq.fill(n)(alphabet(rng.nextInt(26))).mkString
+    val shared = randStr(k + w - 1) // minimal guaranteed length
+    val docs = (0 until 10).map { i =>
+      // embed the shared run at a random position inside unrelated noise
+      val pre = randStr(10 + rng.nextInt(30))
+      val post = randStr(10 + rng.nextInt(30))
+      (i.toLong, pre + shared + post)
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowingCandidatePairs(docs, "text", "doc_id",
+      shingleSize = k, window = w, minShared = 1, maxBucketSize = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair of the 10 docs shares the substring -> all 45 pairs appear
+    val all = (for (a <- 0 until 10; b <- a + 1 until 10) yield (a.toLong, b.toLong)).toSet
+    assert(pairs === all)
+  }
+
   test("jaccardOfPair computes exact pairwise similarity") {
     val j = Dedup.jaccardOfPair(docs.where(col("doc_id").isin(1, 2)), "text", "doc_id")
       .collect()(0).getDouble(2)

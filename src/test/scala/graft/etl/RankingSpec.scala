@@ -52,6 +52,19 @@ class RankingSpec extends SparkSpec {
     assert(got === Map(1 -> 1, 2 -> 2, 3 -> 3))
   }
 
+  test("degenerate all-equal keys: still a permutation, exact ntile sizes") {
+    import spark.implicits._
+    // every sample key identical -> all split points equal -> a single
+    // range id; correctness must not depend on boundary quality
+    val flat = (1 to 500).map(i => (7, i.toLong)).toDF("v", "id").repartition(5)
+    val ranked = Ranking.withGlobalRowNumber(flat, Seq(col("v")), "rn")
+      .select("rn").collect().map(_.getLong(0)).sorted
+    assert(ranked.toSeq === (1L to 500L))
+    val buckets = Ranking.withNtile(flat, Seq(col("v")), 4, "b")
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets === Map(1 -> 125L, 2 -> 125L, 3 -> 125L, 4 -> 125L))
+  }
+
   test("empty input ranks to an empty result") {
     val empty = df.where(col("v") < 0)
     assert(Ranking.withGlobalRowNumber(empty, Seq(col("v")), "rn").count() === 0)
