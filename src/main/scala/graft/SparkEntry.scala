@@ -547,6 +547,37 @@ object SparkEntry {
             .as("type_token_ratio"))
         .orderBy(col("lang"))),
 
+    // q44: SLIDING event-time windows (1h window, 30m slide) — each event
+    // lands in two overlapping windows; the oracle replays the window-start
+    // arithmetic with two shifted time_buckets
+    "q44_events_sliding" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // q45: AS-OF JOIN — for every click, the most recent prior-or-equal
+    // view value of the same user (graft.etl.AsOfJoin: tagged union + ONE
+    // partitioned window, no range-join blowup; DuckDB's native ASOF JOIN
+    // is the oracle)
+    "q45_asof_click_view" -> ((s, dir) => {
+      // exact integer ms (unix_millis ~ DuckDB epoch_ms), not raw
+      // timestamps: events.parquet is nanos, Spark truncates to micros
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          round(col("value"), 4).as("click_value"))
+      // right side unique per (user, ts): keep the max view value
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("ts_ms"), round(col("v"), 4).as("view_value"))
+      graft.etl.AsOfJoin.asofLatest(clicks, views, Seq("user_id"), "ts_ms", Seq("view_value"))
+        .select(col("user_id"), col("ts_ms"), col("click_value"), col("view_value"))
+        .orderBy(col("user_id"), col("ts_ms"), col("click_value"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -995,6 +1026,21 @@ object SparkEntry {
         |FROM p
         |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "q44_events_sliding" ->
+      """WITH w AS (SELECT event_type, value,
+        |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w_start
+        |  FROM events)
+        |SELECT w_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q45_asof_click_view" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ts_ms, round(value, 4) AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, epoch_ms(ts) AS ts_ms, round(max(value), 4) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.user_id, c.ts_ms, c.click_value, v.view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms
+        |ORDER BY c.user_id, c.ts_ms, c.click_value""".stripMargin,
     "q42_top_tokens" ->
       """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |c AS (SELECT lang, token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY 1, 2),
