@@ -27,10 +27,17 @@ object ExplainAudit {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
+          val qe = fn(spark, sfDir).queryExecution
+          val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+          // tree-walk, not string heuristics: find actual single-partition
+          // windows (empty partitionSpec) and join anti-patterns
+          val exec = qe.executedPlan
+          val globalWindows = exec.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          }
           val smells = Seq(
-            "single-partition window" -> plan.contains("Window [").&&(!plan.contains("partitionBy")),
+            s"${globalWindows.length} single-partition window(s)" -> globalWindows.nonEmpty,
             "cartesian product" -> plan.contains("CartesianProduct"),
             "broadcast nested loop" -> plan.contains("BroadcastNestedLoopJoin")
           ).collect { case (s, true) => s }
@@ -41,9 +48,5 @@ object ExplainAudit {
         }
       }
     spark.stop()
-  }
-
-  implicit private class BoolOps(b: Boolean) {
-    def &&(other: Boolean): Boolean = b && other
   }
 }
