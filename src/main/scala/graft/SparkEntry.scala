@@ -578,6 +578,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_ms"), col("click_value"))
     }),
 
+    // q46: salted skew join — lineitem x supplier on suppkey with the left
+    // side salted 8 ways and the right replicated; the salt changes the
+    // physical distribution ONLY, so the oracle is the plain SQL join
+    "q46_skew_salted_join" -> ((s, dir) =>
+      graft.etl.SkewJoin.saltedEquiJoin(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"), col("l_quantity")),
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        Seq("s_suppkey"), saltBuckets = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("s_name"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1026,6 +1038,10 @@ object SparkEntry {
         |FROM p
         |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "q46_skew_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q44_events_sliding" ->
       """WITH w AS (SELECT event_type, value,
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),
