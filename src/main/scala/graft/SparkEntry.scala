@@ -590,6 +590,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
         .orderBy(col("s_name"))),
 
+    // q47: RANGE JOIN — events inside each user's first-hour interval,
+    // bucketed so containment becomes an equi-join on (user, bucket); the
+    // oracle is the plain SQL BETWEEN join
+    "q47_range_join_first_hour" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+      val intervals = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_ms")).as("lo"))
+        .withColumn("hi", col("lo") + lit(3600L * 1000))
+      graft.etl.RangeJoin.pointInInterval(ev, intervals,
+        Seq("user_id"), "ts_ms", "lo", "hi", bucketWidth = 3600L * 1000)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_first_hour"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1038,6 +1054,13 @@ object SparkEntry {
         |FROM p
         |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "q47_range_join_first_hour" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |iv AS (SELECT user_id, min(ts_ms) AS lo, min(ts_ms) + 3600000 AS hi
+        |       FROM e GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_first_hour, round(sum(e.value), 2) AS sum_value
+        |FROM e JOIN iv ON e.user_id = iv.user_id AND e.ts_ms BETWEEN iv.lo AND iv.hi
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "q46_skew_salted_join" ->
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
