@@ -606,6 +606,20 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // q48: exact interpolated per-group percentiles (SURVEY A5) — Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the linear-
+    // interpolation definition, so the cells match bit-for-bit after
+    // rounding
+    "q48_group_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1054,6 +1068,13 @@ object SparkEntry {
         |FROM p
         |WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "q48_group_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q47_range_join_first_hour" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |iv AS (SELECT user_id, min(ts_ms) AS lo, min(ts_ms) + 3600000 AS hi
