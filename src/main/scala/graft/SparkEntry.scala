@@ -606,19 +606,29 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
-    // q48: exact interpolated per-group percentiles (SURVEY A5) — Spark's
-    // `percentile` and DuckDB's `quantile_cont` share the linear-
-    // interpolation definition, so the cells match bit-for-bit after
-    // rounding
-    "q48_group_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
-        .orderBy(col("l_returnflag"))),
+    // q48: exact interpolated per-group percentiles (SURVEY A5) — computed
+    // by graft.etl.GroupPercentiles (range-split order statistics, 3
+    // bounded jobs) instead of Spark's `percentile` imperative aggregate,
+    // whose per-group value->count buffer merges in a single reducer (the
+    // round-2 scale flag). The interpolation reproduces DuckDB's
+    // `quantile_cont` two-multiply form exactly.
+    "q48_group_percentiles" -> ((s, dir) => {
+      import graft.etl.GroupPercentiles.PctSpec
+      graft.etl.GroupPercentiles.exact(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq(
+          PctSpec("l_quantity", 0.25, "p25"),
+          PctSpec("l_quantity", 0.5, "p50"),
+          PctSpec("l_quantity", 0.75, "p75"),
+          PctSpec("l_extendedprice", 0.9, "price_p90")))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"),
+          round(col("price_p90"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
