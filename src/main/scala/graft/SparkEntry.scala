@@ -398,15 +398,21 @@ object SparkEntry {
       }.toDF("class", "aod").orderBy(col("class"))
     }),
 
-    // q37: IVF ANN — k-means coarse quantizer + probed exact re-rank
-    // (rows-only: centroids are KMeans-seeded; recall properties covered in
-    // ScalaTest against brute force)
+    // q37: IVF ANN — k-means coarse quantizer + probed exact re-rank.
+    // Training is deterministic (seeded xxhash64 TakeOrdered sample +
+    // seeded Lloyd), so the trained centroids are captured here and
+    // embedded as literals in the DuckDB oracle (`oracleSql` is dumped by
+    // Verify AFTER the queries run) — the q27/q39 embedded-constant
+    // pattern extended to data-trained constants.
     "q37_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
+      val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        dim = 64, nLists = 16)
+      q37Centroids = Some(cent)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64,
-        nLists = 16, nProbe = 4, corpusAssign = 2)
+        nLists = 16, nProbe = 4, corpusAssign = 2, centroids = Some(cent))
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -658,6 +664,49 @@ object SparkEntry {
     val rng = new scala.util.Random(42L)
     Seq.fill(4 * 64)(rng.nextGaussian()).grouped(64)
       .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")).toSeq
+  }
+
+  /** Trained IVF centroids captured by the q37 query run (deterministic:
+    * seeded bounded sample + seeded Lloyd on the same corpus the oracle
+    * reads). Verify dumps `oracleSql` after running the queries, so the
+    * literals always describe the centroids of THIS run; if q37 has not
+    * run, the entry is simply absent and the driver records rows-only.
+    */
+  @volatile private var q37Centroids: Option[Seq[Double]] = None
+
+  /** DuckDB replica of the IVF pipeline with the trained centroids as
+    * literals: every vector ranks the 16 cells by euclidean distance
+    * (`list_distance`; ties to the lower cell id, matching
+    * `TextAlgo.nearestCentroids`'s strict-< scan), the corpus stores each
+    * vector in its 2 nearest cells (corpusAssign), queries probe their 4
+    * nearest (nProbe), candidates share a cell, exact cosine re-rank.
+    */
+  private def q37OracleSql(cent: Seq[Double]): String = {
+    val centRows = cent.grouped(64).zipWithIndex.map { case (c, i) =>
+      c.map(d => java.lang.Double.toString(d))
+        .mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent(cell, c) AS (VALUES
+       |  $centRows),
+       |d AS (SELECT e.vec_id, e.v, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.v, cent.c), cent.cell) AS rk
+       |  FROM e CROSS JOIN cent),
+       |corpus AS (SELECT vec_id AS neighbor_id, v, cell FROM d WHERE rk <= 2),
+       |q AS (SELECT vec_id AS query_id, v, cell FROM d WHERE vec_id < 3 AND rk <= 4),
+       |cand AS (SELECT DISTINCT q.query_id, corpus.neighbor_id
+       |  FROM q JOIN corpus ON q.cell = corpus.cell AND q.query_id <> corpus.neighbor_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(cv.v, qv.v) /
+       |      (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+       |  FROM cand JOIN e cv ON cand.neighbor_id = cv.vec_id
+       |            JOIN e qv ON cand.query_id = qv.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1133,5 +1182,6 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) ++
+    q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c))
 }
