@@ -21,6 +21,11 @@ object GenerateCM {
     require(args.length >= 2, "usage: GenerateCM <dataset> <debiaser> [--classifier c] [--data-dir d] [--out-dir o] [--folds k]")
     val dataset = args(0)
     val debiaser = args(1)
+    // fail fast on typos: outOfFoldPredictions' wildcard case would run the
+    // plain classifier and label the output CSV as debiased
+    val knownDebiasers = Set("biased", "demv", "eg", "grid", "blackbox", "blackbox_eqodds")
+    require(knownDebiasers.contains(debiaser),
+      s"unknown debiaser '$debiaser'; expected one of ${knownDebiasers.toSeq.sorted.mkString(", ")}")
     def opt(flag: String, default: String): String =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }.getOrElse(default)
     val classifier = opt("--classifier", "logistic")

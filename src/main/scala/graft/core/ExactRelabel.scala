@@ -53,7 +53,14 @@ object ExactRelabel {
 
     // quota rows: (cellVals..., salt, lo_0, hi_0, lo_1, hi_1, ...)
     val quotaRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    active.foreach { case (cell, ms) =>
+    active.foreach { case (cell, ms0) =>
+      // pre-merge duplicate targets: a repeated target in the move list
+      // would overwrite its earlier per-salt range in `ranges` below,
+      // silently relabeling fewer rows than requested while the capacity
+      // require() still passed (first-occurrence order preserved)
+      val ms: Seq[(Any, Long)] = ms0.map(_._1).distinct.map { tgt =>
+        tgt -> ms0.collect { case (t, n) if t == tgt => n }.sum
+      }
       val sizes: Map[Int, Long] = occ.collect { case ((c, s), n) if c == cell => s -> n }
       val cellTotal = sizes.values.sum
       val moveTotal = ms.map(_._2).sum

@@ -37,19 +37,30 @@ object AsOfJoin {
     require(!leftCols.exists(c => valueCols.contains(c)),
       s"value columns ${valueCols.mkString(",")} collide with left columns")
     val sideCol = "__graft_side"
+    val payloadCol = "__graft_payload"
+    // Carry ONE struct of the payload columns, not per-column last()s: an
+    // independent last(ignoreNulls) per value column would back-fill a null
+    // in the matched right row from an OLDER row, mixing values across
+    // different right rows. The struct is atomic — all payload columns come
+    // from the same matched row, and a genuinely-null value there stays
+    // null (DuckDB ASOF semantics).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val l = left.withColumn(sideCol, lit(1))
-      .select((leftCols.map(col) :+ col(sideCol)) ++ valueCols.map(c => lit(null).as(c)): _*)
+      .select(leftCols.map(col) :+ col(sideCol)
+        :+ lit(null).cast(payloadType).as(payloadCol): _*)
     val r = right.withColumn(sideCol, lit(0))
-      .select((leftCols.map(c =>
-        if (keyCols.contains(c) || c == tsCol) col(c) else lit(null).as(c)) :+ col(sideCol))
-        ++ valueCols.map(col): _*)
+      .select(leftCols.map(c =>
+        if (keyCols.contains(c) || c == tsCol) col(c) else lit(null).as(c))
+        :+ col(sideCol) :+ struct(valueCols.map(col): _*).as(payloadCol): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(
-        (leftCols.map(col) :+ col(sideCol)) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.where(col(sideCol) === 1).drop(sideCol)
+      .select(leftCols.map(col) :+ col(sideCol)
+        :+ last(col(payloadCol), ignoreNulls = true).over(w).as(payloadCol): _*)
+    carried.where(col(sideCol) === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"$payloadCol.$c").as(c)): _*)
   }
 }

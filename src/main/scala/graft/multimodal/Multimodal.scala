@@ -140,6 +140,10 @@ object Multimodal {
         dataOff = o + 8
         dataLen = math.min(len, b.length - dataOff)
       }
+      // malformed guard: a negative chunk length would stop the offset
+      // advancing (or walk it backwards) and spin this loop forever on a
+      // corrupt/adversarial RIFF payload — an executor hang, not a skip
+      if (len < 0) return None
       o += 8 + len + (len & 1)
     }
     if (rate <= 0 || dataOff < 0 || dataLen < 2) return None

@@ -58,4 +58,16 @@ class ExactRelabelSpec extends SparkSpec {
     assert(dist(0) === 19L)
     assert(dist(1) === 18L)
   }
+
+  test("duplicate targets in a move list are merged, not overwritten") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (0, 1, i)).toDF("g", "pred", "id")
+    // same target twice: 10 + 15 must relabel 25 rows total
+    val out = ExactRelabel.relabel(df, Seq("g", "pred"), "pred",
+      Map(Seq[Any](0, 1) -> Seq((0: Any, 10L), (0: Any, 15L))), seed = 5)
+    val dist = out.groupBy("pred").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist(0) === 25L)
+    assert(dist(1) === 75L)
+  }
 }

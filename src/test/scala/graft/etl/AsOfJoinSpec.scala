@@ -30,6 +30,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq === Seq("a", "b", "c", "d"))
   }
 
+  test("multi-column payloads come from the same matched right row (no stale back-fill)") {
+    import spark.implicits._
+    val left = Seq((1L, 25L, "a"), (1L, 15L, "b")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, Some(100.0), Some("x")),
+      (1L, 20L, None: Option[Double], Some("y")) // v1 null in the matched row
+    ).toDF("k", "ts", "v1", "v2")
+    val out = AsOfJoin.asofLatest(left, right, Seq("k"), "ts", Seq("v1", "v2"))
+      .orderBy("ts").collect()
+    // ts=15 matches the ts=10 row: both payloads from it
+    assert(out(0).getDouble(3) === 100.0 && out(0).getString(4) === "x")
+    // ts=25 matches the ts=20 row: v1 stays null (NOT back-filled from
+    // ts=10), v2 is the matched row's value — columns never desynchronize
+    assert(out(1).isNullAt(3), "null in matched row must not be back-filled from an older row")
+    assert(out(1).getString(4) === "y")
+  }
+
   test("asofLatest matches a driver-side reference on seeded random data") {
     import spark.implicits._
     val rng = new scala.util.Random(23)

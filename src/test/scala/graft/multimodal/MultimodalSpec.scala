@@ -70,6 +70,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rms2 > 0.99 && rms2 <= 1.0)
   }
 
+  test("WAV malformed negative chunk length is rejected, not an infinite loop") {
+    // hand-build RIFF....WAVE + a chunk whose le32 length is -8: the old
+    // chunk walk stopped advancing and spun forever on executor threads
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("RIFF".getBytes("US-ASCII")); b.write(Array[Byte](36, 0, 0, 0))
+    b.write("WAVE".getBytes("US-ASCII"))
+    b.write("junk".getBytes("US-ASCII"))
+    b.write(Array[Byte](-8, -1, -1, -1)) // length = -8 little-endian
+    b.write(new Array[Byte](16))
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var res: Option[Any] = Some("unset")
+    val t = new Thread(() => { res = Multimodal.decodeWavPcm16(b.toByteArray); done.countDown() })
+    t.setDaemon(true); t.start()
+    assert(done.await(5, java.util.concurrent.TimeUnit.SECONDS), "decode hung on malformed RIFF")
+    assert(res.isEmpty)
+  }
+
   test("resizeImages: real nearest-neighbor resample, parse-back verified") {
     val resized = Multimodal.resizeImages(media, 4, 4)
     assert(resized.schema === media.schema)
