@@ -149,13 +149,34 @@ object Strategies {
     val needed = extras.filter(_._2 > 0)
     if (needed.isEmpty) return df.limit(0)
 
-    // one distributed pass: seeded rank per cell, keep <= sampleCap rows of
-    // the upsampled cells, collect (bounded: cells * cap rows)
-    val ranked = df
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(keyCols.map(col): _*).orderBy(rand(seed))))
-      .where(col("__rn") <= sampleCap)
-      .drop("__rn")
+    // one distributed pass, pruned and salted: (1) left_semi against the
+    // broadcast needed-cell keys so untouched cells are never scanned past
+    // the join, (2) per-cell bounded sample = the `sampleCap` rows with the
+    // smallest seeded hash, found with a two-level rank — per-(cell, salt)
+    // top-cap first (every task bounded), then per-cell top-cap over the
+    // <= saltBuckets * cap survivors (window input bounded regardless of
+    // cell size; each true top-cap row is in its salt's top-cap, so the
+    // survivor set is a superset). The old plan ranked EVERY cell through
+    // one unsalted window task each and collected cap rows for cells that
+    // needed no synthesis.
+    val keySchema = df.select(keyCols.map(col): _*).schema
+    val needDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(needed.keys.toSeq.map(Row.fromSeq), 1), keySchema)
+    val saltBuckets = 32
+    val saltCol = "__graft_ssalt"
+    val hCol = "__graft_sh"
+    val pruned = df
+      .join(broadcast(needDf), keyCols, "left_semi")
+      .withColumn(hCol, xxhash64(df.columns.map(col) :+ lit(seed): _*))
+      .withColumn(saltCol, pmod(col(hCol), lit(saltBuckets)).cast("int"))
+    val ranked = pruned
+      .withColumn("__rn1", row_number().over(
+        Window.partitionBy((keyCols.map(col) :+ col(saltCol)): _*).orderBy(col(hCol))))
+      .where(col("__rn1") <= sampleCap)
+      .withColumn("__rn2", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(hCol))))
+      .where(col("__rn2") <= sampleCap)
+      .drop(hCol, saltCol, "__rn1", "__rn2")
     val sampleRows = ranked.collect()
     val keyIdx = keyCols.map(df.columns.indexOf(_))
     val featIdx = featureCols.map(df.columns.indexOf(_))

@@ -22,6 +22,25 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Drop rows whose `keys` tuple occurs more than `cap` times — the skew
+    * guard for LSH-style candidate joins. The hot-key set is a partial-
+    * aggregated groupBy (map-side combined, and tiny by construction: a key
+    * survives only if > cap rows share it — pathological boilerplate, rare
+    * by definition) broadcast LEFT ANTI against the stream. The round-2
+    * version counted via `count().over(Window.partitionBy(keys))`, which
+    * re-shuffled the FULL exploded (id, fingerprint) stream once more
+    * before the candidate join; the anti-join adds no shuffle of the
+    * stream, and the two self-join sides still collapse into one
+    * ReusedExchange downstream.
+    */
+  private def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Exact dedup on a normalized content fingerprint; keeps the row with the
     * smallest `idCol` per duplicate set. Single hash-aggregate shuffle on
     * the fingerprint — no skew (hashes are uniform).
@@ -92,10 +111,7 @@ object Dedup {
         struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket"))))
     val buckets = withSig.select(col("id"), bandKeys.as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val trimmed = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("__n") <= maxBucketSize)
-      .drop("__n")
+    val trimmed = dropHotKeys(buckets, Seq("band", "bucket"), maxBucketSize)
     val l = trimmed.alias("l")
     val r = trimmed.alias("r")
     l.join(r,
@@ -167,10 +183,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
       explode(TextFunctions.winnowingFingerprints(col(textCol), shingleSize, window)).as("fp"))
-    val trimmed = fps
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .where(col("__n") <= maxBucketSize)
-      .drop("__n")
+    val trimmed = dropHotKeys(fps, Seq("fp"), maxBucketSize)
     val l = trimmed.alias("wl")
     val r = trimmed.alias("wr")
     l.join(r, col("wl.fp") === col("wr.fp") && col("wl.id") < col("wr.id"))
@@ -205,13 +218,11 @@ object Dedup {
         struct(lit(2).as("blk"), col("b2").as("key")),
         struct(lit(3).as("blk"), col("b3").as("key")))).as("bk"))
       .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
-      // skew guard: templated corpora can put thousands of docs in one
-      // 16-bit block bucket -> quadratic pair blowup; cap like minhash LSH
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("blk"), col("key"))))
-      .where(col("__n") <= maxBucketSize)
-      .drop("__n")
-    val l = keyed.alias("hl")
-    val r = keyed.alias("hr")
+    // skew guard: templated corpora can put thousands of docs in one
+    // 16-bit block bucket -> quadratic pair blowup; cap like minhash LSH
+    val capped = dropHotKeys(keyed, Seq("blk", "key"), maxBucketSize)
+    val l = capped.alias("hl")
+    val r = capped.alias("hr")
     l.join(r,
         col("hl.blk") === col("hr.blk") && col("hl.key") === col("hr.key") &&
           col("hl.id") < col("hr.id"))
