@@ -636,6 +636,50 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // q49: PII scrubbing (LLM-pipeline corpus cleaning) — synthetic PII is
+    // injected deterministically from doc_id so every row exercises the
+    // redaction; patterns are Java-regex/RE2-portable and md5 of the
+    // redacted text is byte-checked against DuckDB's identical pipeline
+    "q49_pii_redaction" -> ((s, dir) => {
+      val textExpr = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com node 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 call 555-123-4567"))
+      val withText = t(s, dir, "documents").select(col("doc_id"), textExpr.as("txt"))
+      val (ne, ni, np) = TextFunctions.piiCounts(col("txt"))
+      withText.select(col("doc_id"),
+        ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"),
+        md5(TextFunctions.redactPii(col("txt"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q50: weighted corpus mixing (LLM data recipe) — upweight English,
+    // downsample the rest; md5-hash selection makes the exact subset
+    // reproducible in DuckDB (graft.etl.Mixing)
+    "q50_weighted_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.etl.Mixing.weightedMix(
+        Seq(
+          d.where(col("lang") === "en") -> 0.9,
+          d.where(col("lang") =!= "en") -> 0.25),
+        idCol = "doc_id", salt = "mix")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // q51: sequence packing (LLM training export) — concat-and-chunk
+    // assignment of documents to fixed 4096-char training sequences via a
+    // scale-safe global running total (graft.etl.Packing); oracle = the
+    // naive single-window cumsum DuckDB can afford at sf scale
+    "q51_sequence_packing" -> ((s, dir) => {
+      graft.etl.Packing.assignSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        orderCols = Seq(col("doc_id")), weightCol = "n_chars", budget = 4096L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("seq_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1145,6 +1189,40 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q51_sequence_packing" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_chars AS before
+        |  FROM documents)
+        |SELECT CAST(floor(before / 4096.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_weighted_mix" ->
+      """WITH sel AS (
+        |  SELECT * FROM documents WHERE lang = 'en'
+        |    AND CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix0')), 1, 8)) AS BIGINT)
+        |        < 0.9 * 4294967296.0
+        |  UNION ALL
+        |  SELECT * FROM documents WHERE lang <> 'en'
+        |    AND CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix1')), 1, 8)) AS BIGINT)
+        |        < 0.25 * 4294967296.0)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
+    "q49_pii_redaction" ->
+      """WITH t AS (SELECT doc_id,
+        |  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |         '@example.com node 10.0.', CAST(doc_id % 256 AS VARCHAR),
+        |         '.7 call 555-123-4567') AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(txt, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(txt, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b')) AS INTEGER) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q44_events_sliding" ->
       """WITH w AS (SELECT event_type, value,
         |  unnest([time_bucket(INTERVAL '30 minutes', ts),

@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted corpus mixing — the "data recipe" step of a
+  * training-data pipeline (upsample high-quality sources, downsample
+  * boilerplate ones) as an exact, reproducible, shuffle-free plan.
+  *
+  * Selection: each row draws a uniform u32 from the md5 of its id plus a
+  * salt and survives when `u < weight * 2^32`. Properties that matter at
+  * 100 TB:
+  *  - a pure per-row filter — no shuffle, no global pass, pushes through
+  *    column pruning, trivially parallel at any scale;
+  *  - deterministic in (id, salt): re-running the recipe or re-reading a
+  *    partition reproduces the same subset (rand()-based sampling does
+  *    not survive task retries);
+  *  - engine-portable: md5 + hex arithmetic exist in ANSI-ish SQL, so an
+  *    independent engine can replay the exact subset (q50's DuckDB
+  *    oracle does, byte-for-byte).
+  *
+  * The reference engine has no corpus mixing; this extends the SURVEY's
+  * sampling family (§2.8 seeded sampling) to the LLM-pipeline surface.
+  */
+object Mixing {
+
+  /** Uniform value in [0, 2^32) derived from md5(id || salt): the first 8
+    * hex chars as a long. Cheap (one md5 per row, codegen'd), and
+    * identical in any engine with md5 + base-16 conversion.
+    */
+  def hashU32(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Keep a deterministic `fraction` of rows, selected by id hash. The kept
+    * count concentrates tightly around fraction * n (binomial), and the
+    * SAME ids are kept on every run and every engine.
+    */
+  def sampleFraction(df: DataFrame, idCol: String, fraction: Double, salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.where(hashU32(col(idCol), salt) < lit(fraction * 4294967296.0))
+  }
+
+  /** Mix sources at the given weights: per-source deterministic downsample
+    * (decorrelated by a per-source salt) then union. Schemas must match by
+    * name.
+    */
+  def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String, salt: String = ""): DataFrame = {
+    require(sources.nonEmpty, "at least one source required")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      sampleFraction(df, idCol, w, s"$salt$i")
+    }.reduce(_ unionByName _)
+  }
+}

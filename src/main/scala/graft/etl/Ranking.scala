@@ -77,12 +77,18 @@ object Ranking {
     ranked.withColumn(outCol, bucket.cast("int")).drop(rnCol)
   }
 
-  private def rankedWithTotal(
+  /** Assign each row a data-derived RANGE id in `sortCols` order: 0-based,
+    * at most `numPartitions` ranges, a pure function of the row (stable
+    * across jobs — see the class doc for why `repartitionByRange` is not).
+    * Shared machinery for global ranks (here), exact order statistics
+    * ([[GroupPercentiles]]) and running totals ([[Packing]]). Returns the
+    * annotated frame, the range-id column name, and the range count.
+    */
+  private[etl] def withRangeId(
       df: DataFrame,
       sortCols: Seq[Column],
-      outCol: String,
       numPartitions: Int,
-      seed: Long): (DataFrame, Long) = {
+      seed: Long): (DataFrame, String, Int) = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keyStruct = struct(sortCols: _*)
@@ -110,7 +116,16 @@ object Ranking {
     val pidExpr = bounds.foldLeft(lit(0)) { (e, b) =>
       e + when(tupleGt(sortCols, b), 1).otherwise(0)
     }
-    val withPid = df.withColumn(pidCol, pidExpr)
+    (df.withColumn(pidCol, pidExpr), pidCol, parts)
+  }
+
+  private def rankedWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int,
+      seed: Long): (DataFrame, Long) = {
+    val (withPid, pidCol, parts) = withRangeId(df, sortCols, numPartitions, seed)
 
     val counts = withPid.groupBy(col(pidCol)).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -102,6 +102,35 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
+  // --- PII scrubbing -------------------------------------------------------
+  // Patterns deliberately restricted to regex syntax shared by Java's
+  // engine and RE2 (character classes, bounded repeats, \b; no lookarounds)
+  // so an engine-independent oracle can replay redaction byte-for-byte.
+  // All three are codegen'd regexp_replace/regexp_count — no UDFs.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"
+
+  /** Redact emails, IPv4 addresses and dashed phone numbers with typed
+    * placeholder tags. Replacement order matters: emails first (their
+    * local/domain parts contain the dots and digit runs the other patterns
+    * could partially claim), then IPs, then phones.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-pattern match counts on the ORIGINAL text (each pattern counted
+    * independently, so counts are insensitive to replacement order).
+    */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (regexp_count(c, lit(EmailPattern)),
+     regexp_count(c, lit(Ipv4Pattern)),
+     regexp_count(c, lit(PhonePattern)))
+
   /** Character shingles (n-grams) of the normalized text, as an array.
     * Empty array when the text is shorter than k.
     */

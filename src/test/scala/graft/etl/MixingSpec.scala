@@ -1,0 +1,53 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+
+  test("sampleFraction: deterministic, repartition-stable, near the target rate") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, s"d$i")).toDF("id", "payload")
+    val a = Mixing.sampleFraction(df, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = Mixing.sampleFraction(df.repartition(17), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "selection must be a pure function of id, not partitioning")
+    // binomial(10000, 0.3): +-4 sigma band
+    assert(a.size > 2800 && a.size < 3200, s"rate off: ${a.size}")
+    // nested subsets are NOT implied (different thresholds, same hash): but
+    // a higher fraction with the same salt must be a superset
+    val c = Mixing.sampleFraction(df, "id", 0.6).select("id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c), "same salt, higher fraction must keep every previously kept id")
+  }
+
+  test("edge fractions: 0 keeps nothing, 1 keeps everything") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i)).toDF("id", "v")
+    assert(Mixing.sampleFraction(df, "id", 0.0).count() === 0)
+    assert(Mixing.sampleFraction(df, "id", 1.0).count() === 100)
+  }
+
+  test("weightedMix: per-source rates and decorrelated salts") {
+    import spark.implicits._
+    val df = (0 until 8000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val mixed = Mixing.weightedMix(
+      Seq(df.where($"src" === "a") -> 0.9, df.where($"src" === "b") -> 0.1),
+      idCol = "id")
+    val bySrc = mixed.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") > 3400 && bySrc("a") < 3800, s"a rate off: ${bySrc("a")}")
+    assert(bySrc("b") > 280 && bySrc("b") < 520, s"b rate off: ${bySrc("b")}")
+    // no row duplicated, no row from outside its source filter
+    assert(mixed.count() === mixed.distinct().count())
+  }
+
+  test("no shuffle in the mixing plan: pure filters + union") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
+    val plan = Mixing.weightedMix(Seq(df -> 0.5, df -> 0.2), "id")
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "mixing must not shuffle")
+  }
+}

@@ -150,6 +150,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(arr === arr.sorted && arr.distinct.length === arr.length)
   }
 
+  test("redactPii: typed placeholders, replacement-order safe") {
+    val text = "mail bob.smith+x@corp.example.org from 192.168.1.77 or call 555-123-4567 x55"
+    assert(one(TextFunctions.redactPii(col("t")), text) ===
+      "mail <EMAIL> from <IP> or call <PHONE> x55")
+    // counts on the original text, independent per pattern
+    val (ne, ni, np) = TextFunctions.piiCounts(col("t"))
+    assert(one(ne, text) === 1 && one(ni, text) === 1 && one(np, text) === 1)
+    // an email's digit runs must not be double-claimed by phone/ip patterns
+    assert(one(ni, "reach 10.0.0.1 and u123@h456.example.com") === 1)
+    assert(one(TextFunctions.redactPii(col("t")), "no pii here at all") ===
+      "no pii here at all")
+  }
+
   test("qualityScore components") {
     // long-enough, low punct, has stopwords -> 1.0
     val good = "the quick brown fox jumps over the lazy dog and runs far away home"
