@@ -680,6 +680,17 @@ object SparkEntry {
         .orderBy(col("seq_id"))
     }),
 
+    // q52: corpus TF-IDF top terms per document (graft.text.TfIdf) —
+    // sklearn-smoothed idf, max_df stop-term cutoff doubling as the
+    // term-join skew guard; oracle replays the identical pipeline in SQL
+    "q52_tfidf_top_terms" -> ((s, dir) =>
+      graft.text.TfIdf.topTerms(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        k = 3, maxDfFraction = 0.9)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1189,6 +1200,24 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q52_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE dfreq.df <= 0.9 * n.n),
+        |r AS (SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q51_sequence_packing" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |  sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
