@@ -691,6 +691,30 @@ object SparkEntry {
           col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
         .orderBy(col("doc_id"), col("rank"))),
 
+    // q53: deterministic train/val/test split (graft.etl.Mixing.assignSplit)
+    // — hash-uniform assignment, proportions hold within every language
+    // stratum without a stratified pass; oracle replays the md5 draw and
+    // the exact cumulative-boundary doubles
+    "q53_split_assign" -> ((s, dir) =>
+      graft.etl.Mixing.assignSplit(
+        t(s, dir, "documents"), idCol = "doc_id",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))),
+
+    // q54: int8 embedding quantization (Similarity.quantizeInt8) — per-
+    // vector scale + quantized-sum fingerprint, floor semantics replayed
+    // exactly by the DuckDB oracle; cosine drift vs float is spec-bounded
+    "q54_quantize_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      emb.select(col("vec_id"),
+        round(Similarity.vecMaxAbs(col("v")), 6).as("max_abs"),
+        Similarity.quantSumInt8(col("v")).as("q_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1200,6 +1224,34 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q54_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e)
+        |SELECT vec_id,
+        |  round(CASE WHEN ma IS NULL THEN 0.0 ELSE ma END, 6) AS max_abs,
+        |  CAST(CASE WHEN ma IS NULL OR ma = 0 THEN 0
+        |       ELSE list_sum(list_transform(v, x -> CAST(floor(x * 127.0 / ma) AS INTEGER))) END
+        |    AS INTEGER) AS q_sum
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q53_split_assign" -> {
+      // cumulative boundaries computed EXACTLY as assignSplit computes them
+      // (0.8 + 0.1 in binary is not the literal 0.9), embedded via
+      // Double.toString which round-trips through DuckDB's parser
+      val cums = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        .scanLeft(0.0)(_ + _._2).tail
+      s"""WITH u AS (SELECT lang,
+         |  CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'sp')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / 4294967296.0 AS u
+         |  FROM documents),
+         |s AS (SELECT lang,
+         |  CASE WHEN u < CAST('${java.lang.Double.toString(cums(0))}' AS DOUBLE) THEN 'train'
+         |       WHEN u < CAST('${java.lang.Double.toString(cums(1))}' AS DOUBLE) THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM u)
+         |SELECT lang, split, count(*) AS n_docs
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+    },
     "q52_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, t.term

@@ -51,4 +51,29 @@ object Mixing {
       sampleFraction(df, idCol, w, s"$salt$i")
     }.reduce(_ unionByName _)
   }
+
+  /** Deterministic train/val/test (or any k-way) split assignment: the
+    * row's hash-uniform u in [0,1) picks the first label whose cumulative
+    * fraction exceeds it. Same hash properties as [[sampleFraction]]:
+    * shuffle-free, stable across runs/partitionings/engines, and uniform
+    * WITHIN any stratum (so per-language or per-source proportions hold
+    * without an explicit stratified pass). Fractions must sum to 1.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0.0), "fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashU32(col(idCol), salt).cast("double") / lit(4294967296.0)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((label, _), c), rest) => when(u < lit(c), lit(label)).otherwise(rest)
+    }
+    df.withColumn(outCol, expr)
+  }
 }

@@ -432,6 +432,54 @@ object TextAlgo {
     new GenericArrayData(out.map(_.toLong))
   }
 
+  /** Largest |x| of an array<double> vector; 0 for empty. */
+  def vecMaxAbs(v: ArrayData): Double = {
+    var m = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantization: floor(x * 127 / maxAbs) per element
+    * (floor, not round — identical semantics in any SQL engine, so the
+    * oracle can replay it; round() half-way rules differ between JVM and
+    * DuckDB). All-zero vectors quantize to zeros. Kept in [-127, 127].
+    * The expression form is [[graft.functions.QuantizeInt8Expr]].
+    */
+  def quantizeInt8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val m = vecMaxAbs(v)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (m == 0.0) 0
+        else math.floor(v.getDouble(i) * 127.0 / m).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sum of the int8-quantized elements (same floor rule as
+    * [[quantizeInt8]]) — a compact scalar fingerprint of the quantized
+    * vector for parity checks, without shipping the byte array.
+    */
+  def quantSumInt8(v: ArrayData): Int = {
+    val n = v.numElements()
+    val m = vecMaxAbs(v)
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (m != 0.0) s += math.floor(v.getDouble(i) * 127.0 / m).toInt
+      i += 1
+    }
+    s
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

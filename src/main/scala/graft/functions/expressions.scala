@@ -246,6 +246,62 @@ case class HyperplaneBucketExpr(child: Expression, planes: Seq[Double], dim: Int
     copy(child = newChild)
 }
 
+/** Largest |x| of an array<double> vector — the symmetric-quantization
+  * scale divisor. 0 for empty/zero vectors.
+  */
+case class VecMaxAbsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_max_abs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.vecMaxAbs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.vecMaxAbs($c)")
+  override protected def withNewChildInternal(newChild: Expression): VecMaxAbsExpr =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of an array<double> vector:
+  * floor(x * 127 / maxAbs) per element as array<byte> (index-compression
+  * for embedding stores; floor for engine-portable semantics — see
+  * TextAlgo.quantizeInt8).
+  */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.quantizeInt8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.quantizeInt8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
+/** Sum of the int8-quantized elements — scalar parity fingerprint of the
+  * quantized vector.
+  */
+case class QuantSumInt8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "quant_sum_int8"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.quantSumInt8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.quantSumInt8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantSumInt8Expr =
+    copy(child = newChild)
+}
+
 /** Indexes (as array<long>) of the nProbe nearest centroids to an
   * array<double> vector column — the IVF assignment/probe primitive.
   * `centroids` is row-major (nLists x dim), held as a codegen reference

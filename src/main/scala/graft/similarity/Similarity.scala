@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-  import graft.functions.{CosineSimExpr, DotProductExpr, HyperplaneBucketExpr}
+  import graft.functions.{CosineSimExpr, DotProductExpr, HyperplaneBucketExpr,
+    QuantSumInt8Expr, QuantizeInt8Expr, VecMaxAbsExpr}
 
   /** Dot product of two array<double> columns — native codegen'd expression
     * ([[graft.functions.DotProductExpr]]): one compiled loop per row, not an
@@ -33,6 +34,20 @@ object Similarity {
     * ([[graft.functions.CosineSimExpr]], single fused pass).
     */
   def cosine(a: Column, b: Column): Column = toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  /** Symmetric int8 quantization of an embedding column (array<double> ->
+    * array<byte>): floor(x * 127 / maxAbs) — the index-compression format
+    * of large embedding stores (4x smaller than float32, 8x than the
+    * doubles). Dequantize with maxAbs/127 per vector ([[vecMaxAbs]]);
+    * floor (not round) so any SQL engine replays it bit-for-bit.
+    */
+  def quantizeInt8(v: Column): Column = toCol(QuantizeInt8Expr(toExpr(v)))
+
+  /** Largest |x| of the vector — the quantization scale divisor. */
+  def vecMaxAbs(v: Column): Column = toCol(VecMaxAbsExpr(toExpr(v)))
+
+  /** Sum of the int8-quantized elements — compact parity fingerprint. */
+  def quantSumInt8(v: Column): Column = toCol(QuantSumInt8Expr(toExpr(v)))
 
   /** Brute-force cosine top-k neighbors for every query vector.
     *

@@ -40,6 +40,26 @@ class MixingSpec extends SparkSpec {
     assert(mixed.count() === mixed.distinct().count())
   }
 
+  test("assignSplit: fractions sum check, per-stratum proportions, exhaustive cover") {
+    import spark.implicits._
+    val df = (0 until 12000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")
+    val out = Mixing.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every row labeled, no rows invented
+    assert(out.count() === 12000)
+    val byLang = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // proportions hold WITHIN each stratum (hash uniform within any subset)
+    Seq("en" -> 4000L, "de" -> 8000L).foreach { case (lang, n) =>
+      val train = byLang((lang, "train")).toDouble / n
+      assert(train > 0.77 && train < 0.83, s"$lang train rate $train")
+      val testR = byLang((lang, "test")).toDouble / n
+      assert(testR > 0.07 && testR < 0.13, s"$lang test rate $testR")
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("no shuffle in the mixing plan: pure filters + union") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "k")

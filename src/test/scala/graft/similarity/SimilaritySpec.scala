@@ -135,4 +135,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
   }
+
+  test("int8 quantization: floor goldens, zero vector, bounded cosine drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // golden: maxAbs=2.0 -> scale 63.5/unit; floor(-1.0*63.5) = -64
+    val g = Seq((0L, Seq(2.0, -1.0, 0.5, 0.0))).toDF("id", "v")
+      .select(Similarity.vecMaxAbs(col("v")).as("m"),
+        Similarity.quantizeInt8(col("v")).as("q"),
+        Similarity.quantSumInt8(col("v")).as("s"))
+      .collect()(0)
+    assert(g.getDouble(0) === 2.0)
+    assert(g.getSeq[Byte](1) === Seq[Byte](127, -64, 31, 0))
+    assert(g.getInt(2) === 127 - 64 + 31 + 0)
+    val z = Seq((0L, Seq(0.0, 0.0))).toDF("id", "v")
+      .select(Similarity.quantizeInt8(col("v"))).collect()(0).getSeq[Byte](0)
+    assert(z === Seq[Byte](0, 0))
+    // drift: quantized cosine within 2% of float cosine on seeded vectors
+    val rng = new scala.util.Random(3)
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(64)(rng.nextGaussian())
+      val b = Array.fill(64)(rng.nextGaussian() * 0.2).zip(a).map { case (n, x) => x + n }
+      def cos(x: Array[Double], y: Array[Double]) = {
+        val d = x.zip(y).map { case (p, q) => p * q }.sum
+        d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+      }
+      def quant(x: Array[Double]) = {
+        val m = x.map(math.abs).max
+        x.map(v => math.floor(v * 127.0 / m))
+      }
+      val drift = math.abs(cos(a, b) - cos(quant(a), quant(b)))
+      assert(drift < 0.02, s"quantized cosine drifted $drift")
+    }
+  }
 }
