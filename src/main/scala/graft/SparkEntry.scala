@@ -715,6 +715,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // q55: near-dup clusters — connected components (min-label propagation,
+    // graft.dedup.Components) over the q39 LSH pair graph; component = min
+    // reachable vec_id, recomputed independently by a DuckDB recursive CTE
+    "q55_neardup_components" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "v",
+        threshold = 0.3, dim = 64, numBits = 4)
+      graft.dedup.Components.connectedComponents(
+        pairs, "id_a", "id_b", e.select(col("vec_id")), "vec_id")
+        .select(col("id").as("vec_id"), col("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1224,6 +1238,26 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q55_neardup_components" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    (CASE WHEN list_dot_product(v, ${q39PlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
+         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+         |  FROM e),
+         |pair AS (SELECT a.vec_id AS s, c.vec_id AS t
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE list_dot_product(a.v, c.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3),
+         |edges AS (SELECT s, t FROM pair UNION ALL SELECT t AS s, s AS t FROM pair),
+         |reach(id, lab) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT edges.t, reach.lab FROM reach JOIN edges ON reach.id = edges.s)
+         |SELECT id AS vec_id, min(lab) AS component
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q54_quantize_int8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,

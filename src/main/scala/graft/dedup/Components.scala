@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (minhash/simhash/cosine candidates) into duplicate CLUSTERS so a
+  * pipeline can keep one representative per cluster. Without it, "a~b,
+  * b~c" keeps both a and c even though they are transitive duplicates.
+  *
+  * Algorithm: iterated min-label propagation with pointer jumping — each
+  * round a vertex takes the smallest of its own label, its neighbors'
+  * labels, and its LABEL'S label (path compression via a labels self-join,
+  * the doubling trick that turns O(diameter) rounds into O(log diameter);
+  * a bare neighbor propagation walks one hop per round and times out on
+  * long path components). Each round is two equi-joins + one
+  * min-aggregate, all plain shuffles on uniform vertex ids. The label frame is `localCheckpoint`ed each
+  * round: iterative plans MUST truncate lineage, or the logical plan
+  * nests one union+join deeper per round and explain/codegen blow up
+  * exponentially (cache alone does not cut the logical plan). Use a
+  * reliable `checkpoint` dir in production if executor loss matters, and
+  * consider the large-star/small-star variant (Kiveris et al.) if
+  * components can be deep.
+  *
+  * The component id is the smallest vertex id in the component — a pure
+  * function of the graph, so results are engine-portable (q55's oracle
+  * recomputes them with a recursive CTE in DuckDB).
+  */
+object Components {
+
+  /** (id, component) for every vertex, component = min reachable id.
+    * `vertices` supplies the full vertex set (isolated vertices become
+    * their own component); `pairs` is undirected (either orientation).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      vertices: DataFrame,
+      idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = vertices.select(col(idCol).as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("component"))
+      val jump = labels.alias("a")
+        .join(labels.alias("b"), col("a.component") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.component").as("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(prop).union(jump)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary: one row per component with its size and keeper
+    * (smallest id — the usual keep-first dedup policy).
+    */
+  def clusterSummary(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+}
