@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a pair list — the step that turns near-dup
   * PAIRS (minhash/simhash/cosine candidates) into duplicate CLUSTERS so a
@@ -45,9 +46,17 @@ object Components {
     var labels = vertices.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence check by LABEL SUM, not a next-vs-old join: labels are
+    // monotonically non-increasing per vertex (min over a set containing
+    // the old label), so the sum strictly decreases until fixpoint and an
+    // unchanged sum proves convergence — one narrow aggregate per round
+    // instead of a shuffle join. Decimal(38) so huge id sums can't wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
+    var converged = false
+    while (iter < maxIter && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), col("component"))
       val jump = labels.alias("a")
@@ -57,12 +66,13 @@ object Components {
         .union(prop).union(jump)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       iter += 1
     }
-    require(changed == 0, s"connected components did not converge in $maxIter rounds")
+    require(converged, s"connected components did not converge in $maxIter rounds")
     edges.unpersist()
     labels
   }
