@@ -729,6 +729,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // q56: inverted-index AND search (graft.text.Search) — postings are
+    // filtered to the query terms BEFORE any shuffle; AND = distinct
+    // matched-term count equals the query size
+    "q56_keyword_search" -> ((s, dir) =>
+      graft.text.Search.matchAll(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        terms = Seq("window", "merge", "stream"))
+        .orderBy(col("doc_id"))),
+
+    // q57: unigram LM cross-entropy (graft.text.UnigramLm) — the CCNet-
+    // style quality score; oracle replays add-one smoothing and the
+    // weighted average in SQL
+    "q57_unigram_xent" -> ((s, dir) =>
+      graft.text.UnigramLm.crossEntropy(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        .select(col("doc_id"), col("n_tokens"), round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1238,6 +1256,29 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q57_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(DISTINCT term) AS v FROM tf),
+        |p AS (SELECT term,
+        |    CAST(sum(tf) + 1 AS DOUBLE) / CAST((SELECT t + v FROM tot) AS DOUBLE) AS prob
+        |  FROM tf GROUP BY term)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf.tf * -ln(p.prob)) / sum(tf.tf), 6) AS xent
+        |FROM tf JOIN p USING (term)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q56_keyword_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term IN ('window', 'merge', 'stream'))
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM tok GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
     "q55_neardup_components" ->
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

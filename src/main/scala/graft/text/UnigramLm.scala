@@ -1,0 +1,41 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the CCNet-style quality signal: score
+  * each document by its per-token cross-entropy under the corpus's own
+  * add-one-smoothed unigram distribution. Boilerplate/templated text
+  * scores low (tokens the corpus sees constantly), lorem-ipsum noise
+  * scores high; cleaning pipelines threshold both tails.
+  *
+  * Plan: (doc, term) tf first [shuffle on the UNIFORM (doc, term) key] ->
+  * per-term corpus counts from tf [map-side combined] -> join tf x probs
+  * on term -> weighted per-doc average. Joining tf (not raw tokens)
+  * against the prob table cuts the hot-term rows by the average tf
+  * factor; the prob side is one row per term, so AQE turns the join into
+  * a broadcast when the vocabulary fits. Corpus totals (T tokens, V
+  * vocab) are the only driver scalars.
+  */
+object UnigramLm {
+
+  /** (doc_id, n_tokens, xent): per-token cross-entropy
+    * `sum(tf * -ln((c+1)/(T+V))) / sum(tf)`, natural log.
+    */
+  def crossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val t = tf.agg(sum(col("tf"))).collect()(0).getLong(0)
+    val v = termCounts.count()
+    val probs = termCounts.withColumn("prob",
+      (col("c") + lit(1)).cast("double") / lit((t + v).toDouble))
+    tf.join(probs.select(col("term"), col("prob")), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * -log(col("prob"))) / sum(col("tf"))).as("xent"))
+  }
+}

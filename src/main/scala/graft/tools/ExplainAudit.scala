@@ -29,10 +29,11 @@ object ExplainAudit {
         try {
           val qe = fn(spark, sfDir).queryExecution
           val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
-          // tree-walk, not string heuristics: find actual single-partition
-          // windows (empty partitionSpec) and join anti-patterns
-          val exec = qe.executedPlan
-          val globalWindows = exec.collect {
+          // tree-walk THROUGH the AQE wrapper (a bare executedPlan.collect
+          // visits only the AdaptiveSparkPlanExec leaf), not string
+          // heuristics: find actual single-partition windows (empty
+          // partitionSpec) and join anti-patterns
+          val globalWindows = PlanWalk.collectDeep(qe.executedPlan) {
             case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w
           }

@@ -29,29 +29,49 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no single-partition windows, cartesians, or undocumented BNL joins in any query plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var walked = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val exec = fn(spark, sfDir).queryExecution.executedPlan
-        val globalWindows = exec.collect {
+        // PlanWalk, NOT executedPlan.collect: AQE wraps the plan in a
+        // leaf AdaptiveSparkPlanExec and a bare collect checks nothing
+        val nodes = graft.tools.PlanWalk.collectAll(
+          fn(spark, sfDir).queryExecution.executedPlan)
+        walked += nodes.length
+        val globalWindows = nodes.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
         if (globalWindows.nonEmpty)
           failures += s"$name: ${globalWindows.length} single-partition window(s)"
-        val cartesians = exec.collect {
-          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-        }
-        if (cartesians.nonEmpty)
+        if (nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
           failures += s"$name: cartesian product"
-        val bnl = exec.collect {
-          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        val badBnl = nodes.exists {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+            // a BNL whose broadcast side is a GLOBAL aggregate (no grouping
+            // keys => exactly one row) is the standard scalar-broadcast
+            // pattern (q09's mean/std, q17's total) — constant cost at any
+            // scale. Any other BNL is a quadratic red flag.
+            !j.children.exists(side => graft.tools.PlanWalk.collectAll(side).exists {
+              case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+                a.groupingExpressions.isEmpty
+              case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+                a.groupingExpressions.isEmpty
+              case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+                a.groupingExpressions.isEmpty
+              case _ => false
+            })
+          case _ => false
         }
-        if (bnl.nonEmpty && !bnlAllowlist(name))
+        if (badBnl && !bnlAllowlist(name))
           failures += s"$name: undocumented BroadcastNestedLoopJoin"
       } catch {
         case e: Throwable =>
           failures += s"$name: plan construction failed: ${e.getMessage}"
       }
     }
+    // guard against the walk itself going vacuous again: >50 queries must
+    // yield hundreds of physical nodes (a bare AQE-blind collect sees ~1
+    // per query; the real walk sees ~15)
+    assert(walked > 500, s"plan walk saw only $walked nodes — traversal broken?")
     assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
   }
 }

@@ -65,9 +65,11 @@ class MixingSpec extends SparkSpec {
     val df = (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
     val plan = Mixing.weightedMix(Seq(df -> 0.5, df -> 0.2), "id")
       .queryExecution.executedPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    // PlanWalk sees through the AQE wrapper; a bare collect would be vacuous
+    val nodes = graft.tools.PlanWalk.collectAll(plan)
+    assert(nodes.length > 1, "plan walk must traverse the real plan")
+    val exchanges = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
     assert(exchanges.isEmpty, "mixing must not shuffle")
   }
 }

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchLmSpec extends SparkSpec {
+
+  test("matchAll: AND semantics, case folding, tf scoring") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Alpha beta GAMMA alpha"),
+      (1L, "alpha beta"),
+      (2L, "alpha gamma gamma"),
+      (3L, "delta")
+    ).toDF("id", "body")
+    val out = Search.matchAll(docs, "id", "body", Seq("alpha", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0: alpha x2 + gamma x1 = 3 hits; doc 2: 1 + 2 = 3; docs 1/3 miss a term
+    assert(out === Map(0L -> 3L, 2L -> 3L))
+  }
+
+  test("matchAll: posting filter happens before the exchange") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c")).toDF("id", "body")
+    val plan = Search.matchAll(docs, "id", "body", Seq("a"))
+      .queryExecution.executedPlan
+    // the isin filter must sit below the first shuffle: find every
+    // ShuffleExchange (through the AQE wrapper) and check its subtree
+    // already contains the Filter
+    val exchanges = graft.tools.PlanWalk.collectDeep(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val hasFilter = graft.tools.PlanWalk.collectDeep(e.child) {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("term") => f
+      }.nonEmpty
+      assert(hasFilter, "query-term filter must be pushed below the shuffle")
+    }
+  }
+
+  test("unigram cross-entropy: hand-computed add-one smoothing") {
+    import spark.implicits._
+    // corpus: a a b -> T=3, V=2; p(a)=(2+1)/5=0.6, p(b)=(1+1)/5=0.4
+    val docs = Seq((0L, "a a"), (1L, "b")).toDF("id", "body")
+    val out = UnigramLm.crossEntropy(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 === 2L)
+    assert(math.abs(out(0L)._2 - -math.log(0.6)) < 1e-12)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - -math.log(0.4)) < 1e-12)
+  }
+
+  test("unigram cross-entropy ranks rare-token docs above boilerplate") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, "the common words again and again")) :+
+      (99L, "xylophone quixotic zephyr")
+    val out = UnigramLm.crossEntropy(docs.toDF("id", "body"), "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(0L), "rare-token doc must have higher cross-entropy")
+  }
+}
