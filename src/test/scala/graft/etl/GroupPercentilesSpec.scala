@@ -53,6 +53,30 @@ class GroupPercentilesSpec extends SparkSpec {
     assert(out("b") === ((None, Some(6.0))))
   }
 
+  test("approx_percentile (the sketch-based scale alternative) stays within its accuracy bound of exact") {
+    import spark.implicits._
+    // documents the trade: GroupPercentiles is exact in 3 bounded jobs;
+    // Spark's approx_percentile is one pass with a mergeable GK sketch
+    // whose rank error is n/accuracy — the right choice when percentiles
+    // feed monitoring rather than results
+    val rng = new scala.util.Random(5)
+    val n = 20000
+    val vals = Array.fill(n)(rng.nextDouble() * 1000)
+    val df = vals.toSeq.toDF("x").withColumn("g", lit("all"))
+    val accuracy = 1000 // rank error <= n/accuracy = 20 ranks
+    val approx = df.agg(
+      expr(s"approx_percentile(x, array(0.5, 0.9), $accuracy)")).collect()(0)
+      .getSeq[Double](0)
+    val sorted = vals.sorted
+    Seq(0.5, 0.9).zip(approx).foreach { case (p, a) =>
+      // the approx answer's RANK must be within n/accuracy of the target
+      val rank = sorted.count(_ <= a)
+      val target = p * (n - 1)
+      assert(math.abs(rank - target) <= n / accuracy + 1,
+        s"p=$p: rank $rank vs target $target")
+    }
+  }
+
   test("single-row groups and integer columns") {
     import spark.implicits._
     val df = Seq(("a", 7), ("b", 1), ("b", 2)).toDF("g", "x")
