@@ -747,6 +747,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), round(col("xent"), 6).as("xent"))
         .orderBy(col("doc_id"))),
 
+    // q58: PORTABLE winnowing fingerprints — q38's selection algorithm on
+    // md5-derived hashes both engines can compute, making the whole
+    // fingerprint SET oracle-checked (q38's rolling hash stays the
+    // production path; this is its cross-engine verification twin).
+    // ASCII corpus assumption: the JVM kernel lowercases A-Z only.
+    "q58_winnowing_portable" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.winnowingFingerprintsPortable(col("text"), 8, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1256,6 +1266,22 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q58_winnowing_portable" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+        |h AS (SELECT doc_id, pos,
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM norm) q),
+        |stats AS (SELECT doc_id, count(*) AS cnt FROM h GROUP BY 1),
+        |win AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM h),
+        |fps AS (
+        |  SELECT DISTINCT w.doc_id, w.mh AS fp
+        |  FROM win w JOIN stats USING (doc_id)
+        |  WHERE stats.cnt > 4 AND w.pos <= stats.cnt - 3
+        |  UNION
+        |  SELECT h.doc_id, min(h.h) AS fp FROM h JOIN stats USING (doc_id)
+        |  WHERE stats.cnt <= 4 GROUP BY h.doc_id)
+        |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
     "q57_unigram_xent" ->
       """WITH tok AS (
         |  SELECT doc_id, t.term

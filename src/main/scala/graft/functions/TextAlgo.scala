@@ -121,8 +121,16 @@ object TextAlgo {
     * fingerprint for plagiarism/near-dup detection. O(n) via a monotone
     * deque.
     */
-  def winnowing(text: String, k: Int, w: Int): Array[Long] = {
-    val hs = shingleHashes(text, k)
+  def winnowing(text: String, k: Int, w: Int): Array[Long] =
+    winnowSelect(shingleHashes(text, k), w)
+
+  /** The winnowing SELECTION on a precomputed hash sequence: the sorted
+    * distinct set of per-window minima (windows of `w` consecutive hashes;
+    * a sequence no longer than `w` contributes its single global min).
+    * O(n) via a monotone deque. The output is a pure function of the hash
+    * VALUES, so any engine producing the same hashes reproduces it.
+    */
+  private def winnowSelect(hs: Array[Long], w: Int): Array[Long] = {
     if (hs.isEmpty) return hs
     if (hs.length <= w) {
       var m = hs(0)
@@ -154,6 +162,36 @@ object TextAlgo {
     }
     if (wIdx == arr.length) arr else java.util.Arrays.copyOf(arr, wIdx)
   }
+
+  /** Portable winnowing: identical selection, but shingle hashes are the
+    * first 60 bits of md5(shingle) — computable in any engine with md5 +
+    * hex arithmetic, so the whole fingerprint set is oracle-checkable
+    * (`CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)` in DuckDB).
+    * ~10x the hashing cost of the rolling-hash [[winnowing]]; use that one
+    * in production, this one where cross-engine verification matters.
+    */
+  def winnowingPortable(text: String, k: Int, w: Int): Array[Long] = {
+    val t = normalize(text)
+    val n = t.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(t.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = top 60 bits of the first 8 bytes, big-endian
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      hs(i) = h >>> 4
+      i += 1
+    }
+    winnowSelect(hs, w)
+  }
+
+  def winnowingPortableData(s: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(winnowingPortable(s.toString, k, w))
 
   def winnowingData(s: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(winnowing(s.toString, k, w))

@@ -178,6 +178,12 @@ object TextFunctions {
   def winnowingFingerprints(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
     toCol(WinnowingExpr(toExpr(text), shingleSize, window))
 
+  /** Oracle-checkable winnowing (md5-derived hashes, same selection);
+    * ~10x the hashing cost — see TextAlgo.winnowingPortable.
+    */
+  def winnowingFingerprintsPortable(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
+    toCol(WinnowingPortableExpr(toExpr(text), shingleSize, window))
+
   /** 64-bit SimHash over whitespace tokens: bit b of the output is the sign
     * of sum over tokens of (bit b of the token hash ? +1 : -1). Native
     * codegen'd expression ([[SimHash64Expr]], [[TextAlgo.simhash64]]).

@@ -110,6 +110,26 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Portable-hash winnowing fingerprints (md5-derived 60-bit shingle
+  * hashes, same selection as [[WinnowingExpr]]) — oracle-checkable
+  * variant; see TextAlgo.winnowingPortable.
+  */
+case class WinnowingPortableExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_fingerprints_portable"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.winnowingPortableData(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.winnowingPortableData($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowingPortableExpr =
+    copy(child = newChild)
+}
+
 /** Duplicate word-n-gram fraction of a string column (intra-document
   * repetition signal); 0 for documents with fewer than n tokens.
   */

@@ -150,6 +150,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(arr === arr.sorted && arr.distinct.length === arr.length)
   }
 
+  test("portable winnowing: md5-hash golden + same guarantee as the fast kernel") {
+    val fp = TextFunctions.winnowingFingerprintsPortable(col("t"), shingleSize = 5, window = 4)
+    val a = one(fp, "the quick brown fox jumps over the lazy dog near the river")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val b = one(fp, "INTRO text then the quick brown fox jumps over the lazy dog near the river AND MORE")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val c = one(fp, "completely different content with no overlap whatsoever in any region")
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    assert((a & b).nonEmpty) // shared substring >= k+w-1 shares a fingerprint
+    assert((a & b).size > (a & c).size)
+    // hash golden: every fingerprint must equal the top 60 bits of the md5
+    // of SOME 5-char shingle of the normalized text (independent recompute)
+    val text = "the quick brown fox jumps over the lazy dog near the river"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val allShingleHashes = text.sliding(5).map { sh =>
+      val d = md.digest(sh.getBytes("UTF-8")); md.reset()
+      var h = 0L; (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xFFL)); h >>> 4
+    }.toSet
+    assert(a.subsetOf(allShingleHashes))
+  }
+
   test("redactPii: typed placeholders, replacement-order safe") {
     val text = "mail bob.smith+x@corp.example.org from 192.168.1.77 or call 555-123-4567 x55"
     assert(one(TextFunctions.redactPii(col("t")), text) ===
