@@ -757,6 +757,41 @@ object SparkEntry {
         explode(TextFunctions.winnowingFingerprintsPortable(col("text"), 8, 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))),
 
+    // q59: PORTABLE MinHash-LSH near-dup — q23's banding pipeline on
+    // md5-base hashes + affine permutations mod 2^31-1 (overflow-free
+    // arithmetic DuckDB reproduces exactly), candidates verified by exact
+    // Jaccard on md5 shingle sets. The whole LSH pipeline — signature,
+    // banding, candidate join, verification — is oracle-checked; q23's
+    // splitmix64 kernel stays the production path.
+    "q59_minhash_portable" -> ((s, dir) => {
+      val (kSh, nH, bands, rpb) = (5, 32, 8, 4)
+      val docs = t(s, dir, "documents")
+      val sig = docs.select(col("doc_id"),
+          TextFunctions.minhashPortableSignature(col("text"), kSh, nH, 42L).as("sig"))
+        .where(size(col("sig")) > 0)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("sig"), b * rpb + 1, rpb).cast("array<string>")).as("key"))
+      }
+      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val l = banded.alias("ml")
+      val r = banded.alias("mr")
+      val cands = l.join(r,
+          col("ml.band") === col("mr.band") && col("ml.key") === col("mr.key") &&
+            col("ml.doc_id") < col("mr.doc_id"))
+        .select(col("ml.doc_id").as("id_a"), col("mr.doc_id").as("id_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"),
+        TextFunctions.shingleHashSetPortable(col("text"), kSh).as("sh"))
+      cands.join(sets.alias("pa"), col("id_a") === col("pa.doc_id"))
+        .join(sets.alias("pb"), col("id_b") === col("pb.doc_id"))
+        .withColumn("jaccard", TextFunctions.jaccardSorted(col("pa.sh"), col("pb.sh")))
+        .where(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1266,6 +1301,34 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q59_minhash_portable" -> {
+      val (as, bs) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
+      val constRows = (0 until 32).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(",\n  ")
+      s"""WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) % 2147483647 AS hp
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+         |consts(i, a, b) AS (VALUES
+         |  $constRows),
+         |sig AS (SELECT h.doc_id, c.i, min((c.a * h.hp + c.b) % 2147483647) AS mh
+         |  FROM h CROSS JOIN consts c GROUP BY h.doc_id, c.i),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    pos -> CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT)))) AS sh
+         |  FROM norm),
+         |p AS (SELECT c.id_a, c.id_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS i2,
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+         |  FROM cand c JOIN sets sa ON c.id_a = sa.doc_id JOIN sets sb ON c.id_b = sb.doc_id)
+         |SELECT id_a, id_b, round(CAST(i2 AS DOUBLE) / u, 6) AS jaccard
+         |FROM p WHERE CAST(i2 AS DOUBLE) / u >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q58_winnowing_portable" ->
       """WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
         |h AS (SELECT doc_id, pos,

@@ -193,6 +193,90 @@ object TextAlgo {
   def winnowingPortableData(s: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(winnowingPortable(s.toString, k, w))
 
+  private val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** md5-derived 60-bit hash of one shingle (same derivation as
+    * [[winnowingPortable]]): first 15 hex digits as a non-negative long.
+    */
+  private def md5Shingle60(md: java.security.MessageDigest, sh: String): Long = {
+    md.reset()
+    val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+    h >>> 4
+  }
+
+  /** Portable MinHash signature: per hash function i, the minimum over all
+    * k-shingles of `(a_i * (md5_60(shingle) mod p) + b_i) mod p` with
+    * p = 2^31 - 1 and seeded constants a_i in [1, p-1], b_i in [0, p-1].
+    * Every step is overflow-free int64 arithmetic any SQL engine
+    * reproduces exactly (a_i * hp <= (2^31)^2 < 2^63), and the base hash
+    * is md5 — so the whole signature, banding, and candidate set are
+    * oracle-checkable. ~10x the hashing cost of [[minhashSig]]'s
+    * splitmix64 path, which remains the production kernel.
+    */
+  def minhashPortableSig(text: String, k: Int, numHashes: Int, seed: Long): Array[Long] = {
+    val t = normalize(text)
+    val n = t.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val p = MersennePrime31
+    val (as, bs) = minhashPortableConsts(numHashes, seed)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val hp = md5Shingle60(md, t.substring(i, i + k)) % p
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * hp + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** The seeded permutation constants — exposed so the oracle SQL can
+    * embed the identical (i, a, b) rows as literals.
+    */
+  def minhashPortableConsts(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val p = MersennePrime31
+    val rng = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(1L + rng.nextInt((p - 1).toInt))
+    val bs = Array.fill(numHashes)(rng.nextInt(p.toInt).toLong)
+    (as, bs)
+  }
+
+  /** Sorted distinct md5-60 shingle hashes — the portable twin of
+    * [[shingleHashSet]] for exact-Jaccard verification that an oracle can
+    * replay.
+    */
+  def shingleHashSetPortable(text: String, k: Int): Array[Long] = {
+    val t = normalize(text)
+    val n = t.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      set.add(md5Shingle60(md, t.substring(i, i + k)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  def minhashPortableSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =
+    new GenericArrayData(minhashPortableSig(s.toString, k, numHashes, seed))
+
+  def shingleHashSetPortableData(s: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(shingleHashSetPortable(s.toString, k))
+
   def winnowingData(s: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(winnowing(s.toString, k, w))
 

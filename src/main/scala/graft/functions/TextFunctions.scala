@@ -184,6 +184,16 @@ object TextFunctions {
   def winnowingFingerprintsPortable(text: Column, shingleSize: Int = 5, window: Int = 4): Column =
     toCol(WinnowingPortableExpr(toExpr(text), shingleSize, window))
 
+  /** Oracle-checkable MinHash signature (md5-base + affine permutations
+    * mod 2^31-1) — see TextAlgo.minhashPortableSig.
+    */
+  def minhashPortableSignature(text: Column, shingleSize: Int, numHashes: Int, seed: Long = 42L): Column =
+    toCol(MinhashPortableSigExpr(toExpr(text), shingleSize, numHashes, seed))
+
+  /** Oracle-checkable shingle hash set (md5-60) for exact-Jaccard verify. */
+  def shingleHashSetPortable(text: Column, shingleSize: Int): Column =
+    toCol(ShingleHashSetPortableExpr(toExpr(text), shingleSize))
+
   /** 64-bit SimHash over whitespace tokens: bit b of the output is the sign
     * of sum over tokens of (bit b of the token hash ? +1 : -1). Native
     * codegen'd expression ([[SimHash64Expr]], [[TextAlgo.simhash64]]).

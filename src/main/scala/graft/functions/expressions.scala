@@ -57,6 +57,45 @@ case class ShingleHashSetExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Portable MinHash signature (md5-base + affine permutations mod 2^31-1)
+  * — oracle-checkable twin of MinhashSigExpr; see
+  * TextAlgo.minhashPortableSig.
+  */
+case class MinhashPortableSigExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  require(k > 0 && numHashes > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_portable_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.minhashPortableSigData(input.asInstanceOf[UTF8String], k, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.minhashPortableSigData($c, $k, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashPortableSigExpr =
+    copy(child = newChild)
+}
+
+/** Sorted distinct md5-60 shingle hashes — portable twin of
+  * ShingleHashSetExpr.
+  */
+case class ShingleHashSetPortableExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set_portable"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.shingleHashSetPortableData(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.shingleHashSetPortableData($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetPortableExpr =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity of two sorted distinct array<long> columns. */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {

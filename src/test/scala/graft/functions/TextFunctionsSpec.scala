@@ -171,6 +171,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a.subsetOf(allShingleHashes))
   }
 
+  test("portable minhash: signature agreement estimates Jaccard; empty below k") {
+    val sig = TextFunctions.minhashPortableSignature(col("t"), shingleSize = 5, numHashes = 64)
+    val sets = TextFunctions.shingleHashSetPortable(col("t"), shingleSize = 5)
+    val base = "the quick brown fox jumps over the lazy dog and runs far away to the river bank"
+    val near = base + " with one extra tail phrase appended here"
+    val sa = one(sig, base).asInstanceOf[scala.collection.Seq[Long]]
+    val sb = one(sig, near).asInstanceOf[scala.collection.Seq[Long]]
+    val ha = one(sets, base).asInstanceOf[scala.collection.Seq[Long]].toSet
+    val hb = one(sets, near).asInstanceOf[scala.collection.Seq[Long]].toSet
+    val trueJ = (ha & hb).size.toDouble / (ha | hb).size
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+    assert(math.abs(est - trueJ) < 0.25, s"minhash estimate $est vs true $trueJ")
+    assert(trueJ > 0.5, "fixture texts should be genuinely similar")
+    // below shingle size -> empty signature
+    assert(one(sig, "ab").asInstanceOf[scala.collection.Seq[Long]].isEmpty)
+    // constants are seed-deterministic (the oracle embeds them as literals)
+    val (a1, b1) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
+    val (a2, b2) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
+    assert(a1.toSeq === a2.toSeq && b1.toSeq === b2.toSeq)
+    val p = 2147483647L
+    assert(a1.forall(a => a >= 1 && a < p) && b1.forall(b => b >= 0 && b < p))
+  }
+
   test("redactPii: typed placeholders, replacement-order safe") {
     val text = "mail bob.smith+x@corp.example.org from 192.168.1.77 or call 555-123-4567 x55"
     assert(one(TextFunctions.redactPii(col("t")), text) ===
