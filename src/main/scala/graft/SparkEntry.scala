@@ -792,6 +792,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q60: PORTABLE SimHash Hamming-ball near-dup — q24's block-LSH
+    // pipeline on a 60-bit md5-token SimHash DuckDB reproduces bit-for-bit
+    // (4 blocks x 15 bits; pigeonhole-complete for hamming <= 3)
+    "q60_simhash_portable" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.simhash60Portable(col("text")).as("sim"))
+      val blocks = sh.select(col("doc_id"), col("sim"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("blk"),
+              shiftrightunsigned(col("sim"), i * 15).bitwiseAND(lit(32767L)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sim"), col("bk.blk"), col("bk.key"))
+      val l = blocks.alias("sl")
+      val r = blocks.alias("sr")
+      l.join(r,
+          col("sl.blk") === col("sr.blk") && col("sl.key") === col("sr.key") &&
+            col("sl.doc_id") < col("sr.doc_id"))
+        .select(col("sl.doc_id").as("id_a"), col("sr.doc_id").as("id_b"),
+          bit_count(col("sl.sim").bitwiseXOR(col("sr.sim"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1301,6 +1324,28 @@ object SparkEntry {
       """SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q60_simhash_portable" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |th AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, b.b,
+        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim
+        |  FROM bits GROUP BY doc_id),
+        |blocks AS (SELECT doc_id, sim, blk.i AS blk, (sim >> (blk.i * 15)) & 32767 AS key
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) blk),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.sim, b.sim)) AS hamming
+        |  FROM blocks a JOIN blocks b
+        |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q59_minhash_portable" -> {
       val (as, bs) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
       val constRows = (0 until 32).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(",\n  ")

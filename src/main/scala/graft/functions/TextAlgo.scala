@@ -274,6 +274,53 @@ object TextAlgo {
   def minhashPortableSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =
     new GenericArrayData(minhashPortableSig(s.toString, k, numHashes, seed))
 
+  /** Portable 60-bit SimHash: whitespace tokens of the ASCII-lowercased
+    * text, token hash = md5-60, bit b of the output = 1 iff the sum over
+    * tokens of +-1 (per bit b of the token hash) is positive. 0 when the
+    * text has no tokens. Same sketch family as [[simhash64]] (which stays
+    * the production kernel) but byte-reproducible in SQL.
+    */
+  def simhash60Portable(text: String): Long = {
+    val counts = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var any = false
+    var start = -1
+    def flush(end: Int): Unit = if (start >= 0) {
+      val sb = new java.lang.StringBuilder(end - start)
+      var j = start
+      while (j < end) {
+        val c = text.charAt(j)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        j += 1
+      }
+      val h = md5Shingle60(md, sb.toString)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      any = true
+      start = -1
+    }
+    var i = 0
+    while (i < text.length) {
+      if (Character.isWhitespace(text.charAt(i))) flush(i)
+      else if (start < 0) start = i
+      i += 1
+    }
+    flush(text.length)
+    if (!any) return 0L
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhash60PortableStr(s: UTF8String): Long = simhash60Portable(s.toString)
+
   def shingleHashSetPortableData(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(shingleHashSetPortable(s.toString, k))
 

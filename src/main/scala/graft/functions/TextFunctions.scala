@@ -194,6 +194,11 @@ object TextFunctions {
   def shingleHashSetPortable(text: Column, shingleSize: Int): Column =
     toCol(ShingleHashSetPortableExpr(toExpr(text), shingleSize))
 
+  /** Oracle-checkable 60-bit SimHash (md5 token hashes) — see
+    * TextAlgo.simhash60Portable.
+    */
+  def simhash60Portable(c: Column): Column = toCol(SimHash60PortableExpr(toExpr(c)))
+
   /** 64-bit SimHash over whitespace tokens: bit b of the output is the sign
     * of sum over tokens of (bit b of the token hash ? +1 : -1). Native
     * codegen'd expression ([[SimHash64Expr]], [[TextAlgo.simhash64]]).

@@ -96,6 +96,23 @@ case class ShingleHashSetPortableExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Portable 60-bit SimHash (md5 token hashes) — oracle-checkable twin of
+  * SimHash64Expr; see TextAlgo.simhash60Portable.
+  */
+case class SimHash60PortableExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_portable"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.simhash60PortableStr(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.simhash60PortableStr($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60PortableExpr =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard similarity of two sorted distinct array<long> columns. */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -194,6 +194,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a1.forall(a => a >= 1 && a < p) && b1.forall(b => b >= 0 && b < p))
   }
 
+  test("portable simhash: near texts land close in hamming, far texts do not") {
+    val sh = TextFunctions.simhash60Portable(col("t"))
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val far = "completely unrelated legal boilerplate concerning maritime insurance claims"
+    val hb = one(sh, base).asInstanceOf[Long]
+    val hn = one(sh, near).asInstanceOf[Long]
+    val hf = one(sh, far).asInstanceOf[Long]
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hb, hn) < ham(hb, hf), s"near=${ham(hb, hn)} far=${ham(hb, hf)}")
+    assert(ham(hb, hn) <= 12)
+    // 60-bit: top 4 bits always clear; tokenless text -> 0
+    assert((hb >>> 60) === 0L && (hf >>> 60) === 0L)
+    assert(one(sh, "   ").asInstanceOf[Long] === 0L)
+  }
+
   test("redactPii: typed placeholders, replacement-order safe") {
     val text = "mail bob.smith+x@corp.example.org from 192.168.1.77 or call 555-123-4567 x55"
     assert(one(TextFunctions.redactPii(col("t")), text) ===
