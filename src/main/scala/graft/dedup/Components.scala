@@ -59,11 +59,17 @@ object Components {
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), col("component"))
-      val jump = labels.alias("a")
-        .join(labels.alias("b"), col("a.component") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.component").as("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(prop).union(jump)
+      // round 0 labels are identities, so label-of-label == label — the
+      // jump join is provably a no-op there; skip its join + shuffle
+      val contributions =
+        if (iter == 0) labels.select(col("id"), col("component")).union(prop)
+        else {
+          val jump = labels.alias("a")
+            .join(labels.alias("b"), col("a.component") === col("b.id"))
+            .select(col("a.id").as("id"), col("b.component").as("component"))
+          labels.select(col("id"), col("component")).union(prop).union(jump)
+        }
+      val next = contributions
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
       val curSum = labelSum(next)
