@@ -815,6 +815,88 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q61: benchmark decontamination (SURVEY+ L23) — docs with doc_id % 17
+    // == 3 play the held-out benchmark; training docs sharing any distinct
+    // word-5-gram with it are flagged with hit counts. The benchmark n-gram
+    // set broadcasts; the corpus match is map-side (no corpus shuffle).
+    "q61_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(pmod(col("doc_id"), lit(17)) === 3)
+      val train = docs.where(pmod(col("doc_id"), lit(17)) =!= 3)
+      graft.text.Decontaminate.overlapReport(train, bench, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q62: bloom-prefiltered exact anti-join (SURVEY+ L24) — strip from the
+    // non-src0 corpus every document whose normalized content fingerprint
+    // already appears in src0 (cross-source exact contamination). The bloom
+    // probe short-circuits definitely-clean rows past the join; the exact
+    // confirm restores plain-anti-join semantics, so the oracle is the
+    // plain anti-join.
+    "q62_bloom_antijoin" -> ((s, dir) => {
+      val fp = TextFunctions.fingerprint(col("text"))
+      val docs = t(s, dir, "documents").withColumn("__fp", fp)
+      val corpus = docs.where(col("source") =!= "src0")
+      val block = docs.where(col("source") === "src0").select(col("__fp"))
+      graft.etl.BloomFilters.antiJoin(corpus, "__fp", block, "__fp",
+          expectedItems = 20000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q63: chunk-granular exact substring dedup (SURVEY+ L25, Lee et al.
+    // 2021 at chunk granularity) — repeated 10-word chunks removed
+    // everywhere but their first (doc_id, position) occurrence, documents
+    // reassembled from the survivors.
+    "q63_chunk_dedup" -> ((s, dir) =>
+      graft.dedup.ChunkDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"))),
+
+    // q64: token-budget selection (SURVEY+ L26) — keep the highest-quality
+    // documents until 20% of the corpus token mass is spent. The running
+    // total is Packing's range-split cumsum (no single-partition window);
+    // the integer comparison cum*5 <= total sidesteps double-literal
+    // fraction drift between engines. The 1-row global-total broadcast is
+    // the allowed scalar-BNL pattern (q09/q17).
+    "q64_token_budget" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val total = scored.agg(sum(col("n_tokens")).as("__total"))
+      graft.etl.Packing
+        .withRunningTotal(scored, Seq(negate(col("quality")), col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .crossJoin(broadcast(total))
+        .where(col("cum_tokens") * 5 <= col("__total"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q65: KMeans document clustering profile (SURVEY+ L27) — cluster the
+    // embedding corpus with seeded bounded-sample KMeans (cost independent
+    // of corpus size), assign every vector map-side, report per-cluster
+    // size and mean distance-to-centroid. Trained centroids are captured
+    // for the oracle exactly like q37's.
+    "q65_kmeans_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val (cent, profile) = Similarity.kmeansClusterProfile(
+        emb, "vec_id", "embedding", dim = 64, k = 8)
+      q65Centroids = Some(cent)
+      profile.orderBy(col("cell"))
+    }),
+
+    // q66: exact-N stratified corpus sample (SURVEY+ L28) — exactly 60
+    // docs proportional over languages (largest-remainder quotas), rows
+    // picked by the portable md5 rank; salted two-level selection never
+    // ranks a whole stratum in one task.
+    "q66_stratified_sample" -> ((s, dir) =>
+      graft.etl.Stratified.exactProportionalSample(
+          t(s, dir, "documents"), "lang", "doc_id", total = 60L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -852,6 +934,33 @@ object SparkEntry {
     * run, the entry is simply absent and the driver records rows-only.
     */
   @volatile private var q37Centroids: Option[Seq[Double]] = None
+
+  /** q65's trained KMeans centroids, captured the same way as q37's. */
+  @volatile private var q65Centroids: Option[Seq[Double]] = None
+
+  /** DuckDB replica of the q65 cluster profile: assign each vector to the
+    * nearest trained centroid (list_distance ties to the lower cell id,
+    * matching the strict-< argmin), then the same quantized-integer mean
+    * distance. floor(dist*10000) quantization makes the sum exact in both
+    * engines regardless of accumulation order.
+    */
+  private def q65OracleSql(cent: Seq[Double]): String = {
+    val centRows = cent.grouped(64).zipWithIndex.map { case (c, i) =>
+      c.map(d => java.lang.Double.toString(d))
+        .mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent(cell, c) AS (VALUES
+       |  $centRows),
+       |d AS (SELECT e.vec_id, cent.cell, list_distance(e.v, cent.c) AS dist,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.v, cent.c), cent.cell) AS rk
+       |  FROM e CROSS JOIN cent),
+       |a AS (SELECT vec_id, cell, CAST(floor(dist * 10000) AS BIGINT) AS d10k FROM d WHERE rk = 1)
+       |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+       |  round((CAST(sum(d10k) AS DOUBLE) / count(*)) / 10000.0, 4) AS avg_dist
+       |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
 
   /** DuckDB replica of the IVF pipeline with the trained centroids as
     * literals: every vector ranks the 16 cells by euclidean distance
@@ -1551,5 +1660,96 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) ++
-    q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c))
+    q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c)) ++
+    q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
+    staticLlmOracles
+
+  /** Oracles for q61-q64 and q66 (static SQL — no captured constants). */
+  private def staticLlmOracles: Map[String, String] = Map(
+    "q61_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+        |    for i in range(1, greatest(len(w) - 3, 1))]) AS ng
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM n WHERE doc_id % 17 = 3),
+        |tr AS (SELECT doc_id, ng FROM n WHERE doc_id % 17 <> 3),
+        |ex AS (SELECT doc_id, unnest(ng) AS g FROM tr),
+        |h AS (SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN bench USING (g) GROUP BY ex.doc_id)
+        |SELECT tr.doc_id, CAST(len(tr.ng) AS BIGINT) AS n_ngrams, h.n_hits,
+        |  round(CASE WHEN len(tr.ng) = 0 THEN 0.0
+        |             ELSE CAST(h.n_hits AS DOUBLE) / len(tr.ng) END, 6) AS frac
+        |FROM tr JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q62_bloom_antijoin" ->
+      """WITH f AS (SELECT doc_id, lang, source,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM f
+        |WHERE source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM f b WHERE b.source = 'src0' AND b.fp = f.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "q63_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  [array_to_string(list_slice(w, i, i + 9), ' ')
+        |    for i in range(1, len(w) + 1, 10)] AS chunks
+        |  FROM w),
+        |e AS (SELECT doc_id, unnest(chunks) AS chunk, generate_subscripts(chunks, 1) AS idx FROM c),
+        |k AS (SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM e),
+        |kept AS (SELECT doc_id, idx, chunk FROM k WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+        |  coalesce(agg.n_kept, 0) AS n_kept, coalesce(agg.clean_text, '') AS clean_text
+        |FROM c LEFT JOIN agg USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+    "q64_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  round(CAST(
+        |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 10 AND 100000
+        |          THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
+        |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
+        |          THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |             / len(string_split_regex(trim(text), '\s+')) END) > 0.01
+        |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  sum(n_tokens) OVER () AS total
+        |  FROM s)
+        |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens * 5 <= total ORDER BY doc_id""".stripMargin,
+    "q66_stratified_sample" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |q0 AS (SELECT lang, c, (60 * c) // t AS base, (60 * c) % t AS rem FROM cnt, tot),
+        |deficit AS (SELECT 60 - sum(base) AS d FROM q0),
+        |q AS (SELECT lang,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= d
+        |                THEN 1 ELSE 0 END AS quota
+        |  FROM q0, deficit),
+        |r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.source
+        |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+        |ORDER BY r.doc_id""".stripMargin)
 }

@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-N stratified corpus sampling — "give me exactly `total` documents,
+  * proportionally across strata (language, source, domain), reproducibly".
+  * Sampling by fraction never lands on an exact budget; per-stratum quotas
+  * come from largest-remainder allocation (floor base + one extra to the
+  * strata with the biggest remainders — deterministic tie-break on rem
+  * DESC, then stratum value ASC), and row selection is a deterministic
+  * PORTABLE hash rank (first 8 md5 hex chars of the id as an integer), so
+  * the same rows are picked by any engine that can compute md5 — no RNG,
+  * no engine-specific hash.
+  *
+  * Scale: quota math runs on the per-stratum COUNT aggregate (tiny).
+  * Selection avoids ranking whole strata in one task each (the naive
+  * `row_number() OVER (PARTITION BY stratum)` puts an entire stratum in
+  * one partition): rows are salted into `saltBuckets` sub-groups, each
+  * sub-group keeps its own top-`quota` (the global top-`quota` is
+  * necessarily contained in the union), and the final exact rank runs over
+  * the <= saltBuckets * quota survivors — bounded by output size, not
+  * corpus size.
+  */
+object Stratified {
+
+  /** Portable deterministic per-row rank in [0, 2^32): integer value of the
+    * first 8 md5 hex chars of the id rendered as a decimal string —
+    * replayable in any SQL engine (`md5` is md5 everywhere).
+    */
+  def md5Rank(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Largest-remainder quotas: exact split of `total` proportional to
+    * per-stratum counts. Keys ordered by (remainder DESC, stratum ASC) get
+    * the `total - sum(base)` leftover units. Requires total <= sum(counts).
+    */
+  private[etl] def quotas(counts: Seq[(String, Long)], total: Long): Seq[(String, Long)] = {
+    val t = counts.map(_._2).sum
+    require(total <= t, s"cannot sample $total rows from $t")
+    require(counts.nonEmpty, "no strata")
+    val base = counts.map { case (k, c) => (k, total * c / t, (total * c) % t) }
+    val leftover = total - base.map(_._2).sum
+    val bumped = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .zipWithIndex
+      .map { case ((k, b, _), i) => (k, if (i < leftover) b + 1 else b) }
+    bumped.sortBy(_._1)
+  }
+
+  /** Exactly `total` rows of `df`, proportionally stratified over the
+    * string column `stratumCol`, rows chosen by [[md5Rank]] of `idCol`
+    * (ties by id). Adds nothing and drops nothing else — output schema is
+    * the input schema.
+    */
+  def exactProportionalSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      total: Long,
+      saltBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts: Seq[(String, Long)] = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val q = quotas(counts, total)
+    val qDf = broadcast(q.toDF(stratumCol, "__graft_quota"))
+
+    val originalCols = df.columns.toSeq
+    val rk = md5Rank(col(idCol))
+    val salted = df
+      .withColumn("__graft_rk", rk)
+      .withColumn("__graft_salt", pmod(col("__graft_rk"), lit(saltBuckets)).cast("int"))
+      .join(qDf, Seq(stratumCol))
+    // level 1: per (stratum, salt) top-quota — bounds survivors at
+    // saltBuckets * quota without ever ranking a full stratum in one task
+    val w1 = Window.partitionBy(col(stratumCol), col("__graft_salt"))
+      .orderBy(col("__graft_rk"), col(idCol))
+    // level 2: exact rank over the bounded survivor set
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__graft_rk"), col(idCol))
+    salted
+      .withColumn("__graft_rn1", row_number().over(w1))
+      .where(col("__graft_rn1") <= col("__graft_quota"))
+      .withColumn("__graft_rn2", row_number().over(w2))
+      .where(col("__graft_rn2") <= col("__graft_quota"))
+      .select(originalCols.map(col): _*)
+  }
+}

@@ -513,6 +513,42 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** Non-overlapping `n`-word chunks of the document in order (space-joined,
+    * last chunk may be shorter) — the unit of chunk-granular exact substring
+    * dedup ([[graft.dedup.ChunkDedup]]). Same whitespace tokenization as
+    * [[wordNgrams]], NOT distinct: position matters for reconstruction.
+    */
+  def wordChunks(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isJavaWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isJavaWs(str.charAt(i))) i += 1
+      if (i > start) words += str.substring(start, i)
+    }
+    if (words.isEmpty) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val nChunks = (words.length + n - 1) / n
+    val out = new Array[AnyRef](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      var j = c * n
+      val end = math.min(j + n, words.length)
+      while (j < end) {
+        if (j > c * n) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Count of lowercased whitespace tokens that are members of `set`, and
     * the total token count — the fused kernel behind stopwordRatio.
     * Returns (matches, tokens) packed in a long (matches << 32 | tokens).
@@ -569,6 +605,27 @@ object TextAlgo {
     * `centroids` is row-major (nLists x dim). Selection sort over the
     * distance array — nLists is small (hundreds), nProbe smaller.
     */
+  /** Euclidean distance to the NEAREST centroid (same scan order as
+    * [[nearestCentroids]]: index-ordered squared-diff accumulation, strict-<
+    * argmin) — the per-row cluster-quality term of
+    * [[graft.similarity.Similarity.kmeansClusterProfile]].
+    */
+  def nearestCentroidDist(vec: ArrayData, centroids: Array[Double], dim: Int): Double = {
+    val nLists = centroids.length / dim
+    val n = math.min(vec.numElements(), dim)
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nLists) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { val d = vec.getDouble(i) - centroids(off + i); s += d * d; i += 1 }
+      if (s < bestD) bestD = s
+      c += 1
+    }
+    math.sqrt(bestD)
+  }
+
   def nearestCentroids(vec: ArrayData, centroids: Array[Double], dim: Int, nProbe: Int): ArrayData = {
     val nLists = centroids.length / dim
     val n = math.min(vec.numElements(), dim)

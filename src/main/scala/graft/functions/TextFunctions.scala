@@ -49,6 +49,15 @@ object TextFunctions {
     toColN(WordNgramsExpr(toExprN(c), n))
   }
 
+  /** Non-overlapping word-n-chunks in document order (one compiled pass,
+    * [[WordChunksExpr]]) — the explode unit for chunk-granular exact
+    * substring dedup ([[graft.dedup.ChunkDedup]]).
+    */
+  def wordChunks(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColC, expression => toExprC}
+    toColC(WordChunksExpr(toExprC(c), n))
+  }
+
   /** Fraction of tokens that are (lowercased) English stopwords — one
     * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
     * a single tokenization, no interpreted array filter.

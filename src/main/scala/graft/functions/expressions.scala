@@ -225,6 +225,26 @@ case class WordNgramsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Non-overlapping n-word chunks of a string column as array<string> (in
+  * order, last chunk short) — the explode unit for chunk-granular exact
+  * substring dedup.
+  */
+case class WordChunksExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.wordChunks(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordChunks($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordChunksExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */
@@ -400,6 +420,30 @@ case class NearestCentroidsExpr(child: Expression, centroids: Seq[Double], dim: 
     defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.nearestCentroids($c, $ref, $dim, $nProbe)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+/** Euclidean distance to the nearest of the reference centroids (same
+  * argmin scan as [[NearestCentroidsExpr]]) — per-row cluster-quality term
+  * for KMeans cluster profiling.
+  */
+case class NearestCentroidDistExpr(child: Expression, centroids: Seq[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && centroids.nonEmpty && centroids.length % dim == 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_centroid_dist"
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.nearestCentroidDist(input.asInstanceOf[ArrayData], centArr, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.nearestCentroidDist($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDistExpr =
     copy(child = newChild)
 }
 

@@ -343,4 +343,40 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("cl.id").as("id_a"), col("cr.id").as("id_b"), col("cosine"))
   }
+
+  /** KMeans document clustering for corpus curation (cluster-balanced
+    * sampling, per-cluster dedup, topic pruning): train `k` centroids on a
+    * bounded seeded sample (see [[trainIvfCentroids]] — training cost is
+    * corpus-size-independent), assign EVERY vector to its nearest centroid
+    * in one compiled map-side pass, and profile clusters: size + mean
+    * distance-to-centroid. Returns (trained centroids, profile) so callers
+    * can reuse the model and an oracle can replay assignment from the
+    * centroid values.
+    *
+    * The per-row distance is quantized `floor(dist * 10000)` BEFORE the
+    * sum: integer summation is order-independent (double accumulation
+    * across an unordered shuffle is not), making the aggregate
+    * deterministic under any partitioning and engine-portable; the final
+    * division back to a mean costs one exact-int-to-double op per cluster.
+    * `vecCol` must already be array<double>.
+    */
+  def kmeansClusterProfile(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 8,
+      seed: Long = 42L): (Seq[Double], DataFrame) = {
+    import graft.functions.{NearestCentroidDistExpr, NearestCentroidsExpr}
+    val cent = trainIvfCentroids(corpus, idCol, vecCol, dim, nLists = k, seed = seed)
+    val cell = toCol(NearestCentroidsExpr(toExpr(col(vecCol)), cent, dim, 1)).getItem(0)
+    val dist = toCol(NearestCentroidDistExpr(toExpr(col(vecCol)), cent, dim))
+    val profile = corpus
+      .select(cell.as("cell"), floor(dist * 10000).cast("long").as("__d10k"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__d10k")).as("__sd"))
+      .select(col("cell"), col("n"),
+        round(col("__sd").cast("double") / col("n").cast("double") / 10000.0, 4).as("avg_dist"))
+    (cent, profile)
+  }
 }

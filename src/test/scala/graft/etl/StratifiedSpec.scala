@@ -1,0 +1,51 @@
+package graft.etl
+
+import graft.SparkSpec
+
+class StratifiedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quotas: largest remainder sums exactly, each within 1 of proportion") {
+    val counts = Seq(("a", 7L), ("b", 11L), ("c", 3L), ("d", 19L))
+    val q = Stratified.quotas(counts, 10L).toMap
+    assert(q.values.sum == 10L)
+    counts.foreach { case (k, c) =>
+      val exact = 10.0 * c / 40.0
+      assert(math.abs(q(k) - exact) < 1.0, s"stratum $k quota ${q(k)} vs exact $exact")
+    }
+  }
+
+  test("quotas tie-break: remainder desc then stratum asc") {
+    // counts 1,1,1,1 with total 2: all remainders equal -> first two strata
+    // in lexicographic order get the extra unit
+    val q = Stratified.quotas(Seq(("b", 1L), ("d", 1L), ("a", 1L), ("c", 1L)), 2L).toMap
+    assert(q == Map("a" -> 1L, "b" -> 1L, "c" -> 0L, "d" -> 0L))
+  }
+
+  test("exactProportionalSample returns exactly N, proportional per stratum") {
+    val df = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+    val out = Stratified.exactProportionalSample(df, "stratum", "id", total = 100L)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.values.sum == 100L)
+    assert(byStratum == Map("s0" -> 25L, "s1" -> 25L, "s2" -> 25L, "s3" -> 25L))
+  }
+
+  test("selection is deterministic and schema-preserving") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}", i * 2.5)).toDF("id", "stratum", "x")
+    val a = Stratified.exactProportionalSample(df, "stratum", "id", 50L)
+    val b = Stratified.exactProportionalSample(df, "stratum", "id", 50L)
+    assert(a.columns.toSeq == df.columns.toSeq)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    assert(a.count() == 50L)
+  }
+
+  test("salt buckets do not change the selected set") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
+    val a = Stratified.exactProportionalSample(df, "stratum", "id", 40L, saltBuckets = 1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val b = Stratified.exactProportionalSample(df, "stratum", "id", 40L, saltBuckets = 32)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
