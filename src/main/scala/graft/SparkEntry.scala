@@ -897,6 +897,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // q67: token-weighted language mixing (SURVEY+ L29) — each language
+    // consumes corpus token mass up to its weight share (en 4/10, fr 2/10,
+    // de 2/10, es 1/10, zh 1/10 of TOTAL tokens), documents admitted in
+    // portable-md5 order. The per-language running total is the grouped
+    // range-split cumsum — languages are few and huge, exactly the shape
+    // where Window.partitionBy(lang) would sort a third of the corpus in
+    // one task. All-integer budget test (cum*10 <= total*w10): no
+    // fraction-literal drift.
+    "q67_token_mix" -> ((s, dir) => {
+      import s.implicits._
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.etl.Stratified.md5Rank(col("doc_id")).as("__rk"))
+      val total = scored.agg(sum(col("n_tokens")).as("__total"))
+      val weights = broadcast(Seq(("en", 4), ("fr", 2), ("de", 2), ("es", 1), ("zh", 1))
+        .toDF("lang", "__w10"))
+      graft.etl.Packing
+        .withGroupedRunningTotal(scored, Seq("lang"), Seq(col("__rk"), col("doc_id")),
+          "n_tokens", "cum_tokens")
+        .join(weights, Seq("lang"))
+        .crossJoin(broadcast(total))
+        .where(col("cum_tokens") * 10 <= col("__total") * col("__w10"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sel"))
+        .orderBy(col("lang"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1735,6 +1763,22 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM r WHERE cum_tokens * 5 <= total ORDER BY doc_id""".stripMargin,
+    "q67_token_mix" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
+        |  FROM documents),
+        |t AS (SELECT sum(n_tokens) AS total FROM s),
+        |r AS (SELECT lang, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s),
+        |w(lang, w10) AS (VALUES ('en', 4), ('fr', 2), ('de', 2), ('es', 1), ('zh', 1)),
+        |sel AS (SELECT r.lang, r.n_tokens FROM r JOIN w USING (lang) CROSS JOIN t
+        |  WHERE r.cum * 10 <= t.total * w.w10)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sel
+        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
     "q66_stratified_sample" ->
       """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
         |tot AS (SELECT sum(c) AS t FROM cnt),

@@ -29,6 +29,35 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq === Seq(0L, 0L, 0L, 1L, 1L))
   }
 
+  test("withGroupedRunningTotal matches per-group driver cumsum") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 4000).map(i => (i.toLong, s"g${i % 3}", rng.nextInt(100) + 1))
+    val df = rows.toDF("id", "g", "w").repartition(17)
+    val got = Packing
+      .withGroupedRunningTotal(df, Seq("g"), Seq(col("id")), "w", "cum")
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    rows.sortBy(_._1).foreach { case (id, g, w) =>
+      val c = acc.getOrElse(g, 0L) + w
+      acc(g) = c
+      assert(got((g, id)) === c, s"grouped running total diverged at ($g, $id)")
+    }
+  }
+
+  test("withGroupedRunningTotal is stable under partitioning and range count") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => (i.toLong, s"g${i % 2}", i % 7 + 1))
+    val df = rows.toDF("id", "g", "w")
+    val a = Packing.withGroupedRunningTotal(df, Seq("g"), Seq(col("id")), "w", "cum")
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Packing.withGroupedRunningTotal(df.repartition(23), Seq("g"), Seq(col("id")), "w", "cum",
+        numPartitions = 5)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("sequence ids are dense from 0 and stable under repartitioning") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
