@@ -231,4 +231,104 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Streaming MinHash-LSH near-duplicate pairs within an event-time
+    * horizon — the incremental twin of [[minhashCandidatePairs]] for
+    * continuous ingestion: every arriving document is compared against the
+    * documents that shared one of its LSH band buckets within the
+    * watermark, and a pair is emitted when the SIGNATURE-AGREEMENT Jaccard
+    * estimate (matching minhash positions / numHashes — the standard
+    * streaming proxy; exact shingle verification would mean keeping full
+    * texts in state) reaches `threshold`.
+    *
+    * State shape: one group per (band, bucket) holding at most
+    * `maxBucketState` (id, signature, ts) entries inside the horizon —
+    * fixed-width sketches only, watermark-evicted via event-time timeouts,
+    * so state size follows bucket occupancy within the horizon, never the
+    * stream length; `maxBucketState` is the boilerplate-bucket skew guard
+    * (the streaming analogue of the batch path's hot-key anti-join). A
+    * pair sharing several bands is emitted by each — collapse downstream
+    * (a batch distinct after the sink, or Set semantics at the consumer);
+    * Spark does not allow a second stateful dedup after
+    * flatMapGroupsWithState. In batch execution the same call degrades to
+    * per-bucket within-batch pairing (no state, no timeouts).
+    */
+  def streamingNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      eventTimeCol: String,
+      delayMs: Long,
+      threshold: Double = 0.8,
+      shingleSize: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      maxBucketState: Int = 256): org.apache.spark.sql.Dataset[StreamNearDupPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val sig = TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes, seed)
+    val withSig = df
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"), col(eventTimeCol).as("__et"))
+      .where(size(col("sig")) > 0)
+      .withWatermark("__et", s"$delayMs milliseconds")
+    val bandKeys = explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket"))))
+    val exploded = withSig
+      .select(col("id"), col("sig"), unix_millis(col("__et")).as("ts_ms"),
+        bandKeys.as("bk"), col("__et"))
+      .select(col("id"), col("sig"), col("ts_ms"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("__et"))
+      .as[(Long, Seq[Long], Long, Int, Long, java.sql.Timestamp)]
+    val streaming = df.isStreaming
+    exploded
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[MinhashBucketState, StreamNearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[MinhashBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreamNearDupPair]
+            rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (id, s, ts, _, _, _) =>
+              entries.foreach { e =>
+                if (e.id != id) {
+                  var m = 0
+                  var i = 0
+                  val n = math.min(e.sig.length, s.length)
+                  while (i < n) { if (e.sig(i) == s(i)) m += 1; i += 1 }
+                  val est = if (numHashes == 0) 0.0 else m.toDouble / numHashes
+                  if (est >= threshold)
+                    out += StreamNearDupPair(math.min(e.id, id), math.max(e.id, id),
+                      est, math.max(e.tsMs, ts))
+                }
+              }
+              entries = (MinhashBucketEntry(id, s, ts) :: entries).take(maxBucketState)
+            }
+            if (entries.nonEmpty) {
+              state.update(MinhashBucketState(entries))
+              if (streaming) {
+                val horizon = entries.map(_.tsMs).max + delayMs
+                state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+              }
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
+      }
+  }
 }
+
+/** One (id, minhash signature, event-time ms) resident in a band bucket. */
+case class MinhashBucketEntry(id: Long, sig: Seq[Long], tsMs: Long)
+
+/** Per-(band, bucket) streaming dedup state: in-horizon sketch entries. */
+case class MinhashBucketState(entries: List[MinhashBucketEntry])
+
+/** Emitted near-dup candidate: normalized pair + estimated Jaccard. */
+case class StreamNearDupPair(id_a: Long, id_b: Long, est_jaccard: Double, ts_ms: Long)

@@ -54,6 +54,64 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupPairs pairs near-dups across micro-batches within the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ckpt").toString
+    val t0 = 1000000000L
+    val base = "the quick brown fox jumps over the lazy dog again and again in the morning light"
+    val stream = source.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = Dedup.streamingNearDupPairs(stream, "text", "doc_id", "ts",
+        delayMs = 600000L, threshold = 0.8)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_snd")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      source.addData((1L, base, t0), (2L, "completely different content about spark plans", t0 + 10))
+      q.processAllAvailable()
+      // identical doc in a LATER micro-batch inside the horizon: pair found
+      // via state (proves cross-batch matching, not within-batch)
+      source.addData((3L, base, t0 + 60000))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id_a, id_b, est_jaccard FROM t_snd").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pairs.contains((1L, 3L)), s"expected (1,3) in ${pairs.keySet}")
+      assert(pairs((1L, 3L)) === 1.0)
+      assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L },
+        "unrelated doc must not pair")
+      // far beyond the horizon: watermark advances, old state evicts, the
+      // same content pairs with nothing
+      source.addData((9L, "advance the watermark far beyond everything here", t0 + 100 * 600000L))
+      q.processAllAvailable()
+      source.addData((4L, base, t0 + 101 * 600000L))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT id_a, id_b FROM t_snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.exists { case (a, b) => b == 4L || a == 4L },
+        s"doc 4 arrived after eviction and must not pair, got $after")
+    } finally q.stop()
+  }
+
+  test("streamingNearDupPairs batch fallback pairs within-batch near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the morning light"
+    import spark.implicits._
+    val df = Seq(
+      (1L, base, 1000000000L),
+      (2L, base + " extra", 1000000100L),
+      (3L, "unrelated words entirely disjoint from anything else written here today", 1000000200L))
+      .toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val pairs = Dedup.streamingNearDupPairs(df, "text", "doc_id", "ts",
+        delayMs = 600000L, threshold = 0.5)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("streamingExactDedup batch fallback dedups by fingerprint") {
     val out = Dedup.streamingExactDedup(
       docs.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
