@@ -25,17 +25,38 @@ object Export {
   /** Write `df` under `path` as parquet partitioned by `partitionCols`,
     * each file at most `maxRecordsPerFile` rows, rows inside every file
     * ordered by `orderCols`.
+    *
+    * `shardsPerPartition` > 1 spreads each partition VALUE over that many
+    * writer tasks (deterministic hash of `orderCols`, so shard assignment
+    * is stable across retries): with the default 1, a partition value that
+    * holds half the corpus funnels through one task — `maxRecordsPerFile`
+    * would roll its files but serially. The salt column never reaches the
+    * output schema; per-file ordering is preserved because the sort runs
+    * after the salted repartition.
     */
   def writeSharded(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
       orderCols: Seq[Column],
-      maxRecordsPerFile: Int): Unit = {
+      maxRecordsPerFile: Int,
+      shardsPerPartition: Int = 1,
+      numWriters: Int = 0): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    df.repartition(partitionCols.map(col): _*)
+    require(shardsPerPartition > 0, "shardsPerPartition must be positive")
+    val salt = "__graft_shard"
+    val salted = df.withColumn(salt,
+      pmod(xxhash64(orderCols: _*), lit(shardsPerPartition)))
+    // explicit numWriters pins the writer-task count (AQE coalescing would
+    // otherwise merge small shuffle partitions back together — right for
+    // queries, wrong when the goal IS parallel writers / bounded files)
+    val partitioned =
+      if (numWriters > 0) salted.repartition(numWriters, (partitionCols :+ salt).map(col): _*)
+      else salted.repartition((partitionCols :+ salt).map(col): _*)
+    partitioned
       .sortWithinPartitions(partitionCols.map(col) ++ orderCols: _*)
+      .drop(salt)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)

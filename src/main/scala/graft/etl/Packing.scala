@@ -63,8 +63,9 @@ object Packing {
     * like [[withRunningTotal]].
     *
     * Contract: `groupCols` must be LOW-cardinality (driver holds
-    * |groups| x ranges sums — sources, languages, shards; NOT user ids).
-    * For high-cardinality groups use the plain partitioned window: each
+    * |groups| x ranges sums — sources, languages, shards; NOT user ids)
+    * and NULL-free (the offset equi-join drops null keys). For
+    * high-cardinality groups use the plain partitioned window: each
     * group is small, which is precisely when the window is already safe.
     * `orderCols` must total-order rows within a group.
     */

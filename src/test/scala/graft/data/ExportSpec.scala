@@ -38,4 +38,23 @@ class ExportSpec extends SparkSpec {
     assert(back.count() == 2000)
     assert(back.select(sum($"doc_id")).as[Long].head() == rows.map(_._1).sum)
   }
+
+  test("shardsPerPartition spreads a hot partition over parallel writers") {
+    // one hot partition value holding everything
+    val df = (0 until 1200).map(i => (i.toLong, "hot", s"doc $i")).toDF("doc_id", "lang", "text")
+    val out = Files.createTempDirectory("graft_export_hot").toString
+    // explicit numWriters: AQE would otherwise coalesce these tiny test
+    // shuffle partitions back into one writer, which is exactly the
+    // behavior numWriters exists to override
+    Export.writeSharded(df, out, Seq("lang"), Seq(col("doc_id")),
+      maxRecordsPerFile = 10000, shardsPerPartition = 16, numWriters = 8)
+    val files = new java.io.File(s"$out/lang=hot").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$out/lang=hot/${f.getName}")
+    assert(files.length >= 2, "hot partition should be written by multiple shards")
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select($"doc_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"$f not sorted within shard")
+    }
+    assert(spark.read.parquet(out).count() == 1200)
+  }
 }
