@@ -1708,8 +1708,7 @@ object SparkEntry {
         |ex AS (SELECT doc_id, unnest(ng) AS g FROM tr),
         |h AS (SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN bench USING (g) GROUP BY ex.doc_id)
         |SELECT tr.doc_id, CAST(len(tr.ng) AS BIGINT) AS n_ngrams, h.n_hits,
-        |  round(CASE WHEN len(tr.ng) = 0 THEN 0.0
-        |             ELSE CAST(h.n_hits AS DOUBLE) / len(tr.ng) END, 6) AS frac
+        |  round(CAST(h.n_hits AS DOUBLE) / len(tr.ng), 6) AS frac
         |FROM tr JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q62_bloom_antijoin" ->
       """WITH f AS (SELECT doc_id, lang, source,

@@ -32,26 +32,30 @@ object ChunkDedup {
     * FIRST occurrence of its exact content, ordered by (doc_id, position).
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val chunks = df.select(
-        col(idCol),
-        posexplode(TextFunctions.wordChunks(col(textCol), n)).as(Seq("__idx", "__chunk")))
-    val winners = chunks
+    // ONE chunking pass: n_chunks rides along the exploded rows
+    // (posexplode_outer keeps zero-chunk docs as a null-chunk row, so no
+    // second scan and no re-join against the source is needed)
+    val chunksArr = TextFunctions.wordChunks(col(textCol), n)
+    val exploded = df.select(
+      col(idCol),
+      size(chunksArr).cast("long").as("n_chunks"),
+      posexplode_outer(chunksArr).as(Seq("__idx", "__chunk")))
+    val winners = exploded
+      .where(col("__chunk").isNotNull)
       .groupBy(col("__chunk"))
       .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
-    val kept = chunks
-      .join(winners, Seq("__chunk"))
-      .where(struct(col(idCol), col("__idx")) === col("__w"))
-    val rebuilt = kept
+    // null chunks find no winner (left join) -> __keep is null -> dropped
+    // by both the count and the collect
+    val keep = struct(col(idCol), col("__idx")) === col("__w")
+    exploded
+      .join(winners, Seq("__chunk"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_kept"),
+        max(col("n_chunks")).as("n_chunks"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         array_join(
-          sort_array(collect_list(struct(col("__idx"), col("__chunk"))))("__chunk"),
+          sort_array(collect_list(when(keep, struct(col("__idx"), col("__chunk")))))("__chunk"),
           " ").as("clean_text"))
-    df.select(col(idCol),
-        size(TextFunctions.wordChunks(col(textCol), n)).cast("long").as("n_chunks"))
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("clean_text"))
   }
 }

@@ -54,7 +54,10 @@ object BloomFilters {
     val bl = blocklist.select(col(blKeyCol).as(keyCol))
     val bloom = build(bl, keyCol, expectedItems, fpp)
     val probe = mightContain(bloom, col(keyCol))
-    val definitelyClean = corpus.where(!probe)
+    // NULL keys probe NULL: route them with the definitely-clean rows —
+    // left_anti keeps null-key rows (NULL never equals a blocklist key),
+    // and the equals-plain-anti-join contract must hold for them too
+    val definitelyClean = corpus.where(probe.isNull || !probe)
     val confirmed = corpus.where(probe).join(bl, Seq(keyCol), "left_anti")
     definitelyClean.unionByName(confirmed)
   }

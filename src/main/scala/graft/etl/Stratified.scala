@@ -25,12 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Stratified {
 
-  /** Portable deterministic per-row rank in [0, 2^32): integer value of the
-    * first 8 md5 hex chars of the id rendered as a decimal string —
-    * replayable in any SQL engine (`md5` is md5 everywhere).
+  /** Portable deterministic per-row rank in [0, 2^32) — [[Mixing.hashU32]]
+    * with an empty salt (md5(id || "") == md5(id)), kept as ONE definition
+    * so the portable-hash convention cannot drift between the sampling
+    * families.
     */
-  def md5Rank(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+  def md5Rank(id: Column): Column = Mixing.hashU32(id, "")
 
   /** Largest-remainder quotas: exact split of `total` proportional to
     * per-stratum counts. Keys ordered by (remainder DESC, stratum ASC) get

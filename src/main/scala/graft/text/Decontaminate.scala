@@ -40,19 +40,20 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
       .distinct()
-    val docGrams = train.select(col(idCol),
-      TextFunctions.wordNgrams(col(textCol), n).as("__ng"))
-    val hits = docGrams
-      .select(col(idCol), explode(col("__ng")).as("__g"))
-      .join(broadcast(benchGrams), "__g")
+      .withColumn("__hit", lit(1))
+    // ONE tokenization pass: the exploded distinct n-grams left-join the
+    // broadcast bench set with a hit marker, then n_ngrams (count of
+    // exploded grams — wordNgrams is already distinct) and n_hits fall out
+    // of the same per-doc aggregate. Docs in the report always have
+    // n_ngrams >= 1 by construction (a hit requires an n-gram).
+    train
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
-    docGrams
-      .select(col(idCol), size(col("__ng")).cast("long").as("n_ngrams"))
-      .join(hits, Seq(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hits"))
+      .where(col("n_hits") > 0)
       .withColumn("frac",
-        when(col("n_ngrams") === 0, lit(0.0))
-          .otherwise(round(col("n_hits").cast("double") / col("n_ngrams").cast("double"), 6)))
+        round(col("n_hits").cast("double") / col("n_ngrams").cast("double"), 6))
   }
 
   /** The corpus with contaminated documents REMOVED — `overlapReport`'s
