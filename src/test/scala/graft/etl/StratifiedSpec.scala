@@ -22,6 +22,23 @@ class StratifiedSpec extends SparkSpec {
     assert(q == Map("a" -> 1L, "b" -> 1L, "c" -> 0L, "d" -> 0L))
   }
 
+  test("quotas property sweep: 500 random allocations are exact and fair") {
+    val rng = new scala.util.Random(97)
+    (0 until 500).foreach { i =>
+      val nStrata = rng.nextInt(8) + 1
+      val counts = (0 until nStrata).map(j => (s"s$j", rng.nextInt(1000) + 1L))
+      val totalRows = counts.map(_._2).sum
+      val total = rng.nextInt(totalRows.toInt) + 1L
+      val q = Stratified.quotas(counts, total).toMap
+      assert(q.values.sum == total, s"case $i: sum ${q.values.sum} != $total")
+      counts.foreach { case (k, c) =>
+        val exact = total.toDouble * c / totalRows
+        assert(q(k) >= 0 && q(k) <= c, s"case $i: quota ${q(k)} outside [0, $c]")
+        assert(math.abs(q(k) - exact) < 1.0, s"case $i: quota ${q(k)} vs exact $exact")
+      }
+    }
+  }
+
   test("exactProportionalSample returns exactly N, proportional per stratum") {
     val df = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
     val out = Stratified.exactProportionalSample(df, "stratum", "id", total = 100L)
