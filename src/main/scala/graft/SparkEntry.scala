@@ -925,6 +925,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // q68: bigram-LM cross-entropy (SURVEY+ L32) — one conditioning level
+    // beyond q57: P(w2|w1) add-one smoothed from corpus bigram counts.
+    "q68_bigram_xent" -> ((s, dir) =>
+      graft.text.UnigramLm.bigramCrossEntropy(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        .select(col("doc_id"), col("n_bigrams"), round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1762,6 +1770,25 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM r WHERE cum_tokens * 5 <= total ORDER BY doc_id""".stripMargin,
+    "q68_bigram_xent" ->
+      """WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM raw),
+        |tk AS (SELECT doc_id, term, pos FROM tok WHERE term <> ''),
+        |bg AS (SELECT doc_id, term AS w1,
+        |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk),
+        |b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tk),
+        |p AS (SELECT c2.w1, c2.w2,
+        |    CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE) AS prob
+        |  FROM c2 JOIN c1 USING (w1))
+        |SELECT tf2.doc_id, CAST(sum(tf2.tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf2.tf * -ln(p.prob)) / sum(tf2.tf), 6) AS xent
+        |FROM tf2 JOIN p ON tf2.w1 = p.w1 AND tf2.w2 = p.w2
+        |GROUP BY tf2.doc_id ORDER BY tf2.doc_id""".stripMargin,
     "q67_token_mix" ->
       """WITH s AS (SELECT doc_id, lang,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -52,6 +52,34 @@ class SearchLmSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - -math.log(0.4)) < 1e-12)
   }
 
+  test("bigram cross-entropy: hand-computed add-one smoothing") {
+    import spark.implicits._
+    // corpus bigrams: doc0 "a b a b" -> (a,b) x2, (b,a) x1; doc1 "a b"
+    // -> (a,b). c2(a,b)=3, c2(b,a)=1; c1(a)=3, c1(b)=1; V=2 (vocab {a,b})
+    // p(b|a) = (3+1)/(3+2) = 0.8; p(a|b) = (1+1)/(1+2) = 2/3
+    val docs = Seq((0L, "a b a b"), (1L, "a b")).toDF("id", "body")
+    val out = UnigramLm.bigramCrossEntropy(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 === 3L)
+    val want0 = (2 * -math.log(0.8) + 1 * -math.log(2.0 / 3)) / 3
+    assert(math.abs(out(0L)._2 - want0) < 1e-12)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - -math.log(0.8)) < 1e-12)
+  }
+
+  test("bigram cross-entropy separates templated transitions from shuffled noise") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vocab = ('a' to 'j').map(_.toString)
+    val template = (0 until 40).map(i => vocab(i % 4)).mkString(" ")
+    val docs = (0 until 20).map(i => (i.toLong, template)) :+
+      (99L, (0 until 40).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val out = UnigramLm.bigramCrossEntropy(docs.toDF("id", "body"), "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(0L) * 2,
+      s"shuffled doc ${out(99L)} should far exceed templated ${out(0L)}")
+  }
+
   test("unigram cross-entropy ranks rare-token docs above boilerplate") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, "the common words again and again")) :+
