@@ -925,6 +925,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // q69: canonical document per near-dup cluster (SURVEY+ L33) — closes
+    // the dedup loop: q41's exact-Jaccard pairs -> connected components ->
+    // keep the highest-quality doc per cluster (ties to the lower id).
+    // The winner rank is a window PARTITIONED BY component (components are
+    // tiny — the safe high-cardinality window case).
+    "q69_canonical_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = queries("q41_jaccard_pairs")(s, dir).select(col("id_a"), col("id_b"))
+      val comps = graft.dedup.Components.connectedComponents(
+          pairs, "id_a", "id_b", docs.select(col("doc_id")), "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+      val quality = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component")).orderBy(col("quality").desc, col("doc_id"))
+      comps.join(quality, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+        .where(col("rn") === 1)
+        .select(col("component"), col("n_docs"), col("doc_id").as("keep_id"), col("quality"))
+        .orderBy(col("component"))
+    }),
+
     // q68: bigram-LM cross-entropy (SURVEY+ L32) — one conditioning level
     // beyond q57: P(w2|w1) add-one smoothed from corpus bigram counts.
     "q68_bigram_xent" -> ((s, dir) =>
@@ -1770,6 +1794,54 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM r WHERE cum_tokens * 5 <= total ORDER BY doc_id""".stripMargin,
+    "q69_canonical_docs" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+        |    for i in range(1, greatest(len(w) - 3, 1))]) AS ng,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+        |    for i in range(1, greatest(len(w) - 6, 1))]) AS blk
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(blk) AS b8 FROM n),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
+        |pr AS (SELECT c.id_a, c.id_b,
+        |  len(list_intersect(na.ng, nb.ng)) AS i,
+        |  len(list_distinct(list_concat(na.ng, nb.ng))) AS u
+        |  FROM cand c JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id),
+        |p AS (SELECT id_a, id_b FROM pr
+        |  WHERE round(CASE WHEN u = 0 THEN 0.0 ELSE CAST(i AS DOUBLE) / u END, 6) >= 0.2),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM p UNION ALL SELECT id_b AS s, id_a AS t FROM p),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT edges.t, reach.lab FROM reach JOIN edges ON reach.id = edges.s),
+        |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  round(CAST(
+        |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 10 AND 100000
+        |          THEN 0.4 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
+        |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
+        |          THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |             / len(string_split_regex(trim(text), '\s+')) END) > 0.01
+        |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+        |  FROM documents),
+        |j AS (SELECT comp.component, comp.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY q.quality DESC, comp.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY comp.component) AS n_docs
+        |  FROM comp JOIN q USING (doc_id))
+        |SELECT component, n_docs, doc_id AS keep_id, quality
+        |FROM j WHERE rn = 1 ORDER BY component""".stripMargin,
     "q68_bigram_xent" ->
       """WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS a FROM documents),
         |tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM raw),
