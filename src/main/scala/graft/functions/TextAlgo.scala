@@ -549,6 +549,37 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** All consecutive token bigrams of the document in order (space-joined,
+    * NON-distinct — counts matter for LM estimation), tokenized exactly
+    * like `split(lower(text), "[^a-z0-9]+")`: lowercase (ASCII A-Z — the
+    * corpus assumption shared with the portable kernels), tokens are runs
+    * of [a-z0-9]. A compiled map-side pass replacing the
+    * posexplode + per-doc lead-window plan, which shuffled the full token
+    * stream once before any aggregation.
+    */
+  def wordBigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = str.length
+    while (i <= len) {
+      val c = if (i < len) str.charAt(i) else ' '
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (toks.length < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[AnyRef](toks.length - 1)
+    var j = 0
+    while (j < toks.length - 1) {
+      out(j) = UTF8String.fromString(toks(j) + " " + toks(j + 1))
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Count of lowercased whitespace tokens that are members of `set`, and
     * the total token count — the fused kernel behind stopwordRatio.
     * Returns (matches, tokens) packed in a long (matches << 32 | tokens).

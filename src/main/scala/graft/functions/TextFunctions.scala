@@ -58,6 +58,14 @@ object TextFunctions {
     toColC(WordChunksExpr(toExprC(c), n))
   }
 
+  /** All consecutive token bigrams (lowercased-alnum tokenization,
+    * non-distinct, one compiled pass — [[WordBigramsExpr]]).
+    */
+  def wordBigrams(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColB, expression => toExprB}
+    toColB(WordBigramsExpr(toExprB(c)))
+  }
+
   /** Fraction of tokens that are (lowercased) English stopwords — one
     * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
     * a single tokenization, no interpreted array filter.

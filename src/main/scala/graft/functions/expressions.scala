@@ -245,6 +245,24 @@ case class WordChunksExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All consecutive lowercased-alnum token bigrams as array<string> (in
+  * order, non-distinct) — map-side bigram stream for LM estimation.
+  */
+case class WordBigramsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.wordBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */

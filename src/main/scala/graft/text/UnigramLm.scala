@@ -46,32 +46,29 @@ object UnigramLm {
     * n=5. Repetitive/templated text collapses toward its own transitions
     * and scores near zero; shuffled-word noise scores near ln(V).
     *
-    * Plan: token positions -> `lead` window PARTITIONED BY doc (documents
-    * are bounded, so per-doc windows are the safe high-cardinality case)
-    * -> bigram tf [shuffle on uniform (doc, w1, w2)] -> corpus bigram
-    * counts -> prefix counts aggregated FROM the bigram counts (one row
-    * per distinct bigram, not per occurrence) -> probs join back. V (the
-    * unigram vocabulary) and nothing else reaches the driver.
+    * Plan: a COMPILED map-side bigram kernel
+    * ([[graft.functions.WordBigramsExpr]] — the first cut shuffled the
+    * whole token stream through a per-doc lead window just to pair
+    * neighbors) -> bigram tf [shuffle on the uniform (doc, bigram) key] ->
+    * corpus bigram counts -> prefix counts aggregated FROM the bigram
+    * counts (one row per distinct bigram, not per occurrence) -> probs
+    * join back. V (the unigram vocabulary) and nothing else reaches the
+    * driver.
     */
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "term")))
-      .where(col("term") =!= "")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("w2", lead(col("term"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("doc_id"), col("term").as("w1"), col("w2"))
-    val tf2 = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
-    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = toks.select(col("term")).distinct().count()
-    val probs = c2.join(c1, "w1")
-      .select(col("w1"), col("w2"),
+    val bigrams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.wordBigrams(col(textCol))).as("bg"))
+    val tf2 = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = df.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .where(col("term") =!= "").select(col("term")).distinct().count()
+    val probs = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .select(col("bg"),
         ((col("c2") + lit(1)).cast("double") / (col("c1") + lit(v)).cast("double")).as("prob"))
-    tf2.join(probs, Seq("w1", "w2"))
+    tf2.join(probs, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_bigrams"),
