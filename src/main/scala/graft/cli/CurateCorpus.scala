@@ -20,7 +20,7 @@ import graft.text.Decontaminate
   * {{{
   * runMain graft.cli.CurateCorpus <inDir> <outDir>
   *   [--min-quality 0.7] [--chunk-words 10] [--bench-mod 17]
-  *   [--ngram 5] [--max-per-file 100000] [--report]
+  *   [--ngram 5] [--max-per-file 100000]
   * }}}
   *
   * Stages (each a constant number of shuffles, none quadratic):
@@ -36,9 +36,13 @@ import graft.text.Decontaminate
 object CurateCorpus {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n] [--report]")
+      "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n]")
     val inDir = args(0)
     val outDir = args(1)
+    val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file")
+    val flagArgs = args.drop(2)
+    require(flagArgs.length % 2 == 0 && flagArgs.grouped(2).forall(p => known(p(0))),
+      s"unrecognized or value-less flag in ${flagArgs.mkString(" ")}; known: ${known.toSeq.sorted.mkString(", ")}")
     def opt(flag: String, default: String): String =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }.getOrElse(default)
     val minQuality = opt("--min-quality", "0.7").toDouble
@@ -62,7 +66,12 @@ object CurateCorpus {
   }
 
   /** The pipeline body, separated for testing: returns per-stage row
-    * counts and writes the sharded export under `outDir`.
+    * counts and writes the sharded export under `outDir`. Each counted
+    * stage is `localCheckpoint`ed: the count action and every downstream
+    * stage read the materialized result instead of re-running the whole
+    * upstream chain (without it the chunk-dedup aggregate alone would
+    * execute four times — for its own count, the decontamination stages,
+    * and the export).
     */
   def run(
       docs: DataFrame,
@@ -76,10 +85,11 @@ object CurateCorpus {
 
     // 1. quality gate — cheapest filter first, map-side only
     val quality = docs.where(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .localCheckpoint()
     val nQuality = quality.count()
 
     // 2. exact dedup — one shuffle on uniform fingerprint keys
-    val exact = Dedup.exact(quality, "text", "doc_id")
+    val exact = Dedup.exact(quality, "text", "doc_id").localCheckpoint()
     val nExact = exact.count()
 
     // 3. chunk-granular substring dedup; drop docs left with no content
@@ -89,12 +99,14 @@ object CurateCorpus {
     val chunked = exact.drop("text", "n_chars")
       .join(spans, Seq("doc_id"))
       .withColumnRenamed("clean_text", "text")
+      .localCheckpoint()
     val nChunked = chunked.count()
 
     // 4. decontamination against the held-out benchmark slice
     val bench = chunked.where(pmod(col("doc_id"), lit(benchMod)) === benchMod - 1)
     val train = chunked.where(pmod(col("doc_id"), lit(benchMod)) =!= benchMod - 1)
     val clean = Decontaminate.removeContaminated(train, bench, "doc_id", "text", ngram)
+      .localCheckpoint()
     val nClean = clean.count()
 
     // 5. deterministic split assignment (engine- and retry-stable)

@@ -557,8 +557,7 @@ object TextAlgo {
     * posexplode + per-doc lead-window plan, which shuffled the full token
     * stream once before any aggregation.
     */
-  def wordBigrams(s: UTF8String): ArrayData = {
-    val str = s.toString
+  private def asciiTokenize(str: String): scala.collection.mutable.ArrayBuffer[String] = {
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -570,6 +569,22 @@ object TextAlgo {
       else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
       i += 1
     }
+    toks
+  }
+
+  /** Lowercased-alnum tokens in order (non-distinct) — the tokenization
+    * shared with [[wordBigrams]] so LM vocabulary and bigram streams agree.
+    */
+  def asciiTokens(s: UTF8String): ArrayData = {
+    val toks = asciiTokenize(s.toString)
+    val out = new Array[AnyRef](toks.length)
+    var j = 0
+    while (j < toks.length) { out(j) = UTF8String.fromString(toks(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  def wordBigrams(s: UTF8String): ArrayData = {
+    val toks = asciiTokenize(s.toString)
     if (toks.length < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
     val out = new Array[AnyRef](toks.length - 1)
     var j = 0

@@ -66,6 +66,12 @@ object TextFunctions {
     toColB(WordBigramsExpr(toExprB(c)))
   }
 
+  /** Lowercased-alnum tokens (same tokenization as [[wordBigrams]]). */
+  def asciiTokens(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColT, expression => toExprT}
+    toColT(AsciiTokensExpr(toExprT(c)))
+  }
+
   /** Fraction of tokens that are (lowercased) English stopwords — one
     * compiled pass ([[TokenSetStatsExpr]]): match count and token count in
     * a single tokenization, no interpreted array filter.

@@ -245,6 +245,25 @@ case class WordChunksExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Lowercased-alnum tokens of a string column as array<string> (in order,
+  * non-distinct) — the SAME tokenization as [[WordBigramsExpr]], so
+  * vocabulary counts and bigram streams can never disagree.
+  */
+case class AsciiTokensExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ascii_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.asciiTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.asciiTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokensExpr =
+    copy(child = newChild)
+}
+
 /** All consecutive lowercased-alnum token bigrams as array<string> (in
   * order, non-distinct) — map-side bigram stream for LM estimation.
   */

@@ -62,8 +62,12 @@ object UnigramLm {
     val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val v = df.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
-      .where(col("term") =!= "").select(col("term")).distinct().count()
+    // vocabulary from the SAME compiled tokenizer as the bigram stream —
+    // a lower()+regex V here could disagree with the kernel on characters
+    // whose Unicode lowercase is ASCII alnum (e.g. the Kelvin sign)
+    val v = df.select(
+        explode(graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
+      .distinct().count()
     val probs = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1")
       .select(col("bg"),
