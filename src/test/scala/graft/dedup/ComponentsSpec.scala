@@ -46,6 +46,30 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("driver union-find path and distributed pointer-jumping path agree") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val n = 500
+    val pairs = (0 until 400).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val small = Components.connectedComponents(pairs, "a", "b", verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(pairs, "a", "b", verts, "id",
+        driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small === dist)
+  }
+
+  test("non-long ids always take the distributed path and still work") {
+    import spark.implicits._
+    val pairs = Seq((1, 2), (2, 3)).toDF("a", "b")
+    val verts = Seq(1, 2, 3, 4).toDF("id")
+    val labels = Components.connectedComponents(pairs, "a", "b", verts, "id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4))
+  }
+
   test("a deep path converges within the iteration budget") {
     import spark.implicits._
     // path 0-1-2-...-30: diameter 30, min-label needs ~log or ~diameter
