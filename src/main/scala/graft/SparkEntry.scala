@@ -957,6 +957,60 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), round(col("xent"), 6).as("xent"))
         .orderBy(col("doc_id"))),
 
+    // q70: cross-source corpus overlap via KMV sketches (SURVEY+ L34) —
+    // ONE scan builds a k-minimum-values sketch of each source's 5-shingle
+    // set (graft.sketch.KmvSketchAgg: bounded TypedImperativeAggregate
+    // state, <= k longs per source per map partition, order-independent);
+    // pairwise distinct-count and Jaccard estimates are then plain Column
+    // math over the tiny aggregated result — cross-source overlap with NO
+    // join of raw data. Portable md5-60 hashes => DuckDB replays the
+    // sketches and estimators bit-for-bit.
+    "q70_kmv_source_overlap" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 256
+      val sh = t(s, dir, "documents").select(col("source"),
+        TextFunctions.shingleHashSetPortable(col("text"), 5).as("hs"))
+      val sk = sh.groupBy(col("source")).agg(Kmv.sketch(col("hs"), k).as("sk"))
+      val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+      val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+      // pair join runs on the AGGREGATED frame: one row per source, so the
+      // non-equi (<) join is |sources|^2 over sketch ids — tiny by
+      // construction, same class as the documented exact baselines
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(Kmv.distinctEstimate(col("ska"), k), 4).as("est_distinct_a"),
+          round(Kmv.distinctEstimate(col("skb"), k), 4).as("est_distinct_b"),
+          round(Kmv.jaccardEstimate(col("ska"), col("skb"), k), 4).as("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // q71: SemDeDup (SURVEY+ L35, Abbas et al. 2023) — semantic near-dup
+    // pairs found inside trained KMeans cells only: the global O(n^2) pair
+    // scan becomes an equi-join on the cell id (data-adaptive buckets,
+    // vs q39's random hyperplanes). Centroids captured for the oracle the
+    // same way as q37/q65.
+    "q71_semdedup_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val (cent, pairs) = Similarity.semanticNearDupPairs(
+        emb, "vec_id", "v", dim = 64, threshold = 0.3, k = 8)
+      q71Centroids = Some(cent)
+      pairs.select(col("cell").cast("long").as("cell"), col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q72: per-domain document cap (SURVEY+ L36) — keep at most 15 docs
+    // per source, rows picked by the portable md5 rank. The rank filter is
+    // rewritten by Spark 4 into a map-side WindowGroupLimit (asserted in
+    // MixingSpec), so the exchange carries <= cap rows per group per map
+    // task — never the whole domain.
+    "q72_domain_cap" -> ((s, dir) =>
+      graft.etl.Mixing.capPerGroup(t(s, dir, "documents"), "source", "doc_id", cap = 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -998,6 +1052,9 @@ object SparkEntry {
   /** q65's trained KMeans centroids, captured the same way as q37's. */
   @volatile private var q65Centroids: Option[Seq[Double]] = None
 
+  /** q71's trained SemDeDup centroids, captured the same way as q37's. */
+  @volatile private var q71Centroids: Option[Seq[Double]] = None
+
   /** DuckDB replica of the q65 cluster profile: assign each vector to the
     * nearest trained centroid (list_distance ties to the lower cell id,
     * matching the strict-< argmin), then the same quantized-integer mean
@@ -1020,6 +1077,33 @@ object SparkEntry {
        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
        |  round((CAST(sum(d10k) AS DOUBLE) / count(*)) / 10000.0, 4) AS avg_dist
        |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB replica of the q71 SemDeDup pipeline with the trained
+    * centroids as literals: nearest-cell assignment (list_distance ties to
+    * the lower cell id, matching the strict-< argmin), pairs share a cell,
+    * exact cosine threshold — the same dot/sqrt form as the q35 oracle.
+    */
+  private def q71OracleSql(cent: Seq[Double]): String = {
+    val centRows = cent.grouped(64).zipWithIndex.map { case (c, i) =>
+      c.map(d => java.lang.Double.toString(d))
+        .mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent(cell, c) AS (VALUES
+       |  $centRows),
+       |d AS (SELECT e.vec_id, e.v, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.v, cent.c), cent.cell) AS rk
+       |  FROM e CROSS JOIN cent),
+       |a AS (SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM d WHERE rk = 1)
+       |SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+       |FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |WHERE list_dot_product(x.v, y.v) /
+       |  (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** DuckDB replica of the IVF pipeline with the trained centroids as
@@ -1722,9 +1806,12 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) ++
     q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c)) ++
     q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
+    q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     staticLlmOracles
 
-  /** Oracles for q61-q64 and q66 (static SQL — no captured constants). */
+  /** Oracles for q61-q64, q66, q70 and q72 (static SQL — no captured
+    * constants).
+    */
   private def staticLlmOracles: Map[String, String] = Map(
     "q61_decontaminate" ->
       """WITH w AS (SELECT doc_id,
@@ -1893,5 +1980,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang, r.source
         |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
-        |ORDER BY r.doc_id""".stripMargin)
+        |ORDER BY r.doc_id""".stripMargin,
+    // q70: full KMV replay — per-source k-smallest-distinct md5-60 shingle
+    // hashes (the same norm + substr derivation as the q58/q59 portable
+    // twins), then the identical closed-form estimators. 2^60 and
+    // 255 * 2^60 are exactly representable doubles, so the divisions are
+    // bit-identical across engines.
+    "q70_kmv_source_overlap" ->
+      """WITH norm AS (SELECT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+        |h AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+        |sk AS (SELECT source, list_slice(list_sort(list(DISTINCT h)), 1, 256) AS sk FROM h GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT *, list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 256) AS un FROM p)
+        |SELECT source_a, source_b,
+        |  round(CASE WHEN len(ska) < 256 THEN CAST(len(ska) AS DOUBLE)
+        |        ELSE 255.0 * 1152921504606846976.0 / CAST(ska[256] AS DOUBLE) END, 4) AS est_distinct_a,
+        |  round(CASE WHEN len(skb) < 256 THEN CAST(len(skb) AS DOUBLE)
+        |        ELSE 255.0 * 1152921504606846976.0 / CAST(skb[256] AS DOUBLE) END, 4) AS est_distinct_b,
+        |  round(CASE WHEN len(un) = 0 THEN 0.0
+        |        ELSE CAST(len(list_intersect(list_intersect(un, ska), skb)) AS DOUBLE)
+        |             / CAST(len(un) AS DOUBLE) END, 4) AS est_jaccard
+        |FROM u ORDER BY source_a, source_b""".stripMargin,
+    // q72: the cap is a plain rank filter over the portable md5 rank —
+    // the Spark side differs only in WHERE the rank is computed (map-side
+    // WindowGroupLimit), never in which rows survive.
+    "q72_domain_cap" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin)
 }

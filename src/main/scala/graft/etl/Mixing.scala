@@ -52,6 +52,30 @@ object Mixing {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group cap: keep at most `cap` rows per value of `groupCol`, the
+    * kept rows chosen by the portable md5 rank of `idCol` (ties by id) —
+    * the "at most N documents per domain" curation rule, deterministic
+    * across runs and engines.
+    *
+    * Scale: the rank-filter pattern (`row_number() <= cap` over a
+    * partitioned window) is exactly what Spark 4's InferWindowGroupLimit
+    * rewrites into a WindowGroupLimit pair — each map task keeps only its
+    * own top-`cap` per group BEFORE the shuffle, so the exchange carries
+    * at most cap * numMapPartitions rows per group, not the group
+    * (asserted in MixingSpec; contrast [[graft.etl.Stratified]], which
+    * bounds the same selection explicitly via salted sub-group top-k for
+    * engines without the rewrite).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int, salt: String = ""): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashU32(col(idCol), salt), col(idCol))
+    df.withColumn("__graft_cap_rk", row_number().over(rk))
+      .where(col("__graft_cap_rk") <= cap)
+      .drop("__graft_cap_rk")
+  }
+
   /** Deterministic train/val/test (or any k-way) split assignment: the
     * row's hash-uniform u in [0,1) picks the first label whose cumulative
     * fraction exceeds it. Same hash properties as [[sampleFraction]]:

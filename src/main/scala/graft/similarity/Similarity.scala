@@ -379,4 +379,43 @@ object Similarity {
         round(col("__sd").cast("double") / col("n").cast("double") / 10000.0, 4).as("avg_dist"))
     (cent, profile)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    * INSIDE KMeans cells only — train `k` centroids on a bounded sample,
+    * assign every vector to its nearest cell in one compiled map-side
+    * pass, then compare pairs that share a cell. The cell id is an
+    * equi-join key, so the all-pairs scan that is O(n^2) globally becomes
+    * O(sum cell_i^2): with balanced cells that is n^2/k, and at 100 TB the
+    * cell count scales with the corpus while per-cell occupancy stays
+    * bounded — the same "candidates must share a bucket" contract as the
+    * LSH family, but with data-adaptive buckets (clustered corpora pack
+    * near-duplicates into the same cell at much higher recall than random
+    * hyperplane buckets; the trade is one bounded training job).
+    *
+    * Returns (trained centroids, pairs) — centroids let an oracle replay
+    * the assignment and callers reuse the model across runs. `vecCol`
+    * must already be array<double>.
+    */
+  def semanticNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      k: Int = 8,
+      seed: Long = 42L): (Seq[Double], DataFrame) = {
+    import graft.functions.NearestCentroidsExpr
+    val cent = trainIvfCentroids(corpus, idCol, vecCol, dim, nLists = k, seed = seed)
+    val cellOf = toCol(NearestCentroidsExpr(toExpr(col(vecCol)), cent, dim, 1)).getItem(0)
+    val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      cellOf.as("cell"))
+    val l = keyed.alias("sl")
+    val r = keyed.alias("sr")
+    val pairs = l.join(r, col("sl.cell") === col("sr.cell") && col("sl.id") < col("sr.id"))
+      .withColumn("cosine", cosine(col("sl.__v"), col("sr.__v")))
+      .where(col("cosine") >= threshold)
+      .select(col("sl.cell").as("cell"), col("sl.id").as("id_a"),
+        col("sr.id").as("id_b"), col("cosine"))
+    (cent, pairs)
+  }
 }

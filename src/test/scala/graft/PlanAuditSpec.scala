@@ -25,7 +25,11 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val bnlAllowlist = Set(
     "q26_knn_bruteforce",
-    "q35_cosine_neardup_exact")
+    "q35_cosine_neardup_exact",
+    // pairwise (<) join of per-SOURCE aggregates: one sketch row per
+    // source, so the BNL is |sources|^2 over k-long arrays — bounded by
+    // group cardinality, never by corpus size (documented at the query)
+    "q70_kmv_source_overlap")
 
   test("no single-partition windows, cartesians, or undocumented BNL joins in any query plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

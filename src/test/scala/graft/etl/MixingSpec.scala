@@ -60,6 +60,37 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup keeps at most cap rows per group, deterministically") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dom")
+    val capped = Mixing.capPerGroup(df, "dom", "id", cap = 10)
+    val sizes = capped.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ === 10L), s"got $sizes")
+    // small groups pass through whole
+    val small = Mixing.capPerGroup(df.where(col("id") < 9), "dom", "id", cap = 10)
+    assert(small.count() === 9)
+    // deterministic: same ids on a different partitioning
+    val a = capped.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Mixing.capPerGroup(df.repartition(13), "dom", "id", cap = 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException](Mixing.capPerGroup(df, "dom", "id", 0))
+  }
+
+  test("capPerGroup plan gets the map-side WindowGroupLimit rewrite") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dom")
+    val plan = Mixing.capPerGroup(df, "dom", "id", cap = 5)
+      .queryExecution.executedPlan
+    val nodes = graft.tools.PlanWalk.collectAll(plan)
+    val groupLimits = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec])
+    // Partial (pre-shuffle) + Final — the cap must run BEFORE the exchange
+    assert(groupLimits.size >= 2,
+      s"expected partial+final WindowGroupLimitExec, plan:\n$plan")
+  }
+
   test("no shuffle in the mixing plan: pure filters + union") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "k")

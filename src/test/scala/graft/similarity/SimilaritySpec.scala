@@ -168,4 +168,33 @@ class SimilaritySpec extends SparkSpec {
       assert(drift < 0.02, s"quantized cosine drifted $drift")
     }
   }
+
+  test("semanticNearDupPairs: subset of exact pairs, high recall on clustered data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 6 tight clusters of 20 vectors each: near-dups live inside clusters
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(6)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val rows = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.05).toSeq)
+    }
+    val df = rows.toDF("vec_id", "v")
+    val (cent, pairsDf) = Similarity.semanticNearDupPairs(
+      df, "vec_id", "v", dim = dim, threshold = 0.999, k = 6)
+    assert(cent.length === 6 * dim)
+    val semantic = pairsDf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = df.select(col("vec_id"), col("v"))
+    val exact = e.alias("x").join(e.alias("y"), col("x.vec_id") < col("y.vec_id"))
+      .where(Similarity.cosine(col("x.v"), col("y.v")) >= 0.999)
+      .select(col("x.vec_id"), col("y.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semantic.subsetOf(exact), "cell-scoped pairs must be a subset of exact pairs")
+    assert(exact.nonEmpty)
+    // data-adaptive cells on clearly clustered data: near-total recall
+    assert(semantic.size >= (0.9 * exact.size).toInt,
+      s"recall ${semantic.size}/${exact.size}")
+  }
 }

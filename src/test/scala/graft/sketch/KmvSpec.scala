@@ -1,0 +1,100 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(values: Seq[Long], k: Int, parts: Int): Seq[Long] = {
+    val df = values.toDF("h").repartition(parts)
+    df.agg(Kmv.sketch(col("h"), k).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+  }
+
+  test("sketch is the k smallest distinct values, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val values = Seq.fill(5000)(rnd.nextLong().abs % 100000L)
+    val expected = values.distinct.sorted.take(64)
+    for (parts <- Seq(1, 4, 13)) {
+      assert(sketchOf(values, 64, parts) === expected, s"parts=$parts")
+    }
+  }
+
+  test("sketch smaller than k is the full distinct set") {
+    assert(sketchOf(Seq(5L, 3L, 5L, 9L), 64, 3) === Seq(3L, 5L, 9L))
+  }
+
+  test("array<long> input adds every element — equals exploded-long sketch") {
+    val docs = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(20L, 40L)),
+      (3L, Seq.empty[Long])).toDF("id", "hs")
+    val viaArray = docs.agg(Kmv.sketch(col("hs"), 8).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    val viaLong = docs.select(explode(col("hs")).as("h"))
+      .agg(Kmv.sketch(col("h"), 8).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    assert(viaArray === Seq(10L, 20L, 30L, 40L))
+    assert(viaArray === viaLong)
+  }
+
+  test("null hashes are skipped") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (7L, "c"))
+      .toDF("h", "x")
+    val sk = df.agg(Kmv.sketch(col("h"), 4).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    assert(sk === Seq(1L, 7L))
+  }
+
+  test("distinct estimate: exact below k, within KMV error above") {
+    val k = 256
+    val n = 20000
+    // deterministic "uniform" 60-bit hashes via the portable convention
+    val df = (1 to n).map(i => s"doc-$i").toDF("s")
+      .select(Kmv.hash60(col("s")).as("h"))
+    val est = df.agg(Kmv.sketch(col("h"), k).as("sk"))
+      .select(Kmv.distinctEstimate(col("sk"), k).as("est"))
+      .collect()(0).getDouble(0)
+    // stderr ~ n/sqrt(k-2) => 4 sigma ≈ 0.25 n; generous but non-vacuous
+    assert(math.abs(est - n) < 0.25 * n, s"est=$est for n=$n")
+
+    val small = sketchOf(Seq(1L, 2L, 3L), 64, 2)
+    val exact = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+      .select(array(col("a"), col("b"), col("c")).as("sk"))
+      .select(Kmv.distinctEstimate(col("sk"), 64).as("est"))
+      .collect()(0).getDouble(0)
+    assert(small.size === 3 && exact === 3.0)
+  }
+
+  test("jaccard estimate tracks true overlap") {
+    val k = 256
+    // two sets of 4000 strings sharing exactly 2000 => true J = 2000/6000
+    val setA = (1 to 2000).map(i => s"shared-$i") ++ (1 to 2000).map(i => s"onlya-$i")
+    val setB = (1 to 2000).map(i => s"shared-$i") ++ (1 to 2000).map(i => s"onlyb-$i")
+    val df = (setA.map(_ -> "A") ++ setB.map(_ -> "B")).toDF("s", "grp")
+      .select(col("grp"), Kmv.hash60(col("s")).as("h"))
+    val sk = df.groupBy(col("grp")).agg(Kmv.sketch(col("h"), k).as("sk"))
+    val row = sk.where(col("grp") === "A").select(col("sk").as("ska"))
+      .crossJoin(sk.where(col("grp") === "B").select(col("sk").as("skb")))
+      .select(
+        Kmv.jaccardEstimate(col("ska"), col("skb"), k).as("j"),
+        Kmv.intersectionEstimate(col("ska"), col("skb"), k).as("i"))
+      .collect()(0)
+    val trueJ = 2000.0 / 6000.0
+    assert(math.abs(row.getDouble(0) - trueJ) < 4.0 / math.sqrt(k) + 0.02,
+      s"estimated J=${row.getDouble(0)} vs true $trueJ")
+    assert(math.abs(row.getDouble(1) - 2000.0) < 0.35 * 2000.0,
+      s"estimated intersection=${row.getDouble(1)} vs true 2000")
+  }
+
+  test("estimator math matches the documented closed forms") {
+    // hand-check: sketch [100, 200, 400] with k=3 full => est = 2 * 2^60 / 400
+    val est = Seq(1).toDF("x")
+      .select(array(lit(100L), lit(200L), lit(400L)).as("sk"))
+      .select(Kmv.distinctEstimate(col("sk"), 3).as("est"))
+      .collect()(0).getDouble(0)
+    assert(est === 2.0 * math.pow(2, 60) / 400.0)
+  }
+}
