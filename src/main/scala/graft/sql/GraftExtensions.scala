@@ -1,0 +1,115 @@
+package graft.sql
+
+import graft.functions._
+import graft.sketch.KmvSketchAgg
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the graft function library: every compiled Catalyst
+  * expression (and the KMV sketch aggregate) registered as a named SQL
+  * function, so `spark.sql("SELECT graft_cosine_sim(a, b) ...")` works
+  * with zero Scala imports — the route a SQL-first lakehouse user or a
+  * JDBC/Thrift client takes.
+  *
+  * Two equivalent activation paths:
+  *  - config: `spark.sql.extensions=graft.sql.GraftExtensions` at session
+  *    build time (the standard [[SparkSessionExtensions]] contract);
+  *  - runtime: [[GraftFunctions.register]] on an existing session.
+  *
+  * All names carry a `graft_` prefix so no current or future Spark
+  * builtin can collide. Scalar-parameter arguments (shingle size, hash
+  * counts, seeds) must be foldable integer literals — they parameterize
+  * compiled kernels, not per-row values — and builders fail fast with
+  * the function name when misused.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Register every graft SQL function on a live session (idempotent:
+    * re-registration replaces the same name).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  // ---- builder plumbing ---------------------------------------------------
+
+  private def expectArity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(s"$fn expects $n argument(s), got ${args.length}")
+
+  private def intLit(fn: String, args: Seq[Expression], pos: Int): Int =
+    args(pos) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) if v.isValidInt => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def longLit(fn: String, args: Seq[Expression], pos: Int): Long =
+    args(pos) match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def fd(name: String, clazz: Class[_], arity: Int)(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name),
+      (args: Seq[Expression]) => { expectArity(name, args, arity); builder(args) })
+
+  // ---- the registry -------------------------------------------------------
+
+  val all: Seq[FunctionDescription] = Seq(
+    fd("graft_minhash_sig", classOf[MinHashSigExpr], 4)(a =>
+      MinHashSigExpr(a(0), intLit("graft_minhash_sig", a, 1),
+        intLit("graft_minhash_sig", a, 2), longLit("graft_minhash_sig", a, 3))),
+    fd("graft_minhash_portable_sig", classOf[MinhashPortableSigExpr], 4)(a =>
+      MinhashPortableSigExpr(a(0), intLit("graft_minhash_portable_sig", a, 1),
+        intLit("graft_minhash_portable_sig", a, 2), longLit("graft_minhash_portable_sig", a, 3))),
+    fd("graft_shingle_hash_set", classOf[ShingleHashSetExpr], 2)(a =>
+      ShingleHashSetExpr(a(0), intLit("graft_shingle_hash_set", a, 1))),
+    fd("graft_shingle_hash_set_portable", classOf[ShingleHashSetPortableExpr], 2)(a =>
+      ShingleHashSetPortableExpr(a(0), intLit("graft_shingle_hash_set_portable", a, 1))),
+    fd("graft_jaccard_sorted", classOf[JaccardSortedExpr], 2)(a =>
+      JaccardSortedExpr(a(0), a(1))),
+    fd("graft_simhash64", classOf[SimHash64Expr], 1)(a => SimHash64Expr(a(0))),
+    fd("graft_simhash60_portable", classOf[SimHash60PortableExpr], 1)(a =>
+      SimHash60PortableExpr(a(0))),
+    fd("graft_winnowing", classOf[WinnowingExpr], 3)(a =>
+      WinnowingExpr(a(0), intLit("graft_winnowing", a, 1), intLit("graft_winnowing", a, 2))),
+    fd("graft_winnowing_portable", classOf[WinnowingPortableExpr], 3)(a =>
+      WinnowingPortableExpr(a(0), intLit("graft_winnowing_portable", a, 1),
+        intLit("graft_winnowing_portable", a, 2))),
+    fd("graft_dup_ngram_fraction", classOf[DupNgramFractionExpr], 2)(a =>
+      DupNgramFractionExpr(a(0), intLit("graft_dup_ngram_fraction", a, 1))),
+    fd("graft_word_ngrams", classOf[WordNgramsExpr], 2)(a =>
+      WordNgramsExpr(a(0), intLit("graft_word_ngrams", a, 1))),
+    fd("graft_word_chunks", classOf[WordChunksExpr], 2)(a =>
+      WordChunksExpr(a(0), intLit("graft_word_chunks", a, 1))),
+    fd("graft_ascii_tokens", classOf[AsciiTokensExpr], 1)(a => AsciiTokensExpr(a(0))),
+    fd("graft_word_bigrams", classOf[WordBigramsExpr], 1)(a => WordBigramsExpr(a(0))),
+    fd("graft_lang_guess", classOf[LangGuessExpr], 1)(a =>
+      LangGuessExpr(a(0), TextFunctions.defaultLangMarkers)),
+    fd("graft_dot_product", classOf[DotProductExpr], 2)(a => DotProductExpr(a(0), a(1))),
+    fd("graft_cosine_sim", classOf[CosineSimExpr], 2)(a => CosineSimExpr(a(0), a(1))),
+    fd("graft_vec_max_abs", classOf[VecMaxAbsExpr], 1)(a => VecMaxAbsExpr(a(0))),
+    fd("graft_quantize_int8", classOf[QuantizeInt8Expr], 1)(a => QuantizeInt8Expr(a(0))),
+    fd("graft_quant_sum_int8", classOf[QuantSumInt8Expr], 1)(a => QuantSumInt8Expr(a(0))),
+    // aggregate: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression itself (the same path every builtin SQL
+    // aggregate takes through FunctionRegistry)
+    fd("graft_kmv_sketch", classOf[KmvSketchAgg], 2)(a =>
+      KmvSketchAgg(a(0), intLit("graft_kmv_sketch", a, 1))))
+}

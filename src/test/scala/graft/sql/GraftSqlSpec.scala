@@ -1,0 +1,93 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftbridge.ExtensionsBridge
+
+/** The SQL registration surface: every graft function callable from
+  * `spark.sql` text, with results identical to the Column API, through
+  * BOTH activation paths (runtime registry + the SparkSessionExtensions
+  * injection the `spark.sql.extensions` config runs at session build).
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  // isolated session state: registrations here must not leak into the
+  // other suites' shared session
+  private lazy val sql = {
+    val s = spark.newSession()
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("scalar functions evaluate from SQL text and match the Column API") {
+    val r = sql.sql(
+      """SELECT
+        |  graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos_same,
+        |  graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  graft_simhash64('the quick brown fox') AS sh,
+        |  graft_lang_guess('the cat and the hat is you') AS lang,
+        |  graft_word_ngrams('a b c d', 3) AS ng,
+        |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("cos_same") === 1.0)
+    assert(r.getAs[Double]("dot") === 11.0)
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[scala.collection.Seq[String]]("ng") === Seq("a b c", "b c d"))
+    assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-12)
+    // parity with the Column API on the same input
+    import org.apache.spark.sql.functions._
+    import sql.implicits._
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextFunctions.simhash64(col("t"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("sh") === viaCol)
+  }
+
+  test("kmv sketch aggregate works in SQL GROUP BY") {
+    import sql.implicits._
+    Seq((1L, "a"), (2L, "a"), (2L, "a"), (9L, "b"))
+      .toDF("h", "g").createOrReplaceTempView("kmv_in")
+    val rows = sql.sql(
+      "SELECT g, graft_kmv_sketch(h, 4) AS sk FROM kmv_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("sk") === Seq(1L, 2L))
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("sk") === Seq(9L))
+  }
+
+  test("non-literal scalar parameters fail fast with the function name") {
+    val e = intercept[Exception] {
+      sql.sql("SELECT graft_word_ngrams('a b c', length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("graft_word_ngrams"))
+    val a = intercept[Exception] {
+      sql.sql("SELECT graft_simhash64('a', 'b')").collect()
+    }
+    assert(a.getMessage.contains("graft_simhash64"))
+  }
+
+  test("the SparkSessionExtensions injection path registers every function") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val s2 = spark.newSession()
+    ExtensionsBridge.applyInjectedFunctions(ext, s2.sessionState.functionRegistry)
+    val got = s2.sql("SELECT graft_quant_sum_int8(array(2.0D, -1.0D, 0.5D, 0.0D)) AS s")
+      .collect()(0).getInt(0)
+    assert(got === 127 - 64 + 31)
+    // and the parent session did NOT get the registration (isolation)
+    intercept[Exception] {
+      spark.sql("SELECT graft_quant_sum_int8(array(1.0D))").collect()
+    }
+  }
+
+  test("codegen: SQL-registered expressions stay inside whole-stage codegen") {
+    // range => a real scan (a local Seq collapses to LocalTableScan with
+    // the projection constant-folded away)
+    sql.range(100).createOrReplaceTempView("docs_sql")
+    val plan = sql.sql(
+      """SELECT graft_simhash64(concat('text number ', id)) AS h,
+        |  graft_dup_ngram_fraction(concat('w w ', id), 2) AS d FROM docs_sql""".stripMargin)
+      .queryExecution.executedPlan
+    val hasWsc = graft.tools.PlanWalk.collectAll(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, s"expected WholeStageCodegen, plan:\n$plan")
+  }
+}
