@@ -4,7 +4,8 @@ import graft.functions._
 import graft.sketch.KmvSketchAgg
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, CaseWhen, Cast, Concat, Divide, ElementAt, EqualTo, Expression, ExpressionInfo, LessThan, Literal, Multiply, Size, Slice, SortArray}
+import org.apache.spark.sql.types.DoubleType
 
 /** SQL surface for the graft function library: every compiled Catalyst
   * expression (and the KMV sketch aggregate) registered as a named SQL
@@ -111,5 +112,35 @@ object GraftFunctions {
     // AggregateExpression itself (the same path every builtin SQL
     // aggregate takes through FunctionRegistry)
     fd("graft_kmv_sketch", classOf[KmvSketchAgg], 2)(a =>
-      KmvSketchAgg(a(0), intLit("graft_kmv_sketch", a, 1))))
+      KmvSketchAgg(a(0), intLit("graft_kmv_sketch", a, 1))),
+    // estimators: expand to the same composed builtin-expression tree as
+    // the Column API builds (an inlined SQL macro — nothing new to
+    // execute; constructed from catalyst nodes directly because a
+    // Column->Expression bridge would leave unresolved ColumnNode
+    // wrappers the analyzer never revisits inside a function builder)
+    fd("graft_kmv_distinct_estimate", classOf[KmvSketchAgg], 2)(a =>
+      kmvDistinctEstimateExpr(a(0), intLit("graft_kmv_distinct_estimate", a, 1))),
+    fd("graft_kmv_jaccard_estimate", classOf[KmvSketchAgg], 3)(a =>
+      kmvJaccardEstimateExpr(a(0), a(1), intLit("graft_kmv_jaccard_estimate", a, 2))))
+
+  /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
+    * in lockstep (KmvSpec asserts SQL/Column parity).
+    */
+  private def kmvDistinctEstimateExpr(sk: Expression, k: Int): Expression =
+    CaseWhen(
+      Seq((LessThan(Size(sk), Literal(k)), Cast(Size(sk), DoubleType))),
+      Some(Divide(
+        Multiply(Literal((k - 1).toDouble), Literal(math.pow(2, 60))),
+        Cast(ElementAt(sk, Literal(k)), DoubleType))))
+
+  /** Catalyst twin of [[graft.sketch.Kmv.jaccardEstimate]]. */
+  private def kmvJaccardEstimateExpr(a: Expression, b: Expression, k: Int): Expression = {
+    def union = Slice(new SortArray(ArrayDistinct(Concat(Seq(a, b)))),
+      Literal(1), Literal(k))
+    CaseWhen(
+      Seq((EqualTo(Size(union), Literal(0)), Literal(0.0))),
+      Some(Divide(
+        Cast(Size(ArrayIntersect(ArrayIntersect(union, a), b)), DoubleType),
+        Cast(Size(union), DoubleType))))
+  }
 }

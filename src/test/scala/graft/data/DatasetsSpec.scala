@@ -14,6 +14,25 @@ class DatasetsSpec extends SparkSpec {
   private val dataDir = "/root/reference/replication_package/data"
   private def exists(p: String) = new java.io.File(p).exists()
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // self-provision the crime CSV (SURVEY S6: xlsx has no Spark source;
+    // the documented offline conversion step) so the test is not hostage
+    // to /tmp surviving between runs. Best-effort: if python3 or the xlsx
+    // is unavailable the test still `assume`s itself out cleanly.
+    val xlsx = s"$dataDir/crime_data_normalized.xlsx"
+    val csv = "/tmp/graft_data/crime_data_normalized.csv"
+    if (exists(xlsx) && !exists(csv)) {
+      try {
+        new java.io.File("/tmp/graft_data").mkdirs()
+        val p = new ProcessBuilder("python3", "tools/xlsx2csv.py", xlsx, csv)
+          .redirectErrorStream(true).start()
+        p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } catch { case _: Exception => () }
+    }
+  }
+
   test("cmc: schema, metadata, row count (getdataset.py:84-123)") {
     val spec = Datasets.cmc(spark, s"$dataDir/cmc.data", numberOfFeatures = 2)
     assert(spec.df.count() === 1473)

@@ -53,6 +53,16 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows(1).getAs[scala.collection.Seq[Long]]("sk") === Seq(9L))
   }
 
+  test("kmv estimators expand as SQL macros over sketch arrays") {
+    val r = sql.sql(
+      """SELECT
+        |  graft_kmv_distinct_estimate(array(100L, 200L, 400L), 3) AS d,
+        |  graft_kmv_jaccard_estimate(array(1L, 2L, 3L), array(2L, 3L, 4L), 4) AS j
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("d") === 2.0 * math.pow(2, 60) / 400.0)
+    assert(r.getAs[Double]("j") === 0.5)
+  }
+
   test("non-literal scalar parameters fail fast with the function name") {
     val e = intercept[Exception] {
       sql.sql("SELECT graft_word_ngrams('a b c', length('xx'))").collect()
