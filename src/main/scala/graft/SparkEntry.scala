@@ -1000,6 +1000,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q73: hierarchical KMV rollup (SURVEY+ L34) — per-source sketches
+    // re-aggregated into ONE corpus sketch by feeding the sketch arrays
+    // back through the same aggregate (KmvSpec proves rollup == direct).
+    // This is the 100 TB maintenance pattern: keep tiny per-partition
+    // sketches fresh incrementally, answer corpus-wide distinct questions
+    // from the rollup without touching raw data. Oracle = the direct
+    // global sketch, which equals the rollup by the merge property.
+    "q73_kmv_rollup" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 256
+      val sh = t(s, dir, "documents").select(col("source"),
+        TextFunctions.shingleHashSetPortable(col("text"), 5).as("hs"))
+      val perSource = sh.groupBy(col("source")).agg(Kmv.sketch(col("hs"), k).as("sk"))
+      perSource.agg(
+          count(lit(1)).as("n_sources"),
+          Kmv.sketch(col("sk"), k).as("g"))
+        .select(col("n_sources"),
+          size(col("g")).cast("long").as("sketch_size"),
+          element_at(col("g"), 1).as("h_min"),
+          element_at(col("g"), size(col("g"))).as("h_kth"),
+          round(Kmv.distinctEstimate(col("g"), k), 4).as("est_distinct_shingles"))
+    }),
+
     // q72: per-domain document cap (SURVEY+ L36) — keep at most 15 docs
     // per source, rows picked by the portable md5 rank. The rank filter is
     // rewritten by Spark 4 into a map-side WindowGroupLimit (asserted in
@@ -2004,6 +2027,20 @@ object SparkEntry {
         |        ELSE CAST(len(list_intersect(list_intersect(un, ska), skb)) AS DOUBLE)
         |             / CAST(len(un) AS DOUBLE) END, 4) AS est_jaccard
         |FROM u ORDER BY source_a, source_b""".stripMargin,
+    // q73: the rollup equals the direct global sketch (KMV merge
+    // property), so the oracle skips the per-source level entirely
+    "q73_kmv_rollup" ->
+      """WITH norm AS (SELECT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+        |h AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+        |g AS (SELECT list_slice(list_sort(list(DISTINCT h)), 1, 256) AS g FROM h),
+        |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents)
+        |SELECT ns.n_sources, len(g.g) AS sketch_size,
+        |  g.g[1] AS h_min, g.g[len(g.g)] AS h_kth,
+        |  round(CASE WHEN len(g.g) < 256 THEN CAST(len(g.g) AS DOUBLE)
+        |        ELSE 255.0 * 1152921504606846976.0 / CAST(g.g[256] AS DOUBLE) END, 4) AS est_distinct_shingles
+        |FROM g, ns""".stripMargin,
     // q72: the cap is a plain rank filter over the portable md5 rank —
     // the Spark side differs only in WHERE the rank is computed (map-side
     // WindowGroupLimit), never in which rows survive.

@@ -20,7 +20,7 @@ import graft.text.Decontaminate
   * {{{
   * runMain graft.cli.CurateCorpus <inDir> <outDir>
   *   [--min-quality 0.7] [--chunk-words 10] [--bench-mod 17]
-  *   [--ngram 5] [--max-per-file 100000]
+  *   [--ngram 5] [--max-per-file 100000] [--max-per-source 0]
   * }}}
   *
   * Stages (each a constant number of shuffles, none quadratic):
@@ -30,8 +30,11 @@ import graft.text.Decontaminate
   *     everywhere but their first occurrence);
   *  4. benchmark decontamination (docs sharing a word n-gram with the
   *     held-out slice `doc_id % benchMod == benchMod - 1` are dropped);
-  *  5. deterministic train/val/test assignment (md5 split, 80/10/10);
-  *  6. sharded parquet export partitioned by (split, lang), size-bounded.
+  *  5. per-source cap (`--max-per-source`, 0 = off): at most N surviving
+  *     docs per source by portable md5 rank — the anti-domination rule,
+  *     applied after cleaning so caps fill with clean documents;
+  *  6. deterministic train/val/test assignment (md5 split, 80/10/10);
+  *  7. sharded parquet export partitioned by (split, lang), size-bounded.
   */
 object CurateCorpus {
   def main(args: Array[String]): Unit = {
@@ -39,7 +42,7 @@ object CurateCorpus {
       "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n]")
     val inDir = args(0)
     val outDir = args(1)
-    val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file")
+    val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file", "--max-per-source")
     val flagArgs = args.drop(2)
     require(flagArgs.length % 2 == 0 && flagArgs.grouped(2).forall(p => known(p(0))),
       s"unrecognized or value-less flag in ${flagArgs.mkString(" ")}; known: ${known.toSeq.sorted.mkString(", ")}")
@@ -50,6 +53,7 @@ object CurateCorpus {
     val benchMod = opt("--bench-mod", "17").toInt
     val ngram = opt("--ngram", "5").toInt
     val maxPerFile = opt("--max-per-file", "100000").toInt
+    val maxPerSource = opt("--max-per-source", "0").toInt
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -60,7 +64,8 @@ object CurateCorpus {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val docs = spark.read.parquet(s"$inDir/documents.parquet")
-      val stats = run(docs, outDir, minQuality, chunkWords, benchMod, ngram, maxPerFile)
+      val stats = run(docs, outDir, minQuality, chunkWords, benchMod, ngram, maxPerFile,
+        maxPerSource)
       println(stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     } finally spark.stop()
   }
@@ -80,7 +85,8 @@ object CurateCorpus {
       chunkWords: Int = 10,
       benchMod: Int = 17,
       ngram: Int = 5,
-      maxPerFile: Int = 100000): Seq[(String, Long)] = {
+      maxPerFile: Int = 100000,
+      maxPerSource: Int = 0): Seq[(String, Long)] = {
     val input = docs.count()
 
     // 1. quality gate — cheapest filter first, map-side only
@@ -109,15 +115,25 @@ object CurateCorpus {
       .localCheckpoint()
     val nClean = clean.count()
 
-    // 5. deterministic split assignment (engine- and retry-stable)
-    val split = Mixing.assignSplit(clean, "doc_id",
+    // 5. per-source cap (anti-domination); rank-filter plan gets the
+    // map-side WindowGroupLimit rewrite, so no source ever funnels whole
+    // through one task
+    val capped =
+      if (maxPerSource > 0)
+        Mixing.capPerGroup(clean, "source", "doc_id", maxPerSource).localCheckpoint()
+      else clean
+    val nCapped = if (maxPerSource > 0) capped.count() else nClean
+
+    // 6. deterministic split assignment (engine- and retry-stable)
+    val split = Mixing.assignSplit(capped, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), outCol = "split")
 
-    // 6. sharded export: one directory tree per (split, lang)
+    // 7. sharded export: one directory tree per (split, lang)
     Export.writeSharded(split, outDir, Seq("split", "lang"),
       Seq(col("doc_id")), maxPerFile)
 
     Seq("input" -> input, "quality" -> nQuality, "exact_dedup" -> nExact,
-      "span_dedup" -> nChunked, "decontaminated" -> nClean)
+      "span_dedup" -> nChunked, "decontaminated" -> nClean,
+      "per_source_cap" -> nCapped)
   }
 }

@@ -30,7 +30,14 @@ import org.apache.spark.sql.types._
   *    reservoir sampling, whose output depends on merge order);
   *  - mergeable/composable: union of two sketches' values, re-trimmed to
   *    k, IS the sketch of the union — cross-group estimates need only the
-  *    tiny aggregated result;
+  *    tiny aggregated result, and because the aggregate also accepts
+  *    array<long> input, `sketch(sketchCol, k)` over per-group sketches
+  *    rolls them up exactly (spec-verified equal to sketching the raw
+  *    union), giving hierarchical source -> corpus rollups for free;
+  *  - streaming-capable: the bounded buffer serializes into the state
+  *    store like any TypedImperativeAggregate, so the same expression
+  *    tracks per-key distinct estimates across micro-batches
+  *    (spec-verified under update mode);
   *  - portable: over the md5-60 hash convention shared with the portable
   *    dedup twins (TextAlgo.md5Shingle60 / `CAST(concat('0x',
   *    substr(md5(x),1,15)) AS BIGINT)`), any engine replays the sketch

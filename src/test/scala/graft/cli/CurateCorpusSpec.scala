@@ -35,4 +35,17 @@ class CurateCorpusSpec extends SparkSpec {
       .groupBy($"c").count().where($"count" > 1).count()
     assert(dupChunks == 0L, s"$dupChunks duplicated chunks survived")
   }
+
+  test("per-source cap stage bounds every source and stays monotone") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft_curate_cap").toString
+    val stats = CurateCorpus.run(docs, out,
+      minQuality = 0.5, maxPerFile = 1000, maxPerSource = 5).toMap
+    assert(stats("per_source_cap") <= stats("decontaminated"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == stats("per_source_cap"))
+    val maxPerSrc = back.groupBy($"source").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(maxPerSrc <= 5L, s"a source exceeded the cap: $maxPerSrc")
+  }
 }

@@ -89,6 +89,40 @@ class KmvSpec extends SparkSpec {
       s"estimated intersection=${row.getDouble(1)} vs true 2000")
   }
 
+  test("re-aggregation: sketch of per-group sketches == sketch of the union") {
+    // the array-input path makes the aggregate its own merge operator, so
+    // per-source sketches roll up to a global sketch without raw data
+    val rnd = new scala.util.Random(23)
+    val values = Seq.fill(3000)((rnd.nextLong().abs % 50000L, rnd.nextInt(7)))
+    val df = values.toDF("h", "grp")
+    val perGroup = df.groupBy(col("grp")).agg(Kmv.sketch(col("h"), 64).as("sk"))
+    val rolled = perGroup.agg(Kmv.sketch(col("sk"), 64).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    val direct = df.agg(Kmv.sketch(col("h"), 64).as("sk")).collect()(0)
+      .getAs[scala.collection.Seq[Long]]("sk").toSeq
+    assert(rolled === direct)
+  }
+
+  test("streaming: kmv sketch aggregates across micro-batches (update mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val agg = in.toDF().toDF("grp", "h")
+      .groupBy(col("grp")).agg(Kmv.sketch(col("h"), 8).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(("a", 5L), ("a", 3L), ("b", 9L))
+      q.processAllAvailable()
+      in.addData(("a", 4L), ("a", 3L), ("b", 1L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT grp, sk FROM kmv_stream ORDER BY grp").collect()
+      assert(rows(0).getAs[scala.collection.Seq[Long]]("sk") === Seq(3L, 4L, 5L))
+      assert(rows(1).getAs[scala.collection.Seq[Long]]("sk") === Seq(1L, 9L))
+    } finally q.stop()
+  }
+
   test("estimator math matches the documented closed forms") {
     // hand-check: sketch [100, 200, 400] with k=3 full => est = 2 * 2^60 / 400
     val est = Seq(1).toDF("x")
