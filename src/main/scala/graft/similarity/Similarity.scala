@@ -418,4 +418,92 @@ object Similarity {
         col("sr.id").as("id_b"), col("cosine"))
     (cent, pairs)
   }
+
+  /** Streaming twin of [[cosineNearDupPairs]]: embedding near-duplicate
+    * pairs WITHIN an event-time horizon, for dedup-at-ingest of an
+    * embedding stream. Same state discipline as
+    * [[graft.dedup.Dedup.streamingNearDupPairs]]: state is keyed by the
+    * hyperplane sign-sketch bucket (candidates must share a bucket —
+    * never all-pairs), holds at most `maxBucketState` in-horizon vectors
+    * per bucket, and is evicted by event-time timeout once the watermark
+    * passes the horizon. Exact cosine runs in-state against the bounded
+    * bucket residents only. Also runs on a batch frame (watermark =
+    * -inf), which is how the spec cross-checks it against the batch
+    * operator. `vecCol` must be array<double>.
+    */
+  def streamingCosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eventTimeCol: String,
+      delayMs: Long,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 8,
+      seed: Long = 42L,
+      maxBucketState: Int = 256): org.apache.spark.sql.Dataset[StreamCosinePair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(eventTimeCol).as("__et"))
+      .withWatermark("__et", s"$delayMs milliseconds")
+      .select(col("id"), col("v"), unix_millis(col("__et")).as("ts_ms"),
+        hyperplaneBucket(col("v"), dim, numBits, seed).as("bucket"), col("__et"))
+      .as[(Long, Seq[Double], Long, Long, java.sql.Timestamp)]
+    val streaming = df.isStreaming
+    keyed
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[CosineBucketState, StreamCosinePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[CosineBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreamCosinePair]
+            rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (id, v, ts, _, _) =>
+              val arr = v.toArray
+              entries.foreach { e =>
+                if (e.id != id) {
+                  val c = cosineArr(e.vec, arr)
+                  if (c >= threshold)
+                    out += StreamCosinePair(math.min(e.id, id), math.max(e.id, id),
+                      c, math.max(e.tsMs, ts))
+                }
+              }
+              entries = (CosineBucketEntry(id, arr, ts) :: entries).take(maxBucketState)
+            }
+            if (entries.nonEmpty) {
+              state.update(CosineBucketState(entries))
+              if (streaming) {
+                val horizon = entries.map(_.tsMs).max + delayMs
+                state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+              }
+            } else if (state.exists) state.remove()
+            out.iterator
+          }
+      }
+  }
+
+  /** Plain-array cosine for in-state comparisons; 0 for zero-norm inputs
+    * (same contract as [[graft.functions.CosineSimExpr]]).
+    */
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
+
+/** One (id, vector, event-time ms) resident in a sign-sketch bucket. */
+case class CosineBucketEntry(id: Long, vec: Array[Double], tsMs: Long)
+
+/** Per-bucket streaming state: in-horizon vectors. */
+case class CosineBucketState(entries: List[CosineBucketEntry])
+
+/** Emitted embedding near-dup pair: normalized ids + exact cosine. */
+case class StreamCosinePair(id_a: Long, id_b: Long, cosine: Double, ts_ms: Long)

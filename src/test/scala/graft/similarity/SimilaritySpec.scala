@@ -169,6 +169,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("streamingCosineNearDupPairs pairs across micro-batches, evicts on watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Double], Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd_ckpt").toString
+    val t0 = 1000000000L
+    val vecA = Seq(1.0, 0.2, 0.1, 0.0)
+    val vecFar = Seq(-1.0, 0.5, -0.3, 0.9)
+    val stream = source.toDF().toDF("vec_id", "v", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = Similarity.streamingCosineNearDupPairs(stream, "vec_id", "v", "ts",
+        delayMs = 600000L, threshold = 0.98, dim = 4)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_scd")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      source.addData((1L, vecA, t0), (2L, vecFar, t0 + 10))
+      q.processAllAvailable()
+      // near-identical vector in a LATER micro-batch: paired via state
+      source.addData((3L, vecA.map(_ * 2.0), t0 + 60000))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id_a, id_b, cosine FROM t_scd").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pairs.contains((1L, 3L)), s"expected (1,3) in ${pairs.keySet}")
+      assert(math.abs(pairs((1L, 3L)) - 1.0) < 1e-9)
+      assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+      // advance the watermark far past the horizon: state evicts
+      source.addData((9L, vecFar, t0 + 100 * 600000L))
+      q.processAllAvailable()
+      source.addData((4L, vecA, t0 + 101 * 600000L))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT id_a, id_b FROM t_scd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.exists { case (a, b) => a == 4L || b == 4L },
+        s"vector 4 arrived after eviction and must not pair, got $after")
+    } finally q.stop()
+  }
+
+  test("streamingCosineNearDupPairs batch fallback agrees with the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 60).map { i =>
+      val base = Array.fill(8)(rng.nextGaussian())
+      (i.toLong, base.map(_ + rng.nextGaussian() * 0.01).toSeq, 1000000000L + i)
+    }
+    val df = rows.toDF("vec_id", "v", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val streamed = Similarity.streamingCosineNearDupPairs(df, "vec_id", "v", "ts",
+        delayMs = 600000L, threshold = 0.9, dim = 8, numBits = 4)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val batch = Similarity.cosineNearDupPairs(df, "vec_id", "v",
+        threshold = 0.9, dim = 8, numBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("semanticNearDupPairs: subset of exact pairs, high recall on clustered data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
