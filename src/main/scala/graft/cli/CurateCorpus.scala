@@ -39,7 +39,7 @@ import graft.text.Decontaminate
 object CurateCorpus {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n]")
+      "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n] [--max-per-source n]")
     val inDir = args(0)
     val outDir = args(1)
     val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file", "--max-per-source")

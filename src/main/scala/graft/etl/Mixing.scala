@@ -68,6 +68,8 @@ object Mixing {
     */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int, salt: String = ""): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    require(!df.columns.contains("__graft_cap_rk"),
+      "input already has a __graft_cap_rk column — rename it before capPerGroup")
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(hashU32(col(idCol), salt), col(idCol))

@@ -106,6 +106,14 @@ object TextFunctions {
     * the classic fastText/langid fallback for short texts, expressed as a
     * single codegen'd expression (no shuffle, no UDF).
     */
+  def langGuess(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol2, expression => toExpr2}
+    // single compiled pass over the tokens; argmax ties break in
+    // declaration order (en < de < fr < es), 'und' when nothing matches —
+    // identical to the when-ladder this replaces ([[LangGuessExpr]])
+    toCol2(LangGuessExpr(toExpr2(c), defaultLangMarkers))
+  }
+
   /** Default marker-word table for [[langGuess]] — public so the SQL
     * registration ([[graft.sql.GraftFunctions]]) exposes the identical
     * classifier.
@@ -115,14 +123,6 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
     "fr" -> Seq("le", "la", "les", "et", "est", "vous", "que", "pas"),
     "es" -> Seq("el", "los", "las", "es", "y", "que", "por", "una"))
-
-  def langGuess(c: Column): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol2, expression => toExpr2}
-    // single compiled pass over the tokens; argmax ties break in
-    // declaration order (en < de < fr < es), 'und' when nothing matches —
-    // identical to the when-ladder this replaces ([[LangGuessExpr]])
-    toCol2(LangGuessExpr(toExpr2(c), defaultLangMarkers))
-  }
 
   /** Canonical document fingerprint: md5 of the lowercased text with all
     * non-alphanumeric characters removed. Whitespace/punctuation-insensitive

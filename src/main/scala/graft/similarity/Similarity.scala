@@ -448,6 +448,10 @@ object Similarity {
     val keyed = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         col(eventTimeCol).as("__et"))
+      // drop malformed rows (null/uncastable id, null/empty vector) like
+      // the batch twin does via its null join key — one bad event must not
+      // kill a long-running ingest query at the non-nullable encoder
+      .where(col("id").isNotNull && col("v").isNotNull && size(col("v")) > 0)
       .withWatermark("__et", s"$delayMs milliseconds")
       .select(col("id"), col("v"), unix_millis(col("__et")).as("ts_ms"),
         hyperplaneBucket(col("v"), dim, numBits, seed).as("bucket"), col("__et"))

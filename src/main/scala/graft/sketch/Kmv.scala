@@ -92,11 +92,15 @@ object Kmv {
   }
 
   /** Intersection-size estimate: J * |A union B|, with the union size
-    * itself estimated from the merged sketch.
+    * itself estimated from the merged sketch (built once and shared by
+    * both factors).
     */
   def intersectionEstimate(a: Column, b: Column, k: Int): Column = {
-    val merged = slice(array_sort(array_distinct(concat(a, b))), 1, k)
-    jaccardEstimate(a, b, k) * distinctEstimate(merged, k)
+    val u = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val frac = when(size(u) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double") /
+        size(u).cast("double"))
+    frac * distinctEstimate(u, k)
   }
 }
 

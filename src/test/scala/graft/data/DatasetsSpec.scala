@@ -23,13 +23,21 @@ class DatasetsSpec extends SparkSpec {
     val xlsx = s"$dataDir/crime_data_normalized.xlsx"
     val csv = "/tmp/graft_data/crime_data_normalized.csv"
     if (exists(xlsx) && !exists(csv)) {
+      // convert into a temp path and rename only on success, so a timed-out
+      // or crashed conversion can never leave a truncated file at the final
+      // path (which would turn the assume-skip into persistent failures)
+      val tmp = s"$csv.tmp${System.nanoTime()}"
       try {
         new java.io.File("/tmp/graft_data").mkdirs()
-        val p = new ProcessBuilder("python3", "tools/xlsx2csv.py", xlsx, csv)
+        val p = new ProcessBuilder("python3", "tools/xlsx2csv.py", xlsx, tmp)
           .redirectErrorStream(true).start()
-        p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        if (done && p.exitValue() == 0)
+          new java.io.File(tmp).renameTo(new java.io.File(csv))
         ()
       } catch { case _: Exception => () }
+      finally { new java.io.File(tmp).delete(); () }
     }
   }
 
