@@ -123,6 +123,36 @@ class KmvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property sweep: buffer equals k-smallest-distinct under random orders, splits, merges") {
+    // pure buffer-level sweep (no Spark): 300 random cases of insertion
+    // order, duplicate density, k, and arbitrary split-into-sub-buffers
+    // merge trees must all land on sorted(distinct).take(k)
+    val rnd = new scala.util.Random(99)
+    (0 until 300).foreach { caseNo =>
+      val k = 1 + rnd.nextInt(64)
+      val n = rnd.nextInt(500)
+      val domain = 1 + rnd.nextInt(300) // small domain => many duplicates
+      val values = Seq.fill(n)(rnd.nextInt(domain).toLong)
+      val expected = values.distinct.sorted.take(k)
+      // direct insertion
+      val direct = new KmvBuffer(k)
+      values.foreach(direct.add)
+      assert(direct.toSortedArray.toSeq === expected, s"case $caseNo direct")
+      // random split into sub-buffers, merged in random order (with serde)
+      if (n > 0) {
+        val parts = rnd.shuffle(values).grouped(1 + rnd.nextInt(n)).toSeq
+        val agg = KmvSketchAgg(
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+        val merged = parts.map { p =>
+          val b = new KmvBuffer(k)
+          p.foreach(b.add)
+          agg.deserialize(agg.serialize(b)) // round-trip like a shuffle
+        }.reduce { (x, y) => x.mergeIn(y); x }
+        assert(merged.toSortedArray.toSeq === expected, s"case $caseNo merged")
+      }
+    }
+  }
+
   test("estimator math matches the documented closed forms") {
     // hand-check: sketch [100, 200, 400] with k=3 full => est = 2 * 2^60 / 400
     val est = Seq(1).toDF("x")
