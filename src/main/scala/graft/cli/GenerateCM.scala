@@ -8,8 +8,9 @@ import graft.metrics.GroupCondition
 /** Confusion-matrix pipeline CLI — the reference's third entry point
   * (`generatecm`, reference `confusionmatrix.py:208-229`; SURVEY §3.3):
   * load dataset -> (optional DEMV) -> out-of-fold predictions -> per-group
-  * normalized confusion tables -> CSV. The reference renders PDFs; counts
-  * tables are the engine output (S8: plotting is a driver-side concern).
+  * normalized confusion tables -> CSV + the reference's double-heatmap
+  * PDF ([[graft.eval.PdfPlot]], S8 — same filename contract as
+  * `plt.savefig`).
   *
   * {{{
   * runMain graft.cli.GenerateCM <dataset> <debiaser: biased|demv>
@@ -49,9 +50,15 @@ object GenerateCM {
       debiaser = if (debiaser == "biased") None else Some(debiaser), k = folds)
     val cm = ConfusionMatrices.perGroup(oof, GroupCondition(spec.unprivGroup))
     val path = s"$outDir/cm_${dataset}_${debiaser}_$classifier.csv"
-    cm.orderBy("group", "y_true", "y_pred")
-      .coalesce(1).write.mode("overwrite").option("header", true).csv(path)
-    println(s"wrote confusion matrices -> $path")
+    val ordered = cm.orderBy("group", "y_true", "y_pred").cache()
+    ordered.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
+    // the reference's PDF artifact (confusionmatrix.py:133-144): class
+    // order = ascending distinct labels of the tiny aggregated table
+    val classes = ordered.select("y_true").distinct().collect()
+      .map(r => String.valueOf(r.get(0))).sorted.toSeq
+    val pdf = graft.eval.PdfPlot.writeDoubleConfusionMatrixPdf(
+      ordered, classes, dataset, debiaser, spec.unprivGroup.keys.toSeq.sorted, outDir)
+    println(s"wrote confusion matrices -> $path and plot -> $pdf")
     spark.stop()
   }
 }

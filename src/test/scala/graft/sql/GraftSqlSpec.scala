@@ -63,6 +63,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Double]("j") === 0.5)
   }
 
+  test("README quick-start SQL: sketch + estimator compose in GROUP BY") {
+    import sql.implicits._
+    (0 until 200).map(i => (s"src${i % 4}", s"document body text $i"))
+      .toDF("source", "text").createOrReplaceTempView("docs_readme")
+    val rows = sql.sql(
+      """SELECT source, graft_kmv_distinct_estimate(
+        |         graft_kmv_sketch(h, 256), 256) AS est_distinct
+        |FROM (SELECT source, CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS h
+        |      FROM docs_readme)
+        |GROUP BY source ORDER BY source""".stripMargin).collect()
+    assert(rows.length === 4)
+    // 50 distinct texts per source, all under k => exact counts
+    assert(rows.forall(_.getDouble(1) === 50.0))
+  }
+
   test("non-literal scalar parameters fail fast with the function name") {
     val e = intercept[Exception] {
       sql.sql("SELECT graft_word_ngrams('a b c', length('xx'))").collect()
