@@ -53,11 +53,12 @@ object GenerateCM {
     val ordered = cm.orderBy("group", "y_true", "y_pred").cache()
     ordered.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
     // the reference's PDF artifact (confusionmatrix.py:133-144): class
-    // order = ascending distinct labels of the tiny aggregated table
-    val classes = ordered.select("y_true").distinct().collect()
-      .map(r => String.valueOf(r.get(0))).sorted.toSeq
+    // axis order via the numeric-aware label ordering (a string sort would
+    // put "10" before "2" — see CrossVal.labelValues); sensitive names in
+    // the dataset's DECLARED order, matching the reference filename
+    val classes = graft.eval.CrossVal.labelValues(oof, "y_true").map(String.valueOf(_))
     val pdf = graft.eval.PdfPlot.writeDoubleConfusionMatrixPdf(
-      ordered, classes, dataset, debiaser, spec.unprivGroup.keys.toSeq.sorted, outDir)
+      ordered, classes, dataset, debiaser, spec.sensitiveVars, outDir)
     println(s"wrote confusion matrices -> $path and plot -> $pdf")
     spark.stop()
   }

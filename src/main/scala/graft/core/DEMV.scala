@@ -195,6 +195,11 @@ class DEMV(
     case s: Short if s == 0 || s == 1 => s.toInt
     case b: Byte if b == 0 || b == 1 => b.toInt
     case b: Boolean => if (b) 1 else 0
+    // ordinal-encoded loaders (adult, drug, ...) carry sensitive columns as
+    // DOUBLE 0.0/1.0 — numerically binary, and the reference's pandas
+    // equality treats them as such; only exact 0.0/1.0 pass
+    case d: Double if d == 0.0 || d == 1.0 => d.toInt
+    case f: Float if f == 0.0f || f == 1.0f => f.toInt
     case other =>
       throw new IllegalArgumentException(
         s"sensitive variable '$name' must be binary 0/1, found value '$other' " +

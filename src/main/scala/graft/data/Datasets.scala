@@ -36,6 +36,18 @@ final case class DatasetSpec(
   */
 object Datasets {
 
+  /** Seal a loader output with a LAZY lineage truncation
+    * (`localCheckpoint(eager = false)`): the recode pipelines stack
+    * ~100 CaseWhen-aliased columns (one-hot blocks, encode ladders), and
+    * Catalyst's constraint propagation goes combinatorial when a
+    * multi-key join or window sits on top of that alias tower — measured
+    * as MINUTES of driver optimizer CPU for adult+DEMV (optimize drops to
+    * 0.1 s once the tower is behind a leaf). These are small, eagerly
+    * re-read experiment datasets reused across folds and repetitions, so
+    * one materialization on first action is also a reuse win, not a cost.
+    */
+  private def seal(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
   /** Dispatch by name (reference `getdataset.getdataset`). */
   def get(
       spark: SparkSession,
@@ -156,7 +168,7 @@ object Datasets {
       case (k @ ("sex" | "race"), v: Int) => k -> (v.toDouble: Any)
       case kv => kv
     }
-    DatasetSpec(df, "income", 1, typedGroup.keys.toSeq, typedGroup, 200)
+    DatasetSpec(seal(df), "income", 1, typedGroup.keys.toSeq, typedGroup, 200)
   }
 
   // -------------------------------------------------------------------- cmc
@@ -175,7 +187,7 @@ object Datasets {
       Seq("wife_religion" -> 1, "wife_work" -> 1, "wife_edu" -> 0),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "wife_edu")) df = binarizeCol(df, "wife_edu", 33)
-    DatasetSpec(df, "contr_use", 2, group.keys.toSeq, group, 3)
+    DatasetSpec(seal(df), "contr_use", 2, group.keys.toSeq, group, 3)
   }
 
   // ----------------------------------------------------------------- compas
@@ -191,7 +203,7 @@ object Datasets {
       Seq("sex" -> 0, "race" -> 0, "age" -> 0),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "age")) df = binarizeCol(df, "age", 50)
-    DatasetSpec(df, "two_year_recid", 1, group.keys.toSeq, group, 29)
+    DatasetSpec(seal(df), "two_year_recid", 1, group.keys.toSeq, group, 29)
   }
 
   // ------------------------------------------------------------------ crime
@@ -232,7 +244,7 @@ object Datasets {
       Seq("black_people" -> 1, "hisp_people" -> 1, "MedRent" -> 1),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "MedRent")) df = binarizeCol(df, "MedRent", 0.1)
-    DatasetSpec(df, "ViolentCrimesClass", 100.0, group.keys.toSeq, group, 41)
+    DatasetSpec(seal(df), "ViolentCrimesClass", 100.0, group.keys.toSeq, group, 41)
   }
 
   // ------------------------------------------------------------------- drug
@@ -264,7 +276,7 @@ object Datasets {
       Seq("race" -> 1, "gender" -> 0, "age" -> 1),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "age")) df = binarizeCol(df, "age", 0)
-    DatasetSpec(df, "y", 0, group.keys.toSeq, group, 22)
+    DatasetSpec(seal(df), "y", 0, group.keys.toSeq, group, 22)
   }
 
   // ----------------------------------------------------------------- german
@@ -281,7 +293,7 @@ object Datasets {
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "investment_as_income_percentage"))
       df = binarizeCol(df, "investment_as_income_percentage", 3)
-    DatasetSpec(df, "credit", 1, group.keys.toSeq, group, 2)
+    DatasetSpec(seal(df), "credit", 1, group.keys.toSeq, group, 2)
   }
 
   // -------------------------------------------------------------------- law
@@ -314,7 +326,7 @@ object Datasets {
       Seq("race" -> 1, "gender" -> 1, "age" -> 0),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "age")) df = binarizeCol(df, "age", 61)
-    DatasetSpec(df, "gpa", 2, group.keys.toSeq, group, 103)
+    DatasetSpec(seal(df), "gpa", 2, group.keys.toSeq, group, 103)
   }
 
   // ---------------------------------------------------------------- obesity
@@ -340,7 +352,7 @@ object Datasets {
       Seq("Gender" -> 1, "Age" -> 1, "MTRANS" -> 1),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "MTRANS")) df = binarizeCol(df, "MTRANS", 3)
-    DatasetSpec(df, "y", 0, group.keys.toSeq, group, 10)
+    DatasetSpec(seal(df), "y", 0, group.keys.toSeq, group, 10)
   }
 
   // ------------------------------------------------------------------- park
@@ -377,7 +389,7 @@ object Datasets {
       Seq("age" -> 1, "sex" -> 0, "PPE" -> 0),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "PPE")) df = binarizeCol(df, "PPE", 0.14)
-    DatasetSpec(df, "score_cut", 0, group.keys.toSeq, group, 34)
+    DatasetSpec(seal(df), "score_cut", 0, group.keys.toSeq, group, 34)
   }
 
   // ------------------------------------------------------------------- wine
@@ -400,7 +412,7 @@ object Datasets {
       Seq("alcohol" -> 0, "type" -> 1, "density" -> 0),
       numberOfFeatures, singleFeature, sensitiveFeature)
     if (needsThird(group, "density")) df = binarizeCol(df, "density", 1.1)
-    DatasetSpec(df, "quality", 6, group.keys.toSeq, group, 76)
+    DatasetSpec(seal(df), "quality", 6, group.keys.toSeq, group, 76)
   }
 
   /** Drop a pandas index column round-tripped through CSV

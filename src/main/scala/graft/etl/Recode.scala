@@ -58,10 +58,16 @@ object Recode {
   def oneHot(df: DataFrame, colName: String, prefix: Option[String] = None): DataFrame = {
     val values = df.select(colName).distinct().collect()
       .map(_.get(0)).filter(_ != null).map(_.toString).sorted
-    values.foldLeft(df) { (acc, v) =>
+    // ONE Project for the whole dummy block: a per-value withColumn fold
+    // nests one Project per category (~100 on adult), and Catalyst
+    // re-analysis of that tower per action is quadratic — measured as
+    // minutes of driver CPU on the adult one-hot plan. ListMap keeps the
+    // exact append order of the old fold.
+    val dummies = scala.collection.immutable.ListMap(values.map { v =>
       val name = prefix.map(p => s"${p}_$v").getOrElse(v)
-      acc.withColumn(name, when(col(colName) === v, 1).otherwise(0))
-    }
+      name -> when(col(colName) === v, 1).otherwise(0)
+    }: _*)
+    df.withColumns(dummies)
   }
 
   /** pandas `replace({from -> to})` on one column. */
@@ -121,9 +127,9 @@ object Recode {
     * category even when unobserved (reference `getdataset.py:46-48`).
     */
   def oneHotValues(df: DataFrame, colName: String, values: Seq[String]): DataFrame =
-    values.foldLeft(df) { (acc, v) =>
-      acc.withColumn(v, when(col(colName) === v, 1).otherwise(0))
-    }
+    // one Project, not one per category — see oneHot
+    df.withColumns(scala.collection.immutable.ListMap(values.map(v =>
+      v -> when(col(colName) === v, 1).otherwise(0)): _*))
 
   /** Drop columns that are entirely null — one aggregation pass. */
   def dropAllNullColumns(df: DataFrame): DataFrame = {

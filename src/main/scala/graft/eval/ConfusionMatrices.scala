@@ -35,8 +35,12 @@ object ConfusionMatrices {
       seed: Long = 2L): DataFrame = {
     val base = debiaser match {
       case Some("demv") =>
+        // truncate the balancer's per-cell union lineage before the k-fold
+        // loop re-analyzes it per fit (see CrossVal.crossVal — on wide
+        // datasets the repeated Catalyst transform of that tree costs
+        // minutes of driver CPU)
         new DEMV(spec.sensitiveVars, seed = seed, shuffleOutput = false)
-          .fitTransform(spec.df, spec.label)
+          .fitTransform(spec.df, spec.label).localCheckpoint()
       case _ => spec.df
     }
     val featureCols = base.columns.filterNot(_ == spec.label).toSeq

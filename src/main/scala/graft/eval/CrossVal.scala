@@ -168,7 +168,7 @@ object CrossVal {
                 spec.sensitiveVars, spec.unprivGroup, bound = 0.1)
               mapPredictionBack(fitted.transform(indexLabel(test, labelCol, allLabels)), allLabels)
             case _ =>
-              val train = method match {
+              val balanced = method match {
                 case "biased" => trainBase
                 case "demv" | "random" =>
                   new DEMV(spec.sensitiveVars, stop = stop, seed = seed + fold * 31 + rep,
@@ -178,6 +178,12 @@ object CrossVal {
                     shuffleOutput = false, strategy = method).fitTransform(trainBase, labelCol)
                 case other => throw new IllegalArgumentException(s"Unknown method '$other'")
               }
+              // balancer output is a per-cell union plan; on wide datasets
+              // (adult: ~100 one-hot columns x 8 cells) Catalyst re-analysis
+              // of that tree per ml action dominates wall time (measured:
+              // minutes of pure driver plan-transform CPU). The fit
+              // materializes the frame anyway — truncate the lineage first.
+              val train = if (method == "biased") balanced else balanced.localCheckpoint()
               val model = pipeline(classifier, featureCols, "__y", numClasses)
                 .fit(indexLabel(train, labelCol, allLabels))
               mapPredictionBack(

@@ -40,8 +40,8 @@ object PdfPlot {
       .collect()
       .map(r => (r.getString(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)),
         r.getDouble(3)))
+    val idx = classes.zipWithIndex.toMap
     def matrixOf(group: String): Array[Array[Double]] = {
-      val idx = classes.map(String.valueOf(_)).zipWithIndex.toMap
       val m = Array.fill(classes.length, classes.length)(0.0)
       rows.foreach { case (g, yt, yp, rate) =>
         if (g == group) for (i <- idx.get(yt); j <- idx.get(yp)) m(i)(j) = rate
@@ -52,7 +52,7 @@ object PdfPlot {
     val file = s"cm_${debiaser}_$names$dataset.pdf"
     val content = pageContent(Seq(
       ("Unprivileged group", matrixOf("unprivileged")),
-      ("Privileged group", matrixOf("privileged"))), classes.map(String.valueOf(_)))
+      ("Privileged group", matrixOf("privileged"))), classes)
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
     val path = dir.resolve(file)
@@ -64,7 +64,14 @@ object PdfPlot {
   private val PageW = 842
   private val PageH = 595
 
-  private def fmt(v: Double): String = f"$v%.2f"
+  /** Locale-independent operand formatting: Scala's `f""` interpolator
+    * formats with the DEFAULT locale, which on comma-decimal JVMs
+    * (de_DE, fr_FR, ...) would emit `0,85 g` — invalid PDF syntax.
+    */
+  private def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  private def fmt(v: Double): String = num(v, 2)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -75,7 +82,7 @@ object PdfPlot {
     }
 
   private def text(x: Double, y: Double, size: Int, s: String, gray: Double = 0.0): String =
-    f"$gray%.2f g BT /F1 $size Tf 1 0 0 1 $x%.1f $y%.1f Tm (${esc(s)}) Tj ET\n"
+    s"${num(gray, 2)} g BT /F1 $size Tf 1 0 0 1 ${num(x, 1)} ${num(y, 1)} Tm (${esc(s)}) Tj ET\n"
 
   /** Approximate centered text (Helvetica average advance ~0.55em). */
   private def centered(cx: Double, y: Double, size: Int, s: String, gray: Double = 0.0): String =
@@ -84,10 +91,11 @@ object PdfPlot {
   private def pageContent(panels: Seq[(String, Array[Array[Double]])], classes: Seq[String]): String = {
     val sb = new StringBuilder
     val k = classes.length
-    val panelSize = 380.0
+    // 50 + 360 + 45 + 360 = 815 <= 842: both panels fit inside the MediaBox
+    val panelSize = 360.0
     val cell = panelSize / k
     panels.zipWithIndex.foreach { case ((title, m), p) =>
-      val x0 = 60.0 + p * (panelSize + 40)
+      val x0 = 50.0 + p * (panelSize + 45)
       val yTop = 500.0
       sb.append(centered(x0 + panelSize / 2, yTop + 18, 14, title))
       for (i <- 0 until k; j <- 0 until k) {
@@ -96,12 +104,12 @@ object PdfPlot {
         val y = yTop - (i + 1) * cell
         // darker = higher rate (matplotlib Blues ~ monochrome here)
         val fill = 1.0 - 0.85 * rate
-        sb.append(f"$fill%.3f g $x%.1f $y%.1f $cell%.1f $cell%.1f re f\n")
+        sb.append(s"${num(fill, 3)} g ${num(x, 1)} ${num(y, 1)} ${num(cell, 1)} ${num(cell, 1)} re f\n")
         val tGray = if (rate > 0.5) 1.0 else 0.0
         sb.append(centered(x + cell / 2, y + cell / 2 - 4, 10, fmt(rate), tGray))
       }
       // grid frame
-      sb.append(f"0 g 0.8 w $x0%.1f ${yTop - panelSize}%.1f $panelSize%.1f $panelSize%.1f re S\n")
+      sb.append(s"0 g 0.8 w ${num(x0, 1)} ${num(yTop - panelSize, 1)} ${num(panelSize, 1)} ${num(panelSize, 1)} re S\n")
       // tick labels
       for (j <- 0 until k)
         sb.append(centered(x0 + j * cell + cell / 2, yTop - panelSize - 14, 9, classes(j)))

@@ -63,7 +63,11 @@ object DedupScalingBench {
       val sec = time {
         pairs = Dedup.nearDuplicatePairs(df, "text", "doc_id", threshold = 0.5).count()
       }
-      println(f"""{"n":$n, "near_dup_pairs":$pairs, "sec":$sec%.2f}""")
+      // Locale.ROOT: the default-locale f"" interpolator would print a
+      // decimal comma on de_DE-style JVMs — invalid JSON
+      println(String.format(java.util.Locale.ROOT,
+        """{"n":%d, "near_dup_pairs":%d, "sec":%.2f}""",
+        Int.box(n), Long.box(pairs), Double.box(sec)))
       df.unpersist()
     }
     spark.stop()

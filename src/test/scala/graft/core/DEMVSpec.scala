@@ -107,6 +107,23 @@ class DEMVSpec extends SparkSpec {
     assert(e.getMessage.contains("binary"))
   }
 
+  test("double-typed 0.0/1.0 sensitive columns work (adult-style ordinal encode)") {
+    import spark.implicits._
+    // the adult/drug loaders carry sex/race as DOUBLE 0.0/1.0
+    val doubled = fixture
+      .withColumn("s1", col("s1").cast("double"))
+      .withColumn("s2", col("s2").cast("double"))
+    val out = new DEMV(Seq("s1", "s2"), seed = 3L).fitTransform(doubled, "y")
+    assert(out.count() > 0)
+    assert(out.schema("s1").dataType.typeName === "double")
+    // but a genuinely non-binary double still fails fast
+    val bad = fixture.withColumn("s1", col("s1").cast("double") + 0.5)
+    val e = intercept[Exception] {
+      new DEMV(Seq("s1")).fitTransform(bad, "y")
+    }
+    assert(e.getMessage.contains("binary"))
+  }
+
   test("empty cell raises a clear error naming the cell") {
     import spark.implicits._
     // s1=1 rows only have y=1 -> cell (s1=1, y=0) is empty
