@@ -41,6 +41,19 @@ class DatasetsSpec extends SparkSpec {
     }
   }
 
+  test("loader outputs are sealed: lineage-truncated behind a leaf") {
+    // regression guard for the constraint-propagation blowup (BENCHNOTES):
+    // a join/window on top of the ~100-CaseWhen recode tower cost MINUTES
+    // of optimizer CPU; sealed loaders expose a LogicalRDD leaf instead
+    val spec = Datasets.adult(spark, s"$dataDir/adult.data", numberOfFeatures = 2)
+    val leaves = spec.df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"expected a checkpoint leaf, got:\n${spec.df.queryExecution.analyzed}")
+    assert(spec.df.queryExecution.analyzed.collect { case n => n }.length <= 3,
+      "sealed loader plan must be a leaf (+ at most trivial wrappers)")
+  }
+
   test("cmc: schema, metadata, row count (getdataset.py:84-123)") {
     val spec = Datasets.cmc(spark, s"$dataDir/cmc.data", numberOfFeatures = 2)
     assert(spec.df.count() === 1473)
