@@ -84,10 +84,12 @@ object Recode {
     val aggs = cols.flatMap(c => Seq(avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val statIdx = cols.zipWithIndex.map { case (c, i) => c -> (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)) }.toMap
-    cols.foldLeft(df) { (acc, c) =>
+    // one Project for all standardized columns (crime z-scores ~100 — a
+    // per-column fold would nest ~100 Projects; see oneHot)
+    df.withColumns(scala.collection.immutable.ListMap(cols.map { c =>
       val (m, s) = statIdx(c)
-      acc.withColumn(c, (col(c) - m) / s)
-    }
+      c -> (col(c) - m) / s
+    }: _*))
   }
 
   /** sklearn `LabelEncoder` parity: distinct non-null values sorted
