@@ -22,20 +22,36 @@ object Bench {
     // plan has no business in a throughput contract meant to extrapolate to
     // 100 TB — see tools/CrossoverBench for the measured q35/q39 crossover.
     val timedQueries = SparkEntry.queries - "q35_cosine_neardup_exact"
-    val results = timedQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Best-of-N (default 2) per query: a single pass can record a host
+    // stall (hypervisor steal, GC roaming across queries — see
+    // BENCHNOTES.md round 3) as a 30x query time. The min over passes is
+    // the plan-level signal; a stall would have to land on the SAME query
+    // in EVERY pass to survive. Passes alternate over the whole set so
+    // back-to-back timings of one query never share a transient stall.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark
       // prune the projection and under-measure the real work)
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch {
         case t: Throwable =>
           // -1 sentinel: a broken query must not masquerade as a fast one
           System.err.println(s"BENCH FAIL $name: $t")
           t.printStackTrace()
-          name -> -1.0
+          -1.0
       }
+    }
+    val ordered = timedQueries.toSeq.sortBy(_._1)
+    val byPass = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) => timeOne(name, fn) }
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val ts = byPass.map(_(i))
+      // any failed pass poisons the query: report the sentinel, not a min
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1014,7 +1014,9 @@ object SparkEntry {
         TextFunctions.shingleHashSetPortable(col("text"), 5).as("hs"))
       val perSource = sh.groupBy(col("source")).agg(Kmv.sketch(col("hs"), k).as("sk"))
       perSource.agg(
-          count(lit(1)).as("n_sources"),
+          // count over non-null sources = DuckDB count(DISTINCT source)
+          // semantics (a NULL-source group would otherwise be counted)
+          count(col("source")).as("n_sources"),
           Kmv.sketch(col("sk"), k).as("g"))
         .select(col("n_sources"),
           size(col("g")).cast("long").as("sketch_size"),

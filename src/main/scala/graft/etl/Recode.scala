@@ -63,10 +63,19 @@ object Recode {
     // re-analysis of that tower per action is quadratic — measured as
     // minutes of driver CPU on the adult one-hot plan. ListMap keeps the
     // exact append order of the old fold.
-    val dummies = scala.collection.immutable.ListMap(values.map { v =>
+    // Dummy names differing only by case (e.g. values "Yes"/"yes") would
+    // make withColumns throw under Spark's default case-insensitive
+    // resolution; keep the old per-column-fold behavior (last wins) by
+    // deduping case-insensitively, last occurrence kept.
+    val named = values.map { v =>
       val name = prefix.map(p => s"${p}_$v").getOrElse(v)
       name -> when(col(colName) === v, 1).otherwise(0)
-    }: _*)
+    }
+    val lastIdx = named.zipWithIndex
+      .groupBy(_._1._1.toLowerCase(java.util.Locale.ROOT))
+      .map { case (_, g) => g.last._2 }.toSet
+    val dummies = scala.collection.immutable.ListMap(
+      named.zipWithIndex.collect { case (nv, i) if lastIdx(i) => nv }: _*)
     df.withColumns(dummies)
   }
 

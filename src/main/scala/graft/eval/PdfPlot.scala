@@ -142,7 +142,10 @@ object PdfPlot {
     }
     val xrefOff = sb.length
     sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    // Locale.ROOT like num(): default-locale %d can emit non-Latin digits
+    // (e.g. ar/hi numbering), which would corrupt the xref byte layout.
+    offsets.foreach(o =>
+      sb.append("%010d 00000 n \n".formatLocal(java.util.Locale.ROOT, o)))
     sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n")
     sb.append(s"startxref\n$xrefOff\n%%EOF\n")
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)

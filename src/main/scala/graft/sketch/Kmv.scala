@@ -77,7 +77,10 @@ object Kmv {
     * estimator (k-1) * 2^60 / h_(k). Plain codegen'd arithmetic.
     */
   def distinctEstimate(sk: Column, k: Int): Column =
-    when(size(sk) < k, size(sk).cast("double"))
+    // NULL sketch (e.g. after an outer join) -> NULL, not the -1.0 that
+    // size(null) would otherwise route into the "exact" branch.
+    when(isnull(sk), lit(null).cast("double"))
+      .when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
         element_at(sk, k).cast("double"))
 

@@ -4,7 +4,7 @@ import graft.functions._
 import graft.sketch.KmvSketchAgg
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, CaseWhen, Cast, Concat, Divide, ElementAt, EqualTo, Expression, ExpressionInfo, LessThan, Literal, Multiply, Size, Slice, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, CaseWhen, Cast, Concat, Divide, ElementAt, EqualTo, Expression, ExpressionInfo, IsNull, LessThan, Literal, Multiply, Size, Slice, SortArray}
 import org.apache.spark.sql.types.DoubleType
 
 /** SQL surface for the graft function library: every compiled Catalyst
@@ -128,7 +128,10 @@ object GraftFunctions {
     */
   private def kmvDistinctEstimateExpr(sk: Expression, k: Int): Expression =
     CaseWhen(
-      Seq((LessThan(Size(sk), Literal(k)), Cast(Size(sk), DoubleType))),
+      Seq(
+        // NULL sketch -> NULL (size(null) is -1 and would hit the < k arm)
+        (IsNull(sk), Literal(null, DoubleType)),
+        (LessThan(Size(sk), Literal(k)), Cast(Size(sk), DoubleType))),
       Some(Divide(
         Multiply(Literal((k - 1).toDouble), Literal(math.pow(2, 60))),
         Cast(ElementAt(sk, Literal(k)), DoubleType))))

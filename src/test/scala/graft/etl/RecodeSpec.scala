@@ -39,6 +39,19 @@ class RecodeSpec extends SparkSpec {
     assert(reds.forall(r => r.getInt(0) == 1 && r.getInt(1) == 0))
   }
 
+  test("oneHot: case-colliding categories keep last-wins, no AnalysisException") {
+    import spark.implicits._
+    // "Yes" and "yes" collide under Spark's case-insensitive resolution;
+    // the old withColumn fold silently produced one last-wins column, and
+    // the single-Project rewrite must preserve that instead of throwing.
+    val df = Seq("Yes", "yes", "no").toDF("c")
+    val out = Recode.oneHot(df, "c")
+    assert(out.columns.count(_.equalsIgnoreCase("yes")) === 1)
+    // sorted values = ["Yes", "no", "yes"]; last-wins keeps the "yes" dummy
+    val rows = out.where(col("c") === "yes").select("yes").collect()
+    assert(rows.head.getInt(0) === 1)
+  }
+
   test("replaceValues") {
     import spark.implicits._
     val out = Seq("never", "often").toDF("c")

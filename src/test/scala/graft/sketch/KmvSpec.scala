@@ -161,4 +161,21 @@ class KmvSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(est === 2.0 * math.pow(2, 60) / 400.0)
   }
+
+  test("NULL sketch estimates NULL, not -1 (outer-join hole), Column and SQL") {
+    val df = Seq(1).toDF("x")
+      .select(lit(null).cast("array<bigint>").as("sk"))
+    val viaColumn = df.select(Kmv.distinctEstimate(col("sk"), 3)).collect()(0)
+    assert(viaColumn.isNullAt(0))
+    // isolated session like GraftSqlSpec: graft_* must not leak into the
+    // shared session
+    val sqlSession = spark.newSession()
+    graft.sql.GraftFunctions.register(sqlSession)
+    import sqlSession.implicits._
+    Seq(1).toDF("x").select(lit(null).cast("array<bigint>").as("sk"))
+      .createOrReplaceTempView("null_sk")
+    val viaSql = sqlSession.sql(
+      "SELECT graft_kmv_distinct_estimate(sk, 3) FROM null_sk").collect()(0)
+    assert(viaSql.isNullAt(0))
+  }
 }
