@@ -2053,5 +2053,10 @@ object SparkEntry {
         |      doc_id) AS rk
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin
+  ) ++
+    // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
+    // VALUES literals (see GoldenOracles scaladoc — algorithms are verified
+    // via the portable twins; these close the driver's no_oracle rows)
+    GoldenOracles.sql
 }
