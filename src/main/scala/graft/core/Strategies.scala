@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -132,8 +132,15 @@ object Strategies {
   }
 
   /** SMOTE / ADASYN synthetic rows: `extras(cellKey)` interpolated rows per
-    * cell. kNN over a seeded per-cell sample of at most `sampleCap` rows,
-    * computed on the driver (bounded memory at any data scale).
+    * cell, neighbors always drawn from the FULL cell.
+    *
+    * Adaptive per-cell path (same one-cheap-count pattern as
+    * [[graft.dedup.Components]]): cells of at most `sampleCap` rows run the
+    * exact driver kNN (the "sample" is the whole cell, so the old cap-bind
+    * fidelity gap cannot occur by construction); larger cells run the
+    * distributed hyperplane-LSH kNN ([[smoteLshKnn]]) — candidates from
+    * multi-probe bucket equi-joins, exact squared-Euclidean re-rank, never
+    * a pairwise scan and never an unbounded collect.
     */
   def synthesizeSmote(
       df: DataFrame,
@@ -142,12 +149,51 @@ object Strategies {
       seed: Long,
       k: Int = 5,
       sampleCap: Int = 1024,
-      adasyn: Boolean = false): DataFrame = {
+      adasyn: Boolean = false,
+      lshBits: Int = 10,
+      bucketCap: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     val featureCols = df.columns.filterNot(keyCols.contains).toSeq
     requireNumeric(df, featureCols, if (adasyn) "adasyn" else "smote")
-    val needed = extras.filter(_._2 > 0)
-    if (needed.isEmpty) return df.limit(0)
+    val neededAll = extras.filter(_._2 > 0)
+    if (neededAll.isEmpty) return df.limit(0)
+
+    // one tiny aggregate routes each cell: |cell| <= sampleCap -> exact
+    // driver kNN over the full cell; larger -> distributed LSH kNN
+    val keySchemaAll = df.select(keyCols.map(col): _*).schema
+    val needDfAll = spark.createDataFrame(
+      spark.sparkContext.parallelize(neededAll.keys.toSeq.map(Row.fromSeq), 1), keySchemaAll)
+    val cellSizes: Map[Seq[Any], Long] = df
+      .join(broadcast(needDfAll), keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*).count().collect()
+      .map(r => (keyCols.indices.map(r.get): Seq[Any]) -> r.getLong(keyCols.length)).toMap
+    neededAll.keys.find(!cellSizes.contains(_)).foreach { kv =>
+      throw new IllegalStateException(s"no rows found for cell $kv")
+    }
+    val small = neededAll.filter { case (kv, _) => cellSizes(kv) <= sampleCap }
+    val big = neededAll.filter { case (kv, _) => cellSizes(kv) > sampleCap }
+    val parts = Seq(
+      if (small.nonEmpty)
+        Some(smoteDriverKnn(df, keyCols, small, seed, k, sampleCap, adasyn)) else None,
+      if (big.nonEmpty)
+        Some(smoteLshKnn(df, keyCols, big, cellSizes, seed, k, adasyn, lshBits, bucketCap))
+      else None).flatten
+    parts.reduce(_ unionAll _)
+  }
+
+  /** Exact full-cell kNN on the driver for cells bounded by `sampleCap` —
+    * O(cells * cap^2) work independent of corpus size.
+    */
+  private def smoteDriverKnn(
+      df: DataFrame,
+      keyCols: Seq[String],
+      needed: Map[Seq[Any], Long],
+      seed: Long,
+      k: Int,
+      sampleCap: Int,
+      adasyn: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val featureCols = df.columns.filterNot(keyCols.contains).toSeq
 
     // one distributed pass, pruned and salted: (1) left_semi against the
     // broadcast needed-cell keys so untouched cells are never scanned past
@@ -185,9 +231,10 @@ object Strategies {
       .map { case (key, rows) =>
         key -> rows.map(r => featIdx.map(i => numAt(r, i)).toArray)
       }
-    // honesty: a full sample (== cap) means the cell is larger than the cap
-    // and neighbors come from the seeded sample, not the whole cell
-    val capped = byCell.collect { case (key, pts) if pts.length >= sampleCap => key }
+    // invariant guard: the dispatcher routes cells larger than the cap to
+    // the LSH path, so a driver-path sample can never exceed the cap; a
+    // breach means neighbors came from a truncated sample
+    val capped = byCell.collect { case (key, pts) if pts.length > sampleCap => key }
     if (capped.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"${if (adasyn) "adasyn" else "smote"}: kNN sample cap ($sampleCap) binds for " +
@@ -239,6 +286,223 @@ object Strategies {
       }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(synth.toSeq, math.max(1, synth.length / 10000)), df.schema)
+  }
+
+  /** Distributed SMOTE/ADASYN for cells larger than the driver cap —
+    * neighbors from the FULL cell via hyperplane-LSH candidates
+    * (reusing [[graft.similarity.Similarity.hyperplaneBucket]]) with exact
+    * squared-Euclidean re-rank. imblearn parity notes: interpolation is
+    * `x + u * (x' - x)` toward a uniform choice among the k nearest, like
+    * the driver path; the candidate set is approximate (multi-probe LSH
+    * over CELL-CENTERED vectors — centering makes the angular sketch track
+    * Euclidean proximity), and ADASYN's density weight is the mean
+    * distance to the k nearest same-bucket rows.
+    *
+    * Scale shape: every shuffle is an equi-join on (cell, bucket) or
+    * (cell, index); every window is partitioned by (cell, salt), (cell,
+    * bucket, salt) or a per-row/per-synthetic group — no single-partition
+    * windows, no pairwise cell scan (bucket occupancy is capped at
+    * `bucketCap` by a salted two-level rank), and the only collects are
+    * per-cell aggregates bounded by cell COUNT, not cell size.
+    */
+  private def smoteLshKnn(
+      df: DataFrame,
+      keyCols: Seq[String],
+      needed: Map[Seq[Any], Long],
+      cellSizes: Map[Seq[Any], Long],
+      seed: Long,
+      k: Int,
+      adasyn: Boolean,
+      lshBits: Int,
+      bucketCap: Int): DataFrame = {
+    import graft.similarity.Similarity
+    val spark = df.sparkSession
+    val featureCols = df.columns.filterNot(keyCols.contains).toSeq
+    val nF = featureCols.length
+    val kc = keyCols.map(col)
+    val saltBuckets = 32
+
+    val keySchema = df.select(kc: _*).schema
+    val planSchema = StructType(keySchema.fields ++ Seq(
+      StructField("__extra", LongType), StructField("__csize", LongType)))
+    val planRows = needed.toSeq.map { case (kv, m) =>
+      Row.fromSeq(kv ++ Seq[Any](m, cellSizes(kv)))
+    }
+    val plan = spark.createDataFrame(spark.sparkContext.parallelize(planRows, 1), planSchema)
+
+    // cell rows + feature vector + bucket of the cell-centered vector
+    // (per-cell means are a tiny agg, broadcast back)
+    val pruned = df
+      .join(broadcast(plan.select(kc: _*)), keyCols, "left_semi")
+      .withColumn("__vec", array(featureCols.map(col(_).cast("double")): _*))
+    val muAggs = featureCols.zipWithIndex.map { case (c, i) =>
+      avg(col(c)).as(s"__mu_$i")
+    }
+    val means = pruned.groupBy(kc: _*).agg(muAggs.head, muAggs.tail: _*)
+    val centered = pruned.join(broadcast(means), keyCols)
+      .withColumn("__cv", array((0 until nF).map(i =>
+        element_at(col("__vec"), i + 1) - col(s"__mu_$i").cast("double")): _*))
+      .withColumn("__bkt", Similarity.hyperplaneBucket(col("__cv"), nF, lshBits, seed + 7))
+      .drop((0 until nF).map(i => s"__mu_$i") :+ "__cv": _*)
+
+    // dense 0-based per-cell index via the salted two-level rank (same
+    // pattern as synthesizeUniform): the equi-join handle for base picks
+    // and self-exclusion
+    val ordH = xxhash64(df.columns.map(col) :+ lit(seed + 3): _*)
+    val withSalt = centered.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), lit(saltBuckets)).cast("int"))
+    val occ = withSalt.groupBy(kc :+ col("__salt"): _*).count().collect()
+      .map(r => ((keyCols.indices.map(r.get): Seq[Any]), r.getInt(keyCols.length)) ->
+        r.getLong(keyCols.length + 1)).toMap
+    val offsetRows = occ.keys.groupBy(_._1).toSeq.flatMap { case (cell, ks) =>
+      var acc = 0L
+      ks.map(_._2).toSeq.sorted.map { s =>
+        val r = Row.fromSeq(cell ++ Seq[Any](s, acc)); acc += occ((cell, s)); r
+      }
+    }
+    val offsetSchema = StructType(keySchema.fields ++ Seq(
+      StructField("__salt", IntegerType), StructField("__off", LongType)))
+    val offsetsDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    val indexed = withSalt
+      .join(broadcast(offsetsDF), keyCols :+ "__salt")
+      .withColumn("__rn",
+        (row_number().over(
+          Window.partitionBy((kc :+ col("__salt")): _*).orderBy(ordH)) - 1)
+          .cast("long") + col("__off"))
+      .drop("__salt", "__off")
+
+    // neighbor corpus: per-(cell, bucket) occupancy capped at `bucketCap`
+    // by a salted two-level rank, so candidate fan-out per query is
+    // bounded whatever the bucket skew
+    val corpusAll = indexed.select(
+      kc :+ col("__bkt") :+ col("__rn").as("__nrn") :+ col("__vec").as("__nv"): _*)
+    val ch = xxhash64(col("__nrn"), lit(seed + 5))
+    val corpus = corpusAll
+      .withColumn("__cs", pmod(col("__nrn"), lit(saltBuckets)).cast("int"))
+      .withColumn("__cr1", row_number().over(
+        Window.partitionBy((kc :+ col("__bkt") :+ col("__cs")): _*).orderBy(ch, col("__nrn"))))
+      .where(col("__cr1") <= bucketCap)
+      .withColumn("__cr2", row_number().over(
+        Window.partitionBy((kc :+ col("__bkt")): _*).orderBy(ch, col("__nrn"))))
+      .where(col("__cr2") <= bucketCap)
+      .drop("__cs", "__cr1", "__cr2")
+
+    // base rows: (cell, __brn base index, __synth id, base vector, bucket)
+    val base =
+      if (!adasyn) {
+        // SMOTE: exactly __extra uniform picks per cell, fetched by
+        // equi-join on the dense index (like synthesizeUniform's skeleton)
+        val skeleton = plan
+          .withColumn("__synth", explode(expr("sequence(1, __extra)")))
+          .withColumn("__pick",
+            pmod((rand(seed + 11) * col("__csize")).cast("long"), col("__csize")))
+          .select(kc :+ col("__synth") :+ col("__pick"): _*)
+        skeleton
+          .join(indexed.withColumnRenamed("__rn", "__pick"), keyCols :+ "__pick")
+          .select(kc :+ col("__pick").as("__brn") :+ col("__synth") :+
+            col("__vec").as("__bv") :+ col("__bkt").as("__b0"): _*)
+      } else {
+        // ADASYN: density weight w_i = mean distance to the k nearest
+        // same-bucket rows; per-row synthetic counts are the exact
+        // largest-remainder apportionment of __extra over w (same
+        // allocation scheme as etl.Stratified, distributed the same way:
+        // the remainder top-L is output-bounded, L <= __extra)
+        val qSide = indexed.select(
+          kc :+ col("__bkt") :+ col("__rn").as("__qrn") :+ col("__vec").as("__qv"): _*)
+        val wgt = qSide.join(corpus, keyCols :+ "__bkt")
+          .where(col("__nrn") =!= col("__qrn"))
+          .withColumn("__d2", Similarity.dist2(col("__qv"), col("__nv")))
+          .withColumn("__nrk", row_number().over(
+            Window.partitionBy((kc :+ col("__qrn")): _*).orderBy(col("__d2"), col("__nrn"))))
+          .where(col("__nrk") <= k)
+          .groupBy(kc :+ col("__qrn"): _*)
+          .agg((avg(sqrt(col("__d2"))) + lit(1e-9)).as("__w0"))
+          .withColumnRenamed("__qrn", "__rn")
+        val withW = indexed.join(wgt, keyCols :+ "__rn", "left")
+          .withColumn("__w", coalesce(col("__w0"), lit(1.0)))
+          .drop("__w0")
+          // fixed-point weights: exact long arithmetic downstream (>= 1 so
+          // every row keeps a nonzero share)
+          .withColumn("__wl", greatest(lit(1L), round(col("__w") * (1L << 20)).cast("long")))
+        // exact-total apportionment WITHOUT a remainder pass: with C_i the
+        // per-cell running weight total in __rn order,
+        //   c_i = f(C_i) - f(C_i - w_i)   where f(C) = floor(C * m / W_cell)
+        // telescopes to exactly m per cell (C_i - w_i == C_{i-1} exactly in
+        // long arithmetic). The running total is graft.etl.Packing's
+        // grouped range-split cumsum — no single-partition window, cells
+        // are the (few) group keys. This also avoids re-joining an
+        // aggregate of the same plan, which Spark 4's resolver rejects as
+        // ambiguous hidden-output lineage.
+        val cum = graft.etl.Packing.withGroupedRunningTotal(
+          withW, keyCols, Seq(col("__rn")), "__wl", "__cum", seed = seed + 19)
+        val wTotals: Map[Seq[Any], Long] = withW.groupBy(kc: _*)
+          .agg(sum(col("__wl")).as("__WL")).collect()
+          .map(r => (keyCols.indices.map(r.get): Seq[Any]) -> r.getLong(keyCols.length)).toMap
+        val mwSchema = StructType(keySchema.fields ++ Seq(
+          StructField("__extra", LongType), StructField("__WL", LongType)))
+        val mw = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            needed.toSeq.map { case (kv, m) =>
+              Row.fromSeq(kv ++ Seq[Any](m, wTotals(kv)))
+            }, 1), mwSchema)
+        // decimal arithmetic keeps f exact at the endpoint (f(W_cell) == m
+        // bit-for-bit), which the telescoping-total argument relies on.
+        // Columns are bound by dataset handle (exprId), not name: Spark 4's
+        // single-pass resolver reports spurious AMBIGUOUS_REFERENCE for
+        // by-name lookups through using-join hidden-output metadata.
+        def fCum(c: Column) =
+          floor(c.cast("decimal(38,0)") * mw("__extra") / mw("__WL")).cast("long")
+        cum.join(broadcast(mw), keyCols)
+          .withColumn("__cnt", fCum(cum("__cum")) - fCum(cum("__cum") - cum("__wl")))
+          .where(col("__cnt") > 0)
+          .withColumn("__synth", explode(expr("sequence(1, __cnt)")))
+          .select(kc :+ col("__rn").as("__brn") :+ col("__synth") :+
+            col("__vec").as("__bv") :+ col("__bkt").as("__b0"): _*)
+      }
+
+    // neighbor choice: multi-probe (own bucket + each bit flipped once)
+    // expands only the query side; candidates re-rank by exact distance;
+    // the random pick among the <= k nearest comes from the same seeded
+    // rand stream family as the base picks
+    val withRand = base
+      .withColumn("__t", rand(seed + 17))
+      .withColumn("__u", rand(seed + 13))
+    val probed = withRand.withColumn("__bkt", explode(array((col("__b0") +:
+        (0 until lshBits).map(b => col("__b0").bitwiseXOR(lit(1L << b)))): _*)))
+    val grp = kc :+ col("__brn") :+ col("__synth")
+    val cand = probed.join(corpus, keyCols :+ "__bkt")
+      .where(col("__nrn") =!= col("__brn"))
+      .select(grp :+ col("__u") :+ col("__bv") :+ col("__nrn") :+ col("__nv"): _*)
+      .dropDuplicates(keyCols :+ "__brn" :+ "__synth" :+ "__nrn")
+      .withColumn("__d2", Similarity.dist2(col("__bv"), col("__nv")))
+    val rankW = Window.partitionBy(grp: _*).orderBy(col("__d2"), col("__nrn"))
+    val cntW = Window.partitionBy(grp: _*)
+    val chosen = cand
+      .withColumn("__nrk", row_number().over(rankW))
+      .where(col("__nrk") <= k)
+      .withColumn("__kc", count(lit(1)).over(cntW))
+      .where(col("__nrk") === (floor(col("__u") * col("__kc")) + 1).cast("int"))
+      .select(grp :+ col("__nv"): _*)
+
+    // a base with no candidate in any probed bucket degrades to a
+    // duplicate (kEff<=0 driver-path behavior)
+    val withN = withRand.join(chosen, keyCols :+ "__brn" :+ "__synth", "left")
+      .withColumn("__nv2", coalesce(col("__nv"), col("__bv")))
+    val outCols = df.schema.fields.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else {
+        val i = featureCols.indexOf(f.name) + 1
+        val bv = element_at(col("__bv"), i)
+        val nv = element_at(col("__nv2"), i)
+        val interp = bv + col("__t") * (nv - bv)
+        (f.dataType match {
+          case DoubleType | FloatType | _: DecimalType => interp
+          case _ => round(interp, 0) // integer dtypes round like buildRow
+        }).cast(f.dataType).as(f.name)
+      }
+    }
+    withN.select(outCols.toSeq: _*)
   }
 
   private def requireNumeric(df: DataFrame, cols: Seq[String], strategy: String): Unit = {

@@ -391,6 +391,17 @@ object TextAlgo {
     s
   }
 
+  /** Squared Euclidean distance of two double arrays (the SMOTE/ADASYN
+    * neighbor metric — sqrt deferred to callers that need true distance).
+    */
+  def dist2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Cosine similarity of two double arrays; 0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -355,6 +355,26 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance of two array<double> columns (compiled —
+  * the SMOTE/ADASYN kNN re-rank runs this per candidate pair).
+  */
+case class Dist2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dist2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgo.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextAlgo.dist2($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane sign-sketch bucket of an array<double> column: bit i is
   * the sign of the dot product with seeded plane i. `planes` is row-major
   * (numBits x dim), generated deterministically by the caller.

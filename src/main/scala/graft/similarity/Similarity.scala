@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
-  import graft.functions.{CosineSimExpr, DotProductExpr, HyperplaneBucketExpr,
+  import graft.functions.{CosineSimExpr, Dist2Expr, DotProductExpr, HyperplaneBucketExpr,
     QuantSumInt8Expr, QuantizeInt8Expr, VecMaxAbsExpr}
 
   /** Dot product of two array<double> columns — native codegen'd expression
@@ -26,6 +26,11 @@ object Similarity {
     * interpreted higher-order-function tree.
     */
   def dot(a: Column, b: Column): Column = toCol(DotProductExpr(toExpr(a), toExpr(b)))
+
+  /** Squared Euclidean distance ([[graft.functions.Dist2Expr]], compiled) —
+    * the SMOTE/ADASYN neighbor metric.
+    */
+  def dist2(a: Column, b: Column): Column = toCol(Dist2Expr(toExpr(a), toExpr(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
