@@ -247,12 +247,36 @@ object Dedup {
     * so state size follows bucket occupancy within the horizon, never the
     * stream length; `maxBucketState` is the boilerplate-bucket skew guard
     * (the streaming analogue of the batch path's hot-key anti-join). A
-    * pair sharing several bands is emitted by each — collapse downstream
-    * (a batch distinct after the sink, or Set semantics at the consumer);
-    * Spark does not allow a second stateful dedup after
-    * flatMapGroupsWithState. In batch execution the same call degrades to
-    * per-bucket within-batch pairing (no state, no timeouts).
+    * pair sharing several bands is emitted ONCE, by the lowest-indexed
+    * band whose bucket keys collide (canonical-band emission): each band
+    * group holds both full signatures, so it can recompute every band's
+    * bucket key via [[bandBucket]] — the JVM twin of the Catalyst key —
+    * and stay silent unless it is the first collision. Identical docs
+    * collide in every band; without this an Append-mode sink would carry
+    * `bands` duplicate rows per pair that no downstream stream can
+    * cheaply dedup (Spark does not allow a second stateful dedup after
+    * flatMapGroupsWithState). In batch execution the same call degrades
+    * to per-bucket within-batch pairing (no state, no timeouts).
     */
+  /** JVM twin of [[streamingNearDupPairs]]'s Catalyst band key
+    * `xxhash64(slice(sig, band*rowsPerBand+1, rowsPerBand), band)`:
+    * XXH64-fold the band's signature rows from Catalyst's fixed seed 42,
+    * then fold the band index as an int — byte-identical to
+    * `XxHash64(Seq(array<bigint>, int))` interpretation/codegen, which
+    * hashes children left-to-right chaining the accumulator as the seed
+    * (array elements first, element-wise). Lockstep is spec-enforced
+    * (`DedupSpec` "bandBucket lockstep"); drift would silently drop
+    * canonical-band emissions.
+    */
+  private[dedup] def bandBucket(sig: Seq[Long], band: Int, rowsPerBand: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = 42L
+    var i = band * rowsPerBand
+    val end = math.min(i + rowsPerBand, sig.length)
+    while (i < end) { h = XXH64.hashLong(sig(i), h); i += 1 }
+    XXH64.hashInt(band, h)
+  }
+
   def streamingNearDupPairs(
       df: DataFrame,
       textCol: String,
@@ -289,7 +313,7 @@ object Dedup {
       .groupByKey(r => (r._4, r._5))
       .flatMapGroupsWithState[MinhashBucketState, StreamNearDupPair](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        case (_, rows, state: GroupState[MinhashBucketState]) =>
+        case ((thisBand, _), rows, state: GroupState[MinhashBucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
@@ -304,9 +328,20 @@ object Dedup {
                   val n = math.min(e.sig.length, s.length)
                   while (i < n) { if (e.sig(i) == s(i)) m += 1; i += 1 }
                   val est = if (numHashes == 0) 0.0 else m.toDouble / numHashes
-                  if (est >= threshold)
-                    out += StreamNearDupPair(math.min(e.id, id), math.max(e.id, id),
-                      est, math.max(e.tsMs, ts))
+                  // canonical-band gate: stay silent unless this band is
+                  // the pair's FIRST bucket collision (see scaladoc)
+                  if (est >= threshold) {
+                    var first = -1
+                    var b = 0
+                    while (first < 0 && b < thisBand) {
+                      if (bandBucket(e.sig, b, rowsPerBand) ==
+                          bandBucket(s, b, rowsPerBand)) first = b
+                      b += 1
+                    }
+                    if (first < 0)
+                      out += StreamNearDupPair(math.min(e.id, id), math.max(e.id, id),
+                        est, math.max(e.tsMs, ts))
+                  }
                 }
               }
               entries = (MinhashBucketEntry(id, s, ts) :: entries).take(maxBucketState)

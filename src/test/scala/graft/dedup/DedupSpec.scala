@@ -16,6 +16,45 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("bandBucket stays in lockstep with the Catalyst band key") {
+    // canonical-band emission silently DROPS pairs if the JVM twin ever
+    // drifts from the Catalyst xxhash64 band key — enforce bit-equality
+    // on random signatures across every band
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rowsPerBand = 4
+    val bands = 8
+    val sigs = Seq.fill(50)(Seq.fill(bands * rowsPerBand)(rnd.nextLong()))
+    val bandKeys = explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket"))))
+    val catalyst = sigs.toDF("sig")
+      .select(col("sig"), bandKeys.as("bk"))
+      .select(col("sig"), col("bk.band"), col("bk.bucket"))
+      .collect()
+    assert(catalyst.length === 50 * bands)
+    catalyst.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      assert(Dedup.bandBucket(sig, r.getInt(1), rowsPerBand) === r.getLong(2),
+        s"drift at band ${r.getInt(1)}")
+    }
+  }
+
+  test("streamingNearDupPairs emits each pair exactly once (canonical band)") {
+    // identical docs collide in EVERY band — the batch fallback runs the
+    // same grouped logic, so one emitted row proves the gate
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again in the morning light"
+    val df = Seq((1L, base, 1000000000L), (2L, base, 1000000100L))
+      .toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val rows = Dedup.streamingNearDupPairs(df, "text", "doc_id", "ts",
+      delayMs = 600000L, threshold = 0.8).collect()
+    assert(rows.length === 1, s"expected one canonical emission, got ${rows.toSeq}")
+    assert(rows(0).id_a === 1L && rows(0).id_b === 2L && rows(0).est_jaccard === 1.0)
+  }
+
   test("exact dedup keeps one row per fingerprint, smallest id") {
     val out = Dedup.exact(docs, "text", "doc_id")
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet

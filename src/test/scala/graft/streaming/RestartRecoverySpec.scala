@@ -125,4 +125,49 @@ class RestartRecoverySpec extends SparkSpec {
     // recovered from the checkpoint).
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
+
+  test("streaming minhash near-dup recovers bucket state across a kill/restart") {
+    import spark.implicits._
+    val src = tmp("graft_rrn_src")
+    val out = tmp("graft_rrn_out")
+    val ckpt = tmp("graft_rrn_ckpt")
+
+    // long enough to shingle (>= 5 words), identical across the kill so the
+    // minhash match is exact (similarity estimate 1.0)
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely unrelated content about distributed query engines at scale"
+
+    def writeDocs(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("id", "ts", "text").withColumn("ts", to_timestamp(col("ts")))
+        .coalesce(1).write.mode("append").parquet(src)
+    def startQuery() = {
+      val docs = spark.readStream
+        .schema("id LONG, ts TIMESTAMP, text STRING").parquet(src)
+      Dedup.streamingNearDupPairs(docs, "text", "id", "ts",
+        delayMs = 3600000L, threshold = 0.8)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    // batch 1 stores doc 1's signature in bucket state; the near-dup
+    // arrives only AFTER the kill — the pair exists iff state recovered.
+    writeDocs(Seq(
+      (1L, "2024-01-01 10:00:00", textA),
+      (2L, "2024-01-01 10:00:30", textB)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() === 0) // no pairs yet
+
+    writeDocs(Seq((3L, "2024-01-01 10:01:00", textA)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val pairs = spark.read.parquet(out)
+      .select("id_a", "id_b", "est_jaccard").collect()
+    assert(pairs.length === 1, s"expected the cross-restart pair, got ${pairs.toSeq}")
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 3L)
+    assert(pairs(0).getDouble(2) === 1.0)
+  }
 }
