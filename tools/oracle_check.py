@@ -29,8 +29,24 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dataset dir (e.g. ScaleUp's sf1)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        else:
+            continue
+        if t == "events":
+            # ScaleUp's sf1 writes ts as BIGINT epoch-nanos (Spark reads the
+            # driver's TIMESTAMP(NANOS) as long and has no nanos writer);
+            # normalize to TIMESTAMP so one oracle SQL serves both layouts.
+            # DuckDB 1.0 can't build TIMESTAMP_NS from BIGINT, so this
+            # truncates to micros — a divergence vs Spark's nanos math would
+            # surface as a FAIL, never a false pass. Driver layout untouched.
+            (typ,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if typ == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}/*.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):
