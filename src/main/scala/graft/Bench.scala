@@ -29,6 +29,7 @@ object Bench {
     // in EVERY pass to survive. Passes alternate over the whole set so
     // back-to-back timings of one query never share a transient stall.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes every column (count() would let Spark

@@ -255,8 +255,17 @@ object Dedup {
     * collide in every band; without this an Append-mode sink would carry
     * `bands` duplicate rows per pair that no downstream stream can
     * cheaply dedup (Spark does not allow a second stateful dedup after
-    * flatMapGroupsWithState). In batch execution the same call degrades
-    * to per-bucket within-batch pairing (no state, no timeouts).
+    * flatMapGroupsWithState). The gate is EXACT (once per pair, no loss)
+    * wherever bucket occupancy stays within `maxBucketState`. In a bucket
+    * over the cap, the canonical band may have evicted the older doc and
+    * emitted nothing while a later band stays silent — a recall loss
+    * confined to exactly the hot/boilerplate buckets where recall is
+    * already deliberately capped by `maxBucketState` (exact-once with
+    * full recall under per-band state eviction would require cross-band
+    * coordination no single group has). Batch jobs needing full recall
+    * over hot buckets should use [[minhashCandidatePairs]]. In batch
+    * execution the same call degrades to per-bucket within-batch pairing
+    * (no state, no timeouts).
     */
   /** JVM twin of [[streamingNearDupPairs]]'s Catalyst band key
     * `xxhash64(slice(sig, band*rowsPerBand+1, rowsPerBand), band)`:

@@ -66,13 +66,18 @@ object Recode {
     // Dummy names differing only by case (e.g. values "Yes"/"yes") would
     // make withColumns throw under Spark's default case-insensitive
     // resolution; keep the old per-column-fold behavior (last wins) by
-    // deduping case-insensitively, last occurrence kept.
+    // deduping to the session's resolution rules — under
+    // spark.sql.caseSensitive=true both names are distinct legal columns
+    // and deduping would silently drop a category.
     val named = values.map { v =>
       val name = prefix.map(p => s"${p}_$v").getOrElse(v)
       name -> when(col(colName) === v, 1).otherwise(0)
     }
+    val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
     val lastIdx = named.zipWithIndex
-      .groupBy(_._1._1.toLowerCase(java.util.Locale.ROOT))
+      .groupBy { case ((name, _), _) =>
+        if (caseSensitive) name else name.toLowerCase(java.util.Locale.ROOT)
+      }
       .map { case (_, g) => g.last._2 }.toSet
     val dummies = scala.collection.immutable.ListMap(
       named.zipWithIndex.collect { case (nv, i) if lastIdx(i) => nv }: _*)

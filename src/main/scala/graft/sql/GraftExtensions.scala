@@ -105,6 +105,7 @@ object GraftFunctions {
       LangGuessExpr(a(0), TextFunctions.defaultLangMarkers)),
     fd("graft_dot_product", classOf[DotProductExpr], 2)(a => DotProductExpr(a(0), a(1))),
     fd("graft_cosine_sim", classOf[CosineSimExpr], 2)(a => CosineSimExpr(a(0), a(1))),
+    fd("graft_dist2", classOf[Dist2Expr], 2)(a => Dist2Expr(a(0), a(1))),
     fd("graft_vec_max_abs", classOf[VecMaxAbsExpr], 1)(a => VecMaxAbsExpr(a(0))),
     fd("graft_quantize_int8", classOf[QuantizeInt8Expr], 1)(a => QuantizeInt8Expr(a(0))),
     fd("graft_quant_sum_int8", classOf[QuantSumInt8Expr], 1)(a => QuantSumInt8Expr(a(0))),

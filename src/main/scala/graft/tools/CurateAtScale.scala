@@ -61,9 +61,14 @@ object CurateAtScale {
         .filter(_.getName.endsWith(".parquet")))
       require(files.nonEmpty, "no parquet files written")
 
-      // per-file row bound, checked from parquet footers (cheap: one read
-      // of metadata-only count per file)
-      val perFileCounts = files.map(f => spark.read.parquet(f.getPath).count())
+      // per-file row bound: ONE job over the whole tree grouped by source
+      // file (a per-file spark.read/count loop submits hundreds of
+      // sequential driver jobs at real file counts)
+      val perFileCounts = spark.read.parquet(outDir)
+        .groupBy(input_file_name().as("__f")).count()
+        .collect().map(_.getLong(1))
+      require(perFileCounts.length == files.length,
+        s"file count mismatch: listed ${files.length}, read ${perFileCounts.length}")
       val maxFileRows = perFileCounts.max
       require(maxFileRows <= maxPerFile,
         s"file row bound violated: $maxFileRows > $maxPerFile")

@@ -52,6 +52,22 @@ class RecodeSpec extends SparkSpec {
     assert(rows.head.getInt(0) === 1)
   }
 
+  test("oneHot: under spark.sql.caseSensitive=true both case-colliding dummies survive") {
+    // with case-sensitive resolution "Yes" and "yes" are distinct legal
+    // column names — deduping there would silently drop a category and
+    // encode its rows as all-zeros
+    val s = spark.newSession()
+    s.conf.set("spark.sql.caseSensitive", "true")
+    import s.implicits._
+    val df = Seq("Yes", "yes", "no").toDF("c")
+    val out = Recode.oneHot(df, "c")
+    assert(out.columns.count(_.equalsIgnoreCase("yes")) === 2)
+    val byVal = out.collect().map(r => r.getString(0) ->
+      (r.getAs[Int]("Yes"), r.getAs[Int]("yes"))).toMap
+    assert(byVal("Yes") === ((1, 0)))
+    assert(byVal("yes") === ((0, 1)))
+  }
+
   test("replaceValues") {
     import spark.implicits._
     val out = Seq("never", "often").toDF("c")

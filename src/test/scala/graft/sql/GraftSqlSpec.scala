@@ -24,6 +24,7 @@ class GraftSqlSpec extends SparkSpec {
       """SELECT
         |  graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos_same,
         |  graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  graft_dist2(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d2,
         |  graft_simhash64('the quick brown fox') AS sh,
         |  graft_lang_guess('the cat and the hat is you') AS lang,
         |  graft_word_ngrams('a b c d', 3) AS ng,
@@ -31,6 +32,7 @@ class GraftSqlSpec extends SparkSpec {
         |""".stripMargin).collect()(0)
     assert(r.getAs[Double]("cos_same") === 1.0)
     assert(r.getAs[Double]("dot") === 11.0)
+    assert(r.getAs[Double]("d2") === 25.0)
     assert(r.getAs[String]("lang") === "en")
     assert(r.getAs[scala.collection.Seq[String]]("ng") === Seq("a b c", "b c d"))
     assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-12)

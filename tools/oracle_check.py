@@ -42,8 +42,8 @@ def main(sf_dir, out_dir):
             # DuckDB 1.0 can't build TIMESTAMP_NS from BIGINT, so this
             # truncates to micros — a divergence vs Spark's nanos math would
             # surface as a FAIL, never a false pass. Driver layout untouched.
-            (typ,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-            if typ == "BIGINT":
+            row = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if row and row[0] == "BIGINT":
                 con.execute(
                     "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}/*.parquet')")
