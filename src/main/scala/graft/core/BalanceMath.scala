@@ -108,7 +108,14 @@ object BalanceMath {
         i += 1
       }
     }
-    BalanceResult(size, i, trace.result(), maxIterHit = i == stop, traceTruncated = truncated)
+    // maxIterHit = the budget expired: all `stop` iterations consumed, OR
+    // stop == 0 on a cell that still needed walking. A cell already
+    // converged at entry (disp == 1, zero iterations) never hits the cap —
+    // without the `disp != 1.0` clause, stop == 0 would flag EVERY cell
+    // (evalDemv's sweep starts at stop = 0) and diverge from
+    // balanceCellFast's (g0, 0, false).
+    BalanceResult(size, i, trace.result(),
+      maxIterHit = i == stop && (stop > 0 || disp != 1.0), traceTruncated = truncated)
   }
 
   /** Closed-form target size, usable when `stop` (and hence the walk) is too
@@ -141,9 +148,16 @@ object BalanceMath {
       d == 1.0 || (if (up) rawRatio(wExp, s, total) < 1 else rawRatio(wExp, s, total) > 1)
     }
     if (up) {
+      // `stop` may be an "effectively unbounded" sentinel (Long.MaxValue);
+      // clamp the SEARCH ceiling so `g0 + budget + 1` and the doubling
+      // probe can never overflow. The walk's true stopping point is
+      // bounded by ~wExp*total << the clamp, so when the clamp is active
+      // the budget-expiry branch (which uses the unclamped `stop`) is
+      // unreachable and every return value stays exact.
+      val budget = math.min(stop, (Long.MaxValue >> 2) - g0)
       // T = smallest s > g0 with stopsAt(s); exponential then binary search.
       var b = g0 + 1
-      while (!stopsAt(b) && b <= g0 + stop) b = math.min(b * 2, g0 + stop + 1)
+      while (!stopsAt(b) && b <= g0 + budget) b = math.min(b * 2, g0 + budget + 1)
       if (!stopsAt(b)) return (g0 + stop, stop, true) // budget expires mid-walk
       var a = g0 + 1
       while (a < b) { val m = a + (b - a) / 2; if (stopsAt(m)) b = m else a = m + 1 }

@@ -180,7 +180,9 @@ class DEMV(
         val kept = ExactSampler.resize(df, keyCols, keepTargets, seed, saltBuckets,
           precomputedOccupancy = Some(cellSaltCounts), saltCols = idCols)
         val synth = strategy match {
-          case "uniform" => Strategies.synthesizeUniform(df, keyCols, extras, seed)
+          case "uniform" =>
+            Strategies.synthesizeUniform(df, keyCols, extras, seed,
+              knownCellSizes = Some(currents))
           case "smote" => Strategies.synthesizeSmote(df, keyCols, extras, seed)
           case "adasyn" => Strategies.synthesizeSmote(df, keyCols, extras, seed, adasyn = true)
         }

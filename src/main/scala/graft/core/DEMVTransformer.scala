@@ -54,8 +54,12 @@ class DEMVTransformer(override val uid: String) extends Transformer {
       stop = $(stop),
       seed = $(seed),
       strategy = $(strategy))
+    val out = demv.fitTransform(ds.toDF(), $(labelCol))
+    // publish diagnostics only after a successful run: assigning before
+    // fitTransform would wipe the previous run's getIters/getDisparities
+    // when a transform throws (e.g. DEMV's empty-cell error)
     lastRun = Some(demv)
-    demv.fitTransform(ds.toDF(), $(labelCol))
+    out
   }
 
   /** Balancing resamples rows; the schema is preserved exactly

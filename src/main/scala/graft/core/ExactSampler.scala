@@ -31,6 +31,13 @@ object ExactSampler {
 
   /** Per-group targets keyed by the values of `groupCols` (in order).
     *
+    * CONTRACT: `targets` must cover every group the caller wants in the
+    * output — a group absent from `targets` is DROPPED (the quota join is
+    * inner), and a target whose group has no rows in `df` is ignored
+    * (there is nothing to sample from). Both are the semantics [[DEMV]]
+    * relies on (it always lists every cell); callers resizing a subset of
+    * groups should union the untouched groups back in themselves.
+    *
     * @param precomputedOccupancy optional (groupCols..., salt, count) rows
     *        from an earlier aggregation with the SAME seed/saltBuckets/
     *        saltCols (the salt is content-hashed, so it reproduces) — lets

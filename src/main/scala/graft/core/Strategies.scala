@@ -39,7 +39,8 @@ object Strategies {
       df: DataFrame,
       keyCols: Seq[String],
       extras: Map[Seq[Any], Long],
-      seed: Long): DataFrame = {
+      seed: Long,
+      knownCellSizes: Option[Map[Seq[Any], Long]] = None): DataFrame = {
     val spark = df.sparkSession
     val featureCols = df.columns.filterNot(keyCols.contains).toSeq
     requireNumeric(df, featureCols, "uniform")
@@ -50,8 +51,16 @@ object Strategies {
     val keySchema = df.select(keyCols.map(col): _*).schema
     val planSchema = StructType(keySchema.fields ++ Seq(
       StructField("__extra", LongType), StructField("__csize", LongType)))
-    val cellSizes: Map[Seq[Any], Long] = df.groupBy(keyCols.map(col): _*).count().collect()
-      .map(r => (keyCols.indices.map(r.get): Seq[Any]) -> r.getLong(keyCols.length)).toMap
+    // DEMV already holds exact per-cell sizes from its planning pass —
+    // take them instead of paying a full-table aggregation to recount;
+    // standalone callers fall back to a count pruned to the needed cells
+    val cellSizes: Map[Seq[Any], Long] = knownCellSizes.getOrElse {
+      val neededKeys = spark.createDataFrame(
+        spark.sparkContext.parallelize(needed.keys.toSeq.map(Row.fromSeq), 1), keySchema)
+      df.join(broadcast(neededKeys), keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*).count().collect()
+        .map(r => (keyCols.indices.map(r.get): Seq[Any]) -> r.getLong(keyCols.length)).toMap
+    }
     val planRows = needed.toSeq.map { case (k, m) =>
       Row.fromSeq(k ++ Seq[Any](m, cellSizes.getOrElse(k, 0L)))
     }
@@ -68,39 +77,14 @@ object Strategies {
       .select((keyCols.map(col) :+ col("__synth") :+ col("__feat") :+ col("__pick")): _*)
 
     // cell rows get a DENSE 0-based per-cell index, then explode to
-    // (cell, rank, feature, value) — upsampled cells only. The index comes
-    // from a SALTED two-level rank (rank within (cell, salt) + per-salt
-    // offsets from a tiny occupancy job), not Window.partitionBy(cell):
-    // a single upsampled cell can be most of the table at scale, and an
-    // unsalted cell window would funnel it through one task. Pruning to
-    // the needed cells happens BEFORE the window so untouched cells are
-    // never ranked at all.
+    // (cell, rank, feature, value) — upsampled cells only. Pruning to the
+    // needed cells happens BEFORE the window so untouched cells are never
+    // ranked at all.
     val saltBuckets = 32
-    val saltCol = "__graft_usalt"
     val pruned = df
       .join(broadcast(plan.select(keyCols.map(col): _*)), keyCols, "left_semi")
-      .withColumn(saltCol,
-        pmod(xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), lit(saltBuckets)).cast("int"))
-    val occ = pruned.groupBy(keyCols.map(col) :+ col(saltCol): _*).count().collect()
-      .map(r => ((keyCols.indices.map(r.get): Seq[Any]), r.getInt(keyCols.length)) ->
-        r.getLong(keyCols.length + 1)).toMap
-    val offsetRows = occ.keys.groupBy(_._1).toSeq.flatMap { case (cell, ks) =>
-      var acc = 0L
-      ks.map(_._2).toSeq.sorted.map { s =>
-        val r = Row.fromSeq(cell ++ Seq[Any](s, acc)); acc += occ((cell, s)); r
-      }
-    }
-    val offsetSchema = StructType(keySchema.fields ++ Seq(
-      StructField(saltCol, IntegerType), StructField("__graft_off", LongType)))
-    val offsetsDF = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
-    val ranked = pruned
-      .join(broadcast(offsetsDF), keyCols :+ saltCol)
-      .withColumn("__rn",
-        (row_number().over(
-          Window.partitionBy((keyCols :+ saltCol).map(col): _*).orderBy(rand(seed + 1)))
-          - 1).cast("long") + col("__graft_off"))
-      .drop(saltCol, "__graft_off")
+    val ranked = denseCellIndex(pruned, keyCols, rand(seed + 1), saltBuckets,
+      xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), "__rn")
     val featStructs = featureCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("f"), col(c).cast("double").as("v"))
     }
@@ -345,32 +329,11 @@ object Strategies {
       .withColumn("__bkt", Similarity.hyperplaneBucket(col("__cv"), nF, lshBits, seed + 7))
       .drop((0 until nF).map(i => s"__mu_$i") :+ "__cv": _*)
 
-    // dense 0-based per-cell index via the salted two-level rank (same
-    // pattern as synthesizeUniform): the equi-join handle for base picks
-    // and self-exclusion
+    // dense 0-based per-cell index via the shared salted two-level rank:
+    // the equi-join handle for base picks and self-exclusion
     val ordH = xxhash64(df.columns.map(col) :+ lit(seed + 3): _*)
-    val withSalt = centered.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), lit(saltBuckets)).cast("int"))
-    val occ = withSalt.groupBy(kc :+ col("__salt"): _*).count().collect()
-      .map(r => ((keyCols.indices.map(r.get): Seq[Any]), r.getInt(keyCols.length)) ->
-        r.getLong(keyCols.length + 1)).toMap
-    val offsetRows = occ.keys.groupBy(_._1).toSeq.flatMap { case (cell, ks) =>
-      var acc = 0L
-      ks.map(_._2).toSeq.sorted.map { s =>
-        val r = Row.fromSeq(cell ++ Seq[Any](s, acc)); acc += occ((cell, s)); r
-      }
-    }
-    val offsetSchema = StructType(keySchema.fields ++ Seq(
-      StructField("__salt", IntegerType), StructField("__off", LongType)))
-    val offsetsDF = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
-    val indexed = withSalt
-      .join(broadcast(offsetsDF), keyCols :+ "__salt")
-      .withColumn("__rn",
-        (row_number().over(
-          Window.partitionBy((kc :+ col("__salt")): _*).orderBy(ordH)) - 1)
-          .cast("long") + col("__off"))
-      .drop("__salt", "__off")
+    val indexed = denseCellIndex(centered, keyCols, ordH, saltBuckets,
+      xxhash64(df.columns.map(col) :+ lit(seed + 2): _*), "__rn")
 
     // neighbor corpus: per-(cell, bucket) occupancy capped at `bucketCap`
     // by a salted two-level rank, so candidate fan-out per query is
@@ -504,11 +467,60 @@ object Strategies {
         val interp = bv + col("__t") * (nv - bv)
         (f.dataType match {
           case DoubleType | FloatType | _: DecimalType => interp
-          case _ => round(interp, 0) // integer dtypes round like buildRow
+          // integer dtypes round like buildRow's math.round =
+          // floor(x + 0.5); Spark's round() is HALF_UP (away from zero)
+          // and disagrees on negative halves (-2.5 -> -3 vs -2), which
+          // would make the same logical cell synthesize different values
+          // depending on which side of sampleCap its size falls
+          case _ => floor(interp + lit(0.5))
         }).cast(f.dataType).as(f.name)
       }
     }
     withN.select(outCols.toSeq: _*)
+  }
+
+  /** Dense 0-based per-cell row index as `outCol`, via a SALTED two-level
+    * rank: rank within (cell, salt bucket) ordered by `orderCol`, plus
+    * per-bucket offsets from a tiny occupancy job. A plain
+    * `Window.partitionBy(cell)` would funnel a huge cell — potentially
+    * most of the table — through ONE task; the salt bounds every rank
+    * task at ~cellSize/saltBuckets rows. `saltHash` must be a
+    * deterministic function of the row (content hash) so the index
+    * reproduces across jobs over the same data.
+    */
+  private def denseCellIndex(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      saltBuckets: Int,
+      saltHash: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val kc = keyCols.map(col)
+    val keySchema = df.select(kc: _*).schema
+    val withSalt = df.withColumn("__graft_dsalt",
+      pmod(saltHash, lit(saltBuckets)).cast("int"))
+    val occ = withSalt.groupBy(kc :+ col("__graft_dsalt"): _*).count().collect()
+      .map(r => ((keyCols.indices.map(r.get): Seq[Any]), r.getInt(keyCols.length)) ->
+        r.getLong(keyCols.length + 1)).toMap
+    val offsetRows = occ.keys.groupBy(_._1).toSeq.flatMap { case (cell, ks) =>
+      var acc = 0L
+      ks.map(_._2).toSeq.sorted.map { s =>
+        val r = Row.fromSeq(cell ++ Seq[Any](s, acc)); acc += occ((cell, s)); r
+      }
+    }
+    val offsetSchema = StructType(keySchema.fields ++ Seq(
+      StructField("__graft_dsalt", IntegerType),
+      StructField("__graft_doff", LongType)))
+    val offsetsDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    withSalt
+      .join(broadcast(offsetsDF), keyCols :+ "__graft_dsalt")
+      .withColumn(outCol,
+        (row_number().over(
+          Window.partitionBy(kc :+ col("__graft_dsalt"): _*).orderBy(orderCol)) - 1)
+          .cast("long") + col("__graft_doff"))
+      .drop("__graft_dsalt", "__graft_doff")
   }
 
   private def requireNumeric(df: DataFrame, cols: Seq[String], strategy: String): Unit = {

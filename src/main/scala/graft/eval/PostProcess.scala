@@ -231,11 +231,17 @@ object PostProcess {
       predCol: String,
       labelCol: String,
       seed: Long = 42L): DataFrame = {
-    val counts = predDF
+    // one aggregation serves both the confusion counts AND the original
+    // prediction values (grouping by the raw column too costs nothing —
+    // it is functionally determined by its int cast within a cell — and
+    // saves the second full scan a separate distinct() would pay)
+    val cellRows = predDF
       .groupBy(col(groupCol), col(labelCol).cast("int").as("__y"),
-        col(predCol).cast("int").as("__p"))
+        col(predCol).cast("int").as("__p"), col(predCol).as("__praw"))
       .count().collect()
-      .map(r => (r.get(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val counts = cellRows
+      .groupBy(r => (r.get(0), r.getInt(1), r.getInt(2)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(4)).sum }
     val domain = counts.keys.flatMap(k => Seq(k._2, k._3)).toSet -- Set(0, 1)
     require(domain.isEmpty,
       s"equalizeOdds needs binary 0/1 labels and predictions, found: $domain")
@@ -256,10 +262,9 @@ object PostProcess {
     val n0: Map[Any, Long] = groups.map(g =>
       g -> (counts.getOrElse((g, 1, 0), 0L) + counts.getOrElse((g, 0, 0), 0L))).toMap
     // the pred column may be any numeric type; cells are keyed by the
-    // ORIGINAL column values observed in the data
-    val predVals: Map[Int, Any] = predDF
-      .select(col(predCol)).distinct().collect().map(_.get(0))
-      .map(v => v.asInstanceOf[Number].intValue() -> v).toMap
+    // ORIGINAL column values observed in the data (already collected by
+    // the single aggregation above)
+    val predVals: Map[Int, Any] = cellRows.map(r => r.getInt(2) -> r.get(3)).toMap
     val byCell: Map[Seq[Any], Seq[(Any, Long)]] = groups.flatMap { g =>
       val (a, b) = plan.mix(g)
       val flip1 = n1(g) - math.round(a * n1(g)) // yhat=1 rows that BECOME 0

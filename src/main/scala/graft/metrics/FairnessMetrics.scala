@@ -88,6 +88,11 @@ object FairnessMetrics {
     val n = sensitiveCols.length
     final case class Cell(sens: Seq[Any], predPos: Boolean, truePos: Boolean, correct: Boolean, cnt: Long)
     val cs = cells.map { r =>
+      // a null prediction/label makes the comparison columns null and the
+      // getInt below would throw a bare NPE — name the culprit instead
+      require(!r.isNullAt(n) && !r.isNullAt(n + 1) && !r.isNullAt(n + 2),
+        s"compute: null value in '$predCol' or '$trueCol' — fairness metrics " +
+          "need non-null predictions and labels (filter or impute first)")
       Cell((0 until n).map(r.get), r.getInt(n) == 1, r.getInt(n + 1) == 1, r.getInt(n + 2) == 1, r.getLong(n + 3))
     }
     val sensIdx = sensitiveCols.zipWithIndex.toMap
@@ -174,9 +179,22 @@ object FairnessMetrics {
       .groupBy(unpriv.column.as("__u"), col(trueCol).as("__t"), col(predCol).as("__p"))
       .agg(count(lit(1)).as("__n"))
       .collect()
-      .map(r => (r.getBoolean(0), r.get(1), r.get(2)) -> r.getLong(3)).toMap
+      .map { r =>
+        require(!r.isNullAt(0),
+          "averageOddsDifference: the group condition evaluated to null " +
+            "(null sensitive value) — filter or impute sensitive columns first")
+        (r.getBoolean(0), r.get(1), r.get(2)) -> r.getLong(3)
+      }.toMap
+    // dedupe classes under the same numeric-equality semantics as the
+    // per-class rates (valueEq): trueCol and predCol may carry the same
+    // class in different numeric types (int labels vs spark.ml double
+    // predictions), and a raw `distinct` would keep Int 1 and Double 1.0
+    // as two classes, double-counting every per-class result
     val classes = cells.keysIterator.flatMap { case (_, t, p) => Iterator(t, p) }
-      .toSeq.distinct.sortBy(identity)(graft.core.DEMV.anyOrdering) // np.unique order
+      .toSeq
+      .groupBy { case n: Number => n.doubleValue(): Any; case v => v }
+      .map(_._2.head).toSeq
+      .sortBy(identity)(graft.core.DEMV.anyOrdering) // np.unique order
     def rates(uGroup: Boolean): Map[Any, (Double, Double)] = {
       val g = cells.collect { case ((u, t, p), n) if u == uGroup => (t, p) -> n }
       val total = g.values.sum.toDouble

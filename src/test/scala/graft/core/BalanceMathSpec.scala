@@ -114,7 +114,9 @@ class BalanceMathSpec extends AnyFunSuite {
       val g0 = 1L + (rng.nextLong().abs % total)
       val wExp = (0.001 + rng.nextDouble() * 0.999) * (0.001 + rng.nextDouble() * 0.999)
       val roundLevel = rng.nextInt(3)
-      val stop = Seq(10L, 1000L, 100000L)(rng.nextInt(3))
+      // stop = 0 included: evalDemv's sweep starts there, and it is where
+      // maxIterHit's converged-at-entry clause matters
+      val stop = Seq(0L, 10L, 1000L, 100000L)(rng.nextInt(4))
       val slow = BalanceMath.balanceCell(wExp, g0, total, roundLevel, stop, traceLimit = 1)
       val (size, iters, hit) = BalanceMath.balanceCellFast(wExp, g0, total, roundLevel, stop)
       withClue(s"(wExp=$wExp g0=$g0 total=$total r=$roundLevel stop=$stop) ") {
@@ -123,6 +125,24 @@ class BalanceMathSpec extends AnyFunSuite {
         assert(hit === slow.maxIterHit)
       }
     }
+  }
+
+  test("stop=0 on an already-converged cell reports maxIterHit=false in both paths") {
+    // pick wExp so disparity(g0) rounds to exactly 1.0 at roundLevel 2
+    val (wExp, g0, total) = (0.25, 250L, 1000L)
+    val r = BalanceMath.balanceCell(wExp, g0, total, 2, stop = 0L)
+    assert(r.targetSize === g0 && r.iters === 0L && !r.maxIterHit)
+    assert(BalanceMath.balanceCellFast(wExp, g0, total, 2, 0L) === ((g0, 0L, false)))
+  }
+
+  test("balanceCellFast survives an effectively-unbounded stop sentinel") {
+    // Long.MaxValue as 'no budget': g0 + stop + 1 must not overflow into a
+    // garbage negative targetSize
+    val (size, iters, hit) =
+      BalanceMath.balanceCellFast(0.9, 10L, 1000L, 2, Long.MaxValue)
+    assert(size > 10L && size <= 1001L, s"targetSize $size out of range")
+    assert(iters === size - 10L)
+    assert(!hit)
   }
 
   test("walk down to zero ends loop without final increment") {

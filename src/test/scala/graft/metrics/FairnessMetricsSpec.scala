@@ -91,6 +91,23 @@ class FairnessMetricsSpec extends SparkSpec {
     assert(math.abs(aod(0) - (0.5 + 0.25)) < 1e-12)
   }
 
+  test("average odds difference: int labels + double predictions yield one class set") {
+    // the standard spark.ml shape: IntegerType y_true, DoubleType
+    // prediction — Int 1 and Double 1.0 are the SAME class and must not
+    // double-count in the result map
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mixed = predDF.withColumn("pred", col("pred").cast("double"))
+    val aod = FairnessMetrics.averageOddsDifference(
+      mixed, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
+    assert(aod.size === 2, s"expected 2 classes, got keys ${aod.keySet}")
+    // same hand-computed values as the all-int fixture
+    def at(c: Double): Double =
+      aod.collectFirst { case (k: Number, v) if k.doubleValue() == c => v }.get
+    assert(math.abs(at(1.0) - (-0.75)) < 1e-12)
+    assert(math.abs(at(0.0) - 0.75) < 1e-12)
+  }
+
   test("GroupCondition renders a conjunction and its whole-negation") {
     import spark.implicits._
     val df = Seq((1, 1), (1, 0), (0, 1)).toDF("a", "b")
