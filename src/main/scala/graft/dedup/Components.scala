@@ -59,10 +59,19 @@ object Components {
     val longIds = Seq(pairs.schema(aCol).dataType, pairs.schema(bCol).dataType,
         vertices.schema(idCol).dataType)
       .forall(_ == org.apache.spark.sql.types.LongType)
-    if (longIds && driverEdgeThreshold > 0 && driverEdgeThreshold < Int.MaxValue &&
-        pairs.limit((driverEdgeThreshold + 1).toInt).count() <= driverEdgeThreshold) {
-      val edgeArr = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE probe job decides the plan AND supplies the edges: collecting
+    // limit(threshold+1) rows is the same bounded driver footprint as the
+    // small path's own collect, and avoids running the (typically
+    // expensive) candidate-pair plan twice — once for a count, once for
+    // the real collect.
+    val probe: Array[(Long, Long)] =
+      if (longIds && driverEdgeThreshold > 0 && driverEdgeThreshold < Int.MaxValue)
+        pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+          .limit((driverEdgeThreshold + 1).toInt)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      else null
+    if (probe != null && probe.length <= driverEdgeThreshold) {
+      val edgeArr = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -89,6 +98,7 @@ object Components {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
+    try {
     var labels = vertices.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -125,8 +135,10 @@ object Components {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    edges.unpersist()
     labels
+    // unpersist on every exit path — a non-convergence throw must not
+    // leave the edge list pinned in the block manager
+    } finally edges.unpersist()
   }
 
   /** Cluster summary: one row per component with its size and keeper

@@ -44,10 +44,16 @@ object Dedup {
   /** Exact dedup on a normalized content fingerprint; keeps the row with the
     * smallest `idCol` per duplicate set. Single hash-aggregate shuffle on
     * the fingerprint — no skew (hashes are uniform).
+    *
+    * NULL texts are NOT duplicates of each other — each passes through
+    * (the partition key falls back to the row id). Texts that normalize to
+    * the same string (including punctuation-only docs collapsing to "")
+    * ARE duplicates: identical normalized content is the definition here.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    val key = coalesce(fp, concat(lit("__graft_null__:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__graft_rn", row_number().over(w))
       .where(col("__graft_rn") === 1)
       .drop("__graft_rn")
@@ -72,12 +78,18 @@ object Dedup {
       eventTimeCol: String,
       delay: String): DataFrame = {
     val withFp = df.withColumn("__graft_fp", TextFunctions.fingerprint(col(textCol)))
+    // NULL fingerprints (null text) pass through un-deduped: they are not
+    // duplicates of each other, and dropDuplicates treats null keys as
+    // equal. The pass-through branch is stateless, so it needs no
+    // watermark of its own.
+    val nullFp = withFp.where(col("__graft_fp").isNull)
     val deduped =
       if (df.isStreaming)
-        withFp.withWatermark(eventTimeCol, delay)
+        withFp.where(col("__graft_fp").isNotNull)
+          .withWatermark(eventTimeCol, delay)
           .dropDuplicatesWithinWatermark("__graft_fp")
-      else withFp.dropDuplicates("__graft_fp")
-    deduped.drop("__graft_fp")
+      else withFp.where(col("__graft_fp").isNotNull).dropDuplicates("__graft_fp")
+    deduped.union(nullFp).drop("__graft_fp")
   }
 
   /** MinHash-LSH candidate pairs: ids (a, b), a < b, that share at least one

@@ -177,10 +177,17 @@ object GroupPercentiles {
       .withColumn("__rn",
         row_number().over(
           Window.partitionBy(winCols: _*).orderBy(col("__v"))).cast("long"))
-    val joinCols = Seq("__pid", "__tag") ++ groupCols ++ Seq("__rn")
-    val hits: Array[Row] = ranked
-      .join(broadcast(needDf), joinCols, "inner")
-      .select(col("__pid") +: col("__tag") +: gCols :+ col("__rn") :+ col("__v"): _*)
+    // NULL-SAFE equality on the group columns: groupBy keeps a NULL group
+    // (the counts/plans above include it), so the target-rank join must
+    // match it too — a plain equi-join drops null keys and the driver
+    // lookup below would throw NoSuchElementException for that group
+    val lhs = ranked.alias("__l")
+    val rhs = broadcast(needDf).alias("__r")
+    val cond = (Seq("__pid", "__tag", "__rn").map(c => lhs(c) === rhs(c)) ++
+      groupCols.map(c => lhs(c) <=> rhs(c))).reduce(_ && _)
+    val hits: Array[Row] = lhs.join(rhs, cond, "inner")
+      .select(Seq(lhs("__pid"), lhs("__tag")) ++ groupCols.map(lhs(_)) ++
+        Seq(lhs("__rn"), lhs("__v")): _*)
       .collect()
 
     // (tag, group, group-global rank) -> value

@@ -41,14 +41,28 @@ object Mixing {
     df.where(hashU32(col(idCol), salt) < lit(fraction * 4294967296.0))
   }
 
-  /** Mix sources at the given weights: per-source deterministic downsample
+  /** Mix sources at the given weights: per-source deterministic resample
     * (decorrelated by a per-source salt) then union. Schemas must match by
-    * name.
+    * name. Weights <= 1 downsample; weights > 1 UPSAMPLE by replication —
+    * floor(w) exact copies of every row plus a deterministic
+    * fractional-remainder sample (e.g. w = 2.5 keeps each row twice and
+    * half the rows a third time) — the "repeat high-quality sources"
+    * data-recipe epoch semantics.
     */
   def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String, salt: String = ""): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
+    require(sources.forall(_._2 >= 0.0), "weights must be non-negative")
     sources.zipWithIndex.map { case ((df, w), i) =>
-      sampleFraction(df, idCol, w, s"$salt$i")
+      if (w <= 1.0) sampleFraction(df, idCol, w, s"$salt$i")
+      else {
+        val k = math.floor(w).toLong
+        val rem = w - k
+        val copies = df.withColumn("__graft_mix_copy",
+            explode(expr(s"sequence(1, $k)"))).drop("__graft_mix_copy")
+        if (rem > 0.0)
+          copies.unionByName(sampleFraction(df, idCol, rem, s"$salt$i"))
+        else copies
+      }
     }.reduce(_ unionByName _)
   }
 

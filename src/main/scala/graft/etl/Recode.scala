@@ -114,9 +114,11 @@ object Recode {
     * ladder (class counts are tiny).
     */
   def labelEncode(df: DataFrame, colName: String): DataFrame = {
+    // np.unique ordering: numeric columns sort NUMERICALLY (a toString
+    // sort would put 10 before 2 and permute every downstream code)
     val values = df.select(colName).distinct().collect()
       .map(_.get(0)).filter(_ != null)
-      .sortBy(_.toString)
+      .sorted(graft.core.DEMV.anyOrdering)
     val ladder = values.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (v, i)) => when(col(colName) === lit(v), i).otherwise(acc)
     }
@@ -131,7 +133,7 @@ object Recode {
     cols.foldLeft(df) { (acc, c) =>
       val values = acc.select(c).distinct().collect()
         .map(_.get(0)).filter(_ != null)
-        .sortBy(_.toString)
+        .sorted(graft.core.DEMV.anyOrdering) // np.unique order, see labelEncode
       val ladder = values.zipWithIndex.foldLeft(lit(null).cast("double")) {
         case (a, (v, i)) => when(col(c) === lit(v), i.toDouble).otherwise(a)
       }

@@ -40,7 +40,12 @@ object Stratified {
     val t = counts.map(_._2).sum
     require(total <= t, s"cannot sample $total rows from $t")
     require(counts.nonEmpty, "no strata")
-    val base = counts.map { case (k, c) => (k, total * c / t, (total * c) % t) }
+    // BigInt for the proportional split: total * c overflows Long at the
+    // corpus scales this module targets (total 1e9 x stratum 2e10 docs)
+    val base = counts.map { case (k, c) =>
+      val num = BigInt(total) * BigInt(c)
+      (k, (num / t).toLong, (num % t).toLong)
+    }
     val leftover = total - base.map(_._2).sum
     val bumped = base.sortBy { case (k, _, rem) => (-rem, k) }
       .zipWithIndex
@@ -61,23 +66,31 @@ object Stratified {
       saltBuckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts: Seq[(String, Long)] = df.groupBy(col(stratumCol)).count()
+    // NULL strata get a sentinel key so they are sampled like any other
+    // stratum (a raw equi-join on the null key would silently drop them,
+    // and the quota sort would NPE on a null String); a real stratum
+    // literally named the sentinel would merge with the null group —
+    // accepted as vanishingly unlikely for the reserved name below
+    val sentinel = "__graft_null_stratum__"
+    val skey = "__graft_skey"
+    val keyed = df.withColumn(skey, coalesce(col(stratumCol).cast("string"), lit(sentinel)))
+    val counts: Seq[(String, Long)] = keyed.groupBy(col(skey)).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val q = quotas(counts, total)
-    val qDf = broadcast(q.toDF(stratumCol, "__graft_quota"))
+    val qDf = broadcast(q.toDF(skey, "__graft_quota"))
 
     val originalCols = df.columns.toSeq
     val rk = md5Rank(col(idCol))
-    val salted = df
+    val salted = keyed
       .withColumn("__graft_rk", rk)
       .withColumn("__graft_salt", pmod(col("__graft_rk"), lit(saltBuckets)).cast("int"))
-      .join(qDf, Seq(stratumCol))
+      .join(qDf, Seq(skey))
     // level 1: per (stratum, salt) top-quota — bounds survivors at
     // saltBuckets * quota without ever ranking a full stratum in one task
-    val w1 = Window.partitionBy(col(stratumCol), col("__graft_salt"))
+    val w1 = Window.partitionBy(col(skey), col("__graft_salt"))
       .orderBy(col("__graft_rk"), col(idCol))
     // level 2: exact rank over the bounded survivor set
-    val w2 = Window.partitionBy(col(stratumCol))
+    val w2 = Window.partitionBy(col(skey))
       .orderBy(col("__graft_rk"), col(idCol))
     salted
       .withColumn("__graft_rn1", row_number().over(w1))

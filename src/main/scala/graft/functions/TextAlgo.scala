@@ -639,6 +639,37 @@ object TextAlgo {
     if (bestIdx < 0) UTF8String.fromString("und") else codes(bestIdx)
   }
 
+  /** Query-directed multi-probe buckets: the base sign-sketch bucket plus
+    * the buckets reached by flipping the `probes` bits whose hyperplane
+    * margin |vec . plane| is smallest — the bits a true near neighbor just
+    * across a plane is most likely to differ on (standard multi-probe LSH).
+    * Returns 1 + min(probes, numBits) distinct bucket keys, base first.
+    * Same plane layout and sign convention as [[hyperplaneBucket]].
+    */
+  def hyperplaneProbes(vec: ArrayData, planes: Array[Double], dim: Int, probes: Int): ArrayData = {
+    val numBits = planes.length / dim
+    val n = math.min(vec.numElements(), dim)
+    val dots = new Array[Double](numBits)
+    var base = 0L
+    var b = 0
+    while (b < numBits) {
+      var s = 0.0
+      var i = 0
+      val off = b * dim
+      while (i < n) { s += vec.getDouble(i) * planes(off + i); i += 1 }
+      dots(b) = s
+      if (s >= 0) base |= (1L << b)
+      b += 1
+    }
+    val p = math.min(probes, numBits)
+    val order = Array.range(0, numBits).sortBy(i => math.abs(dots(i)))
+    val out = new Array[Long](1 + math.max(p, 0))
+    out(0) = base
+    var j = 0
+    while (j < p) { out(j + 1) = base ^ (1L << order(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Sign-sketch bucket: bit i of the result is the sign of vec . planes(i).
     * planes is row-major: numBits rows of dim doubles.
     */

@@ -375,6 +375,30 @@ case class Dist2Expr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Query-directed multi-probe bucket array ([[TextAlgo.hyperplaneProbes]]):
+  * the base sign-sketch bucket plus the `probes` lowest-|margin| single-bit
+  * flips. Same plane layout as [[HyperplaneBucketExpr]].
+  */
+case class HyperplaneProbesExpr(child: Expression, planes: Seq[Double], dim: Int, probes: Int)
+    extends UnaryExpression {
+  require(dim > 0 && planes.nonEmpty && planes.length % dim == 0 && probes >= 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_probes"
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.hyperplaneProbes(input.asInstanceOf[ArrayData], planeArr, dim, probes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.hyperplaneProbes($c, $ref, $dim, $probes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneProbesExpr =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign-sketch bucket of an array<double> column: bit i is
   * the sign of the dot product with seeded plane i. `planes` is row-major
   * (numBits x dim), generated deterministically by the caller.

@@ -19,7 +19,7 @@ object Similarity {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
   import graft.functions.{CosineSimExpr, Dist2Expr, DotProductExpr, HyperplaneBucketExpr,
-    QuantSumInt8Expr, QuantizeInt8Expr, VecMaxAbsExpr}
+    HyperplaneProbesExpr, QuantSumInt8Expr, QuantizeInt8Expr, VecMaxAbsExpr}
 
   /** Dot product of two array<double> columns — native codegen'd expression
     * ([[graft.functions.DotProductExpr]]): one compiled loop per row, not an
@@ -85,18 +85,32 @@ object Similarity {
     toCol(HyperplaneBucketExpr(toExpr(vec), planes, dim))
   }
 
+  /** Base bucket + the `probes` lowest-|margin| single-bit flips, as an
+    * array<long> ([[graft.functions.HyperplaneProbesExpr]], compiled).
+    * Identical plane generation to [[hyperplaneBucket]] for the same
+    * (dim, numBits, seed), so the two key spaces always agree.
+    */
+  def hyperplaneProbeBuckets(
+      vec: Column, dim: Int, numBits: Int, probes: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(numBits * dim)(rng.nextGaussian())
+    toCol(HyperplaneProbesExpr(toExpr(vec), planes, dim, probes))
+  }
+
   /** LSH-bucketed ANN: exact cosine top-k but only among corpus vectors
     * whose hyperplane bucket matches one of the query's probe buckets.
     *
-    * Multi-probe: besides its own bucket, each QUERY probes the buckets at
-    * Hamming distance 1 from its sketch (each sign bit flipped once) —
-    * the standard recall lever: vectors near a hyperplane land just across
-    * it, and flipping that bit recovers them. Probing expands only the
-    * (small, broadcast) query side by `numBits`; the corpus is still
-    * scanned once and joined on a single equi-key, so the plan shape and
-    * shuffle count are unchanged at any corpus size. Recall grows from
-    * p^b toward p^(b-1)-ish per neighbor; `probes = 0` restores the
-    * single-bucket variant.
+    * Multi-probe: besides its own bucket, each QUERY probes buckets at
+    * Hamming distance 1 from its sketch — the standard recall lever:
+    * vectors near a hyperplane land just across it, and flipping that bit
+    * recovers them. `probes` controls HOW MANY bits are flipped,
+    * QUERY-DIRECTED: the bits with the smallest hyperplane margin
+    * |vec . plane| first (a true neighbor most plausibly differs there).
+    * `probes < 0` (default) probes the full Hamming-1 ring (all numBits
+    * flips); `probes = 0` is the single-bucket variant. Probing expands
+    * only the (small, broadcast) query side; the corpus is still scanned
+    * once and joined on a single equi-key, so the plan shape and shuffle
+    * count are unchanged at any corpus size.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -107,17 +121,14 @@ object Similarity {
       dim: Int,
       numBits: Int = 8,
       seed: Long = 42L,
-      probes: Int = 1): DataFrame = {
+      probes: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__bucket"))
+    val nProbe = if (probes < 0) numBits else math.min(probes, numBits)
     val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      hyperplaneBucket(col(vecCol), dim, numBits, seed).as("__b0"))
-    val probeBuckets =
-      if (probes <= 0) array(col("__b0"))
-      else array((col("__b0") +: (0 until numBits).map(b =>
-        col("__b0").bitwiseXOR(lit(1L << b)))): _*)
+      hyperplaneProbeBuckets(col(vecCol), dim, numBits, nProbe, seed).as("__pb"))
     val q = base
-      .select(col("query_id"), col("__qv"), explode(probeBuckets).as("__bucket"))
+      .select(col("query_id"), col("__qv"), explode(col("__pb")).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       // a neighbor can match several probes of the same query -> dedupe

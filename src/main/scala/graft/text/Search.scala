@@ -34,13 +34,17 @@ object Search {
     require(terms.nonEmpty, "at least one search term required")
     require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
       "terms must be non-empty lowercase tokens")
+    // the AND gate counts DISTINCT matched terms, so compare against the
+    // distinct term count — a caller-assembled list with a repeated term
+    // could otherwise never satisfy the gate and silently match nothing
+    val uniqueTerms = terms.distinct
     val postings = df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
-      .where(col("term").isin(terms: _*))
+      .where(col("term").isin(uniqueTerms: _*))
     postings
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("n_hits"))
-      .where(col("n_terms") === terms.length)
+      .where(col("n_terms") === uniqueTerms.length)
       .select(col("doc_id"), col("n_hits"))
   }
 }

@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(ids === Set(1L, 3L, 4L, 5L))
   }
 
+  test("exact dedup: NULL texts pass through; punctuation-only texts dedupe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "!!!"), (2L, "###"),          // both normalize to "" -> one kept
+      (3L, null.asInstanceOf[String]),   // nulls are NOT duplicates of
+      (4L, null.asInstanceOf[String])    // each other -> both kept
+    ).toDF("doc_id", "text")
+    val ids = Dedup.exact(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L, 4L))
+  }
+
   test("exactGroups reports duplicate-set sizes") {
     val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
       .map(r => r.getLong(2) -> r.getLong(1)).toMap // keep_id -> n_docs

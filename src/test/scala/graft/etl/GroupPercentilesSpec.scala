@@ -37,6 +37,17 @@ class GroupPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("a NULL group key gets its own percentiles (null-safe rank join)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), (null, 10.0), (null, 20.0), (null, 30.0))
+      .toDF("g", "x")
+    val out = GroupPercentiles.exact(df, Seq("g"),
+      Seq(GroupPercentiles.PctSpec("x", 0.5, "x_med")))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(out(Some("a")) === 2.0)
+    assert(out(None) === 20.0)
+  }
+
   test("nulls ignored; all-null group gets null for that column only") {
     import spark.implicits._
     val df = Seq[(String, Option[Double], Option[Double])](

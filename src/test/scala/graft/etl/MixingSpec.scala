@@ -40,6 +40,20 @@ class MixingSpec extends SparkSpec {
     assert(mixed.count() === mixed.distinct().count())
   }
 
+  test("weightedMix upsamples w > 1 by replication plus fractional remainder") {
+    import spark.implicits._
+    val src = (0L until 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val out = Mixing.weightedMix(Seq((src, 2.5)), "id")
+    val n = out.count()
+    // 2 exact copies + ~half the rows once more (binomial around 500)
+    assert(n >= 2400 && n <= 2600, s"expected ~2500 rows for w=2.5, got $n")
+    // every id appears at least twice, at most 3 times
+    val freq = out.groupBy("id").count().agg(min("count"), max("count")).collect()(0)
+    assert(freq.getLong(0) === 2L && freq.getLong(1) === 3L)
+    // deterministic: same ids drawn again
+    assert(Mixing.weightedMix(Seq((src, 2.5)), "id").count() === n)
+  }
+
   test("assignSplit: fractions sum check, per-stratum proportions, exhaustive cover") {
     import spark.implicits._
     val df = (0 until 12000).map(i => (i.toLong, if (i % 3 == 0) "en" else "de")).toDF("id", "lang")

@@ -48,6 +48,16 @@ class StratifiedSpec extends SparkSpec {
     assert(byStratum == Map("s0" -> 25L, "s1" -> 25L, "s2" -> 25L, "s3" -> 25L))
   }
 
+  test("NULL strata are sampled like any other stratum, exact total held") {
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 4 == 3) null else s"s${i % 4}"))
+      .toDF("id", "stratum")
+    val out = Stratified.exactProportionalSample(df, "stratum", "id", total = 100L)
+    assert(out.count() === 100L)
+    val nullRows = out.where(out("stratum").isNull).count()
+    assert(nullRows === 25L, s"null stratum drew $nullRows of its 25-row quota")
+  }
+
   test("selection is deterministic and schema-preserving") {
     val df = (0L until 500L).map(i => (i, s"s${i % 3}", i * 2.5)).toDF("id", "stratum", "x")
     val a = Stratified.exactProportionalSample(df, "stratum", "id", 50L)

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("lshTopK probes knob is monotone: more probes never lose candidates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 5)
+    // k >= corpus so top-k truncation cannot break the subset relation
+    def pairs(probes: Int) = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 200, dim = 8, numBits = 6, probes = probes)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairs(0); val p1 = pairs(1); val p3 = pairs(3); val all = pairs(-1)
+    // candidate sets grow with the probe count (query-directed flips are
+    // nested by construction: lowest-margin first)
+    assert(p0.subsetOf(p1), "probes=1 must include the base bucket's pairs")
+    assert(p1.subsetOf(p3), "probes=3 must include probes=1's pairs")
+    assert(p3.subsetOf(all), "full ring must include probes=3's pairs")
+    // and the knob actually moves something on a random corpus
+    assert(p0.size < all.size, "full Hamming-1 ring found nothing beyond the base bucket")
+  }
+
   test("ivfTopK: clustered corpus, probing recovers the true neighbors") {
     import spark.implicits._
     // two tight clusters around (1,0,0) and (0,1,0); queries from cluster A
