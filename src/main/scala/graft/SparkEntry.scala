@@ -332,9 +332,14 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       events(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // gap compared at MICROSECOND precision on both engines: a
+        // floor-to-second cast here vs the oracle's fractional epoch()
+        // would disagree on sub-second boundary gaps (q33 learned the
+        // same lesson at ms; timestamps are micros on the Spark side)
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
         .withColumn("session_id", sum(col("new_session")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"))
@@ -1431,7 +1436,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (SELECT user_id,

@@ -276,11 +276,17 @@ object TextAlgo {
 
   /** Portable 60-bit SimHash: whitespace tokens of the ASCII-lowercased
     * text, token hash = md5-60, bit b of the output = 1 iff the sum over
-    * tokens of +-1 (per bit b of the token hash) is positive. 0 when the
-    * text has no tokens. Same sketch family as [[simhash64]] (which stays
-    * the production kernel) but byte-reproducible in SQL.
+    * tokens of +-1 (per bit b of the token hash) is positive. NULL when
+    * the text has no tokens — the DuckDB oracle's `WHERE term <> ''`
+    * drops token-less docs entirely, so emitting a sketch (any sketch)
+    * for them would pair empty docs the oracle never sees. Tokenization
+    * is the Java-regex `\s` class ([[isJavaWs]]), NOT
+    * Character.isWhitespace: the oracle splits on '\s+', which does not
+    * match Unicode spaces like U+3000. Same sketch family as
+    * [[simhash64]] (which stays the production kernel) but
+    * byte-reproducible in SQL.
     */
-  def simhash60Portable(text: String): Long = {
+  def simhash60Portable(text: String): java.lang.Long = {
     val counts = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
     var any = false
@@ -304,22 +310,22 @@ object TextAlgo {
     }
     var i = 0
     while (i < text.length) {
-      if (Character.isWhitespace(text.charAt(i))) flush(i)
+      if (isJavaWs(text.charAt(i))) flush(i)
       else if (start < 0) start = i
       i += 1
     }
     flush(text.length)
-    if (!any) return 0L
+    if (!any) return null
     var out = 0L
     var b = 0
     while (b < 60) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    out
+    java.lang.Long.valueOf(out)
   }
 
-  def simhash60PortableStr(s: UTF8String): Long = simhash60Portable(s.toString)
+  def simhash60PortableStr(s: UTF8String): java.lang.Long = simhash60Portable(s.toString)
 
   def shingleHashSetPortableData(s: UTF8String, k: Int): ArrayData =
     new GenericArrayData(shingleHashSetPortable(s.toString, k))
@@ -423,6 +429,24 @@ object TextAlgo {
   @inline private def isJavaWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Original-case whitespace-delimited tokens (Java-regex `\s` class via
+    * [[isJavaWs]]) — the ONE scanner shared by the n-gram/chunk kernels so
+    * their tokenization can never drift apart (oracle parity depends on
+    * all of them matching `split(trim(s), "\\s+")`).
+    */
+  private def wsTokens(str: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isJavaWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isJavaWs(str.charAt(i))) i += 1
+      if (i > start) words += str.substring(start, i)
+    }
+    words
+  }
+
   /** Iterate whitespace-delimited tokens of lowercase(trim(s)) without
     * allocating the token array; calls f(token) per token. Returns token
     * count.
@@ -457,16 +481,7 @@ object TextAlgo {
     * verbatim; one pass, one HashSet per row.
     */
   def dupNgramFraction(s: UTF8String, n: Int): Double = {
-    val str = s.toString
-    val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      while (i < len && isJavaWs(str.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isJavaWs(str.charAt(i))) i += 1
-      if (i > start) words += str.substring(start, i)
-    }
+    val words = wsTokens(s.toString)
     val total = words.length - n + 1
     if (total <= 0) return 0.0
     val seen = new java.util.HashSet[String](total * 2)
@@ -491,16 +506,7 @@ object TextAlgo {
     * kept oracle-replayable for set-similarity baselines.
     */
   def wordNgrams(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      while (i < len && isJavaWs(str.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isJavaWs(str.charAt(i))) i += 1
-      if (i > start) words += str.substring(start, i)
-    }
+    val words = wsTokens(s.toString)
     val total = words.length - n + 1
     if (total <= 0) return ArrayData.toArrayData(Array.empty[UTF8String])
     val seen = new java.util.LinkedHashSet[String](total * 2)
@@ -530,16 +536,7 @@ object TextAlgo {
     * [[wordNgrams]], NOT distinct: position matters for reconstruction.
     */
   def wordChunks(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = str.length
-    while (i < len) {
-      while (i < len && isJavaWs(str.charAt(i))) i += 1
-      val start = i
-      while (i < len && !isJavaWs(str.charAt(i))) i += 1
-      if (i > start) words += str.substring(start, i)
-    }
+    val words = wsTokens(s.toString)
     if (words.isEmpty) return ArrayData.toArrayData(Array.empty[UTF8String])
     val nChunks = (words.length + n - 1) / n
     val out = new Array[AnyRef](nChunks)

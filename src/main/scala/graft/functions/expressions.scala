@@ -104,11 +104,22 @@ case class SimHash60PortableExpr(child: Expression) extends UnaryExpression {
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // token-less text has no sketch
   override def prettyName: String = "simhash60_portable"
   override protected def nullSafeEval(input: Any): Any =
     TextAlgo.simhash60PortableStr(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.simhash60PortableStr($c)")
+    nullSafeCodeGen(ctx, ev, { c =>
+      val boxed = ctx.freshName("boxedSim")
+      s"""
+         |java.lang.Long $boxed = graft.functions.TextAlgo.simhash60PortableStr($c);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): SimHash60PortableExpr =
     copy(child = newChild)
 }
@@ -382,6 +393,9 @@ case class Dist2Expr(left: Expression, right: Expression)
 case class HyperplaneProbesExpr(child: Expression, planes: Seq[Double], dim: Int, probes: Int)
     extends UnaryExpression {
   require(dim > 0 && planes.nonEmpty && planes.length % dim == 0 && probes >= 0)
+  // bit b of the bucket is 1L << b: more than 64 planes would silently
+  // wrap the shift and collide distinct planes onto the same bit
+  require(planes.length / dim <= 64, s"numBits ${planes.length / dim} exceeds the 64-bit bucket")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
       TypeCheckResult.TypeCheckSuccess
@@ -406,6 +420,7 @@ case class HyperplaneProbesExpr(child: Expression, planes: Seq[Double], dim: Int
 case class HyperplaneBucketExpr(child: Expression, planes: Seq[Double], dim: Int)
     extends UnaryExpression {
   require(dim > 0 && planes.nonEmpty && planes.length % dim == 0)
+  require(planes.length / dim <= 64, s"numBits ${planes.length / dim} exceeds the 64-bit bucket")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
       TypeCheckResult.TypeCheckSuccess

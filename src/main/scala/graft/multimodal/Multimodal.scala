@@ -142,9 +142,15 @@ object Multimodal {
       }
       // malformed guard: a negative chunk length would stop the offset
       // advancing (or walk it backwards) and spin this loop forever on a
-      // corrupt/adversarial RIFF payload — an executor hang, not a skip
+      // corrupt/adversarial RIFF payload — an executor hang, not a skip.
+      // The advance is computed in LONG: a large positive len (e.g.
+      // 0x7FFFFFF0) would overflow Int and land a negative offset in the
+      // next new String(...), throwing instead of skipping the row.
       if (len < 0) return None
-      o += 8 + len + (len & 1)
+      val next = o.toLong + 8L + len.toLong + (len & 1)
+      // a truncated final chunk ends the walk; the checks below decide
+      // whether what was already parsed (fmt + clamped data) suffices
+      o = if (next > b.length) b.length else next.toInt
     }
     if (rate <= 0 || dataOff < 0 || dataLen < 2) return None
     val nSamples = dataLen / 2
@@ -246,6 +252,15 @@ object Multimodal {
     val payI = df.columns.indexOf("payload")
     require(payI >= 0, "expected a payload column")
     val schema = df.schema
+    // keep meta.width/height in lockstep with the rewritten payload header
+    // — a consumer trusting metadataOnly() must see the new dimensions,
+    // not the pre-resize ones
+    val metaI = df.columns.indexOf("meta")
+    val (wI, hI) =
+      if (metaI >= 0) schema(metaI).dataType match {
+        case s: StructType => (s.fieldNames.indexOf("width"), s.fieldNames.indexOf("height"))
+        case _ => (-1, -1)
+      } else (-1, -1)
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         if (r.isNullAt(payI)) r
@@ -253,7 +268,15 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](payI)
           resizePnmNearest(payload, newW, newH) match {
             case Some(resized) =>
-              Row.fromSeq(r.toSeq.updated(payI, resized))
+              val withPayload = r.toSeq.updated(payI, resized)
+              val out =
+                if (metaI >= 0 && wI >= 0 && hI >= 0 && !r.isNullAt(metaI)) {
+                  val m = r.getStruct(metaI)
+                  val newMeta = Row.fromSeq(
+                    m.toSeq.updated(wI, newW).updated(hI, newH))
+                  withPayload.updated(metaI, newMeta)
+                } else withPayload
+              Row.fromSeq(out)
             case None => r
           }
         }
@@ -299,8 +322,12 @@ object Multimodal {
     */
   def planFrameSamples(df: DataFrame, everyMs: Long): DataFrame =
     df.where(col("kind") === "video")
+      // valid frame timestamps are [0, duration): the sequence bound is
+      // duration - 1, and unknown/zero-duration videos plan no frames at
+      // all rather than a phantom frame_ms = 0 work item
+      .where(coalesce(col("meta.duration_ms"), lit(0L)) > 0L)
       .select(col("media_id"),
-        explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)), lit(everyMs)))
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1L, lit(everyMs)))
           .as("frame_ms"))
 
   /** Metadata-only projection — binary column pruned at scan. */

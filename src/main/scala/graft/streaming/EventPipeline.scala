@@ -96,7 +96,11 @@ object EventPipeline {
                   closed += SessionSummary(userId, s.nEvents, s.totalValue, s.startMs, s.lastMs)
                   open = Some(SessionState(1, v, ts, ts))
                 case Some(s) =>
-                  open = Some(SessionState(s.nEvents + 1, s.totalValue + v, s.startMs, math.max(s.lastMs, ts)))
+                  // a late-but-within-watermark event can precede the
+                  // recorded start: min() it like lastMs is max()ed, or
+                  // the summary's startMs (and duration) is wrong
+                  open = Some(SessionState(s.nEvents + 1, s.totalValue + v,
+                    math.min(s.startMs, ts), math.max(s.lastMs, ts)))
                 case None =>
                   open = Some(SessionState(1, v, ts, ts))
               }
@@ -115,8 +119,11 @@ object EventPipeline {
   }
 
   /** End-to-end incremental pipeline: parquet/json file source -> hourly
-    * aggregates -> sink. `format`/`path` describe the source; sink is
-    * in-memory for tests ("memory") or parquet for production.
+    * aggregates -> sink. `sinkFormat` "memory" (tests; Update mode, so a
+    * consumer must read latest-per-window, and multi-batch runs re-emit
+    * updated windows) or a file format like "parquet" (production; Append
+    * mode — a window is written once, when the watermark closes it —
+    * `sinkPath` required).
     */
   def start(
       spark: SparkSession,
@@ -124,15 +131,25 @@ object EventPipeline {
       sourceFormat: String = "parquet",
       queryName: String = "graft_events_hourly",
       checkpointDir: String,
-      watermark: String = "2 hours"): StreamingQuery = {
+      watermark: String = "2 hours",
+      sinkFormat: String = "memory",
+      sinkPath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format(sourceFormat)
       .schema(eventSchema)
       .load(sourceDir)
-    hourlyAggregates(stream, watermark).writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(queryName)
+    val agg = hourlyAggregates(stream, watermark)
+    val writer =
+      if (sinkFormat == "memory")
+        agg.writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(queryName)
+      else {
+        val path = sinkPath.getOrElse(
+          throw new IllegalArgumentException(s"sinkPath required for sink '$sinkFormat'"))
+        agg.writeStream.outputMode(OutputMode.Append())
+          .format(sinkFormat).option("path", path).queryName(queryName)
+      }
+    writer
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
