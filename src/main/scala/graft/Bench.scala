@@ -56,7 +56,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query must poison the TOTAL too — summing the -1 sentinels
+    // would make a broken suite look FASTER than a green one
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

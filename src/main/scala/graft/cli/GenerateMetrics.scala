@@ -26,6 +26,20 @@ object GenerateMetrics {
     val dataset = args(0)
     val method = args(1)
     val nFeatures = args(2).toInt
+    // reject typoed flags (same pattern as GenerateCM): a silently-ignored
+    // `--fold 5` would run with defaults and mislabel the artifact
+    val valueFlags = Set("--classifier", "--data-dir", "--out-dir", "--folds", "--reps")
+    locally {
+      val rest = args.drop(3)
+      var i = 0
+      while (i < rest.length) rest(i) match {
+        case "--sweep" => i += 1
+        case f if valueFlags(f) && i + 1 < rest.length => i += 2
+        case f => throw new IllegalArgumentException(
+          s"unrecognized or value-less flag '$f'; known: " +
+            (valueFlags + "--sweep").toSeq.sorted.mkString(", "))
+      }
+    }
     def opt(flag: String, default: String): String =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }.getOrElse(default)
     val classifier = opt("--classifier", "logistic")
@@ -34,6 +48,10 @@ object GenerateMetrics {
     val folds = opt("--folds", "10").toInt
     val reps = opt("--reps", "1").toInt
     val sweep = args.contains("--sweep")
+    // --sweep always runs the DEMV convergence sweep; any other method
+    // label would stamp sweep rows with the wrong experiment name
+    require(!sweep || method == "demv",
+      s"--sweep runs the DEMV sweep; pass method 'demv' (got '$method') so the output file is labeled correctly")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

@@ -89,7 +89,11 @@ object Kmv {
     */
   def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
     val u = slice(array_sort(array_distinct(concat(a, b))), 1, k)
-    when(size(u) === 0, lit(0.0))
+    // NULL sketch -> NULL, like distinctEstimate: under legacy size
+    // semantics size(null) = -1 would otherwise route an outer-join hole
+    // into -1/-1 = perfect similarity
+    when(isnull(a) || isnull(b), lit(null).cast("double"))
+      .when(size(u) === 0, lit(0.0))
       .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double") /
         size(u).cast("double"))
   }

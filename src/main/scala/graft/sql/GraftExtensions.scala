@@ -4,7 +4,7 @@ import graft.functions._
 import graft.sketch.KmvSketchAgg
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, CaseWhen, Cast, Concat, Divide, ElementAt, EqualTo, Expression, ExpressionInfo, IsNull, LessThan, Literal, Multiply, Size, Slice, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, CaseWhen, Cast, Concat, Divide, ElementAt, EqualTo, Expression, ExpressionInfo, IsNull, LessThan, Literal, Multiply, Or, Size, Slice, SortArray}
 import org.apache.spark.sql.types.DoubleType
 
 /** SQL surface for the graft function library: every compiled Catalyst
@@ -142,7 +142,12 @@ object GraftFunctions {
     def union = Slice(new SortArray(ArrayDistinct(Concat(Seq(a, b)))),
       Literal(1), Literal(k))
     CaseWhen(
-      Seq((EqualTo(Size(union), Literal(0)), Literal(0.0))),
+      Seq(
+        // NULL sketch -> NULL, mirroring kmvDistinctEstimateExpr: under
+        // legacy size semantics an outer-join hole would otherwise score
+        // -1/-1 = perfect similarity
+        (Or(IsNull(a), IsNull(b)), Literal(null, DoubleType)),
+        (EqualTo(Size(union), Literal(0)), Literal(0.0))),
       Some(Divide(
         Cast(Size(ArrayIntersect(ArrayIntersect(union, a), b)), DoubleType),
         Cast(Size(union), DoubleType))))

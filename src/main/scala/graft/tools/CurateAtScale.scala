@@ -87,10 +87,15 @@ object CurateAtScale {
       val totalSec = (System.nanoTime() - t0) / 1e9
       val stageJson = stats.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      println(f"""{"sf_dir":"$sfDir",$stageJson,"files":${files.length},""" +
-        f""""leaf_dirs":${leafDirs.length},"max_file_rows":$maxFileRows,""" +
-        f""""max_per_file":$maxPerFile,"funnel_sec":$funnelSec%.1f,""" +
-        f""""total_sec":$totalSec%.1f,"layout_ok":true}""")
+      // Locale.ROOT: the f-interpolator uses the default locale, and a
+      // comma-decimal locale would emit invalid JSON (same fix as
+      // DedupScalingBench)
+      val fs = String.format(java.util.Locale.ROOT, "%.1f", Double.box(funnelSec))
+      val ts = String.format(java.util.Locale.ROOT, "%.1f", Double.box(totalSec))
+      println(s"""{"sf_dir":"$sfDir",$stageJson,"files":${files.length},""" +
+        s""""leaf_dirs":${leafDirs.length},"max_file_rows":$maxFileRows,""" +
+        s""""max_per_file":$maxPerFile,"funnel_sec":$fs,""" +
+        s""""total_sec":$ts,"layout_ok":true}""")
     } finally spark.stop()
   }
 }

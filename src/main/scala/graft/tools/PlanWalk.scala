@@ -13,12 +13,19 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 object PlanWalk {
 
   /** Every node of the plan, descending through AdaptiveSparkPlanExec and
-    * QueryStageExec boundaries (pre-order).
+    * QueryStageExec boundaries (pre-order), AND into expression-held
+    * subquery plans (scalar subqueries, DPP filters) — a shuffle or
+    * single-partition window inside a SubqueryExec would otherwise hide
+    * from every plan assertion, the same vacuous-walk failure mode this
+    * object exists to prevent, one level down.
     */
-  def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
-    case s: QueryStageExec => s +: collectAll(s.plan)
-    case o => o +: o.children.flatMap(collectAll)
+  def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
+      case s: QueryStageExec => s +: collectAll(s.plan)
+      case o => o +: o.children.flatMap(collectAll)
+    }
+    self ++ p.subqueries.flatMap(collectAll)
   }
 
   /** collect-style partial-function matching over the full walk. */

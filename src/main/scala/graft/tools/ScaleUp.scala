@@ -28,6 +28,11 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/testdata-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the per-copy Caesar shift is i % 26: factor 27+ would give copy 26
+    // the SAME shift as copy 0, i.e. literal cross-copy text clones — the
+    // quadratic near-dup pair blowup the decorrelation exists to prevent
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (text decorrelation has 26 distinct shifts), got $factor")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -178,4 +178,23 @@ class KmvSpec extends SparkSpec {
       "SELECT graft_kmv_distinct_estimate(sk, 3) FROM null_sk").collect()(0)
     assert(viaSql.isNullAt(0))
   }
+
+  test("NULL sketch jaccard estimates NULL, not perfect similarity, Column and SQL") {
+    val df = Seq(1).toDF("x").select(
+      lit(null).cast("array<bigint>").as("a"),
+      array(lit(1L), lit(2L)).as("b"))
+    val viaColumn = df.select(Kmv.jaccardEstimate(col("a"), col("b"), 4)).collect()(0)
+    assert(viaColumn.isNullAt(0))
+    val sqlSession = spark.newSession()
+    graft.sql.GraftFunctions.register(sqlSession)
+    import sqlSession.implicits._
+    // temp views are session-scoped: rebuild the fixture in sqlSession
+    Seq(1).toDF("x").select(
+        lit(null).cast("array<bigint>").as("a"),
+        array(lit(1L), lit(2L)).as("b"))
+      .createOrReplaceTempView("null_jac")
+    val viaSql = sqlSession.sql(
+      "SELECT graft_kmv_jaccard_estimate(a, b, 4) FROM null_jac").collect()(0)
+    assert(viaSql.isNullAt(0))
+  }
 }
