@@ -61,13 +61,6 @@ object GroupPercentiles {
     require(p >= 0.0 && p <= 1.0, s"quantile must be in [0,1], got $p")
   }
 
-  private val SampleCap = 4096
-
-  private def tupleGt(cols: Seq[Column], bound: Seq[Any]): Column =
-    cols.zip(bound).foldRight(lit(false)) { case ((c, b), rest) =>
-      c > lit(b) || (c === lit(b) && rest)
-    }
-
   /** Exact interpolated percentiles of `specs` per `groupCols` group.
     * Null values are ignored (Spark/DuckDB/pandas convention); a group
     * whose column is all-null gets null. Output schema:
@@ -92,23 +85,14 @@ object GroupPercentiles {
     }.reduce(_ unionByName _)
     val sortCols: Seq[Column] = col("__tag") +: groupCols.map(col) :+ col("__v")
 
-    // Job 1: bounded deterministic boundary sample (see Ranking for why
-    // this beats df.sample / repartitionByRange).
-    val sample: Array[Row] = tagged
-      .select((sortCols :+ xxhash64(struct(sortCols: _*), lit(seed)).as("__h")): _*)
-      .orderBy(col("__h")).limit(SampleCap)
-      .drop("__h")
-      .collect()
-    val sortedKeys: Array[Seq[Any]] = sample
-      .map(r => (0 until r.length).map(r.get): Seq[Any])
-      .sortBy(identity)(keySeqOrdering)
-    val parts = math.max(1, math.min(nParts, sortedKeys.length + 1))
-    val bounds: Seq[Seq[Any]] =
-      (1 until parts).map(i => sortedKeys((i.toLong * sortedKeys.length / parts).toInt))
-    val pidExpr = bounds.foldLeft(lit(0)) { (e, b) =>
-      e + when(tupleGt(sortCols, b), 1).otherwise(0)
-    }
-    val withPid = tagged.withColumn("__pid", pidExpr)
+    // Job 1: range ids from Ranking's SHARED range-split machinery (one
+    // bounded deterministic boundary-sample job — see Ranking.withRangeId
+    // for why this beats df.sample / repartitionByRange). This module
+    // previously carried a near-identical copy of the sample/bounds/
+    // ordering logic; one implementation means a split-point or ordering
+    // fix can never desynchronize the two consumers.
+    val (withPid0, pidCol, _) = Ranking.withRangeId(tagged, sortCols, nParts, seed)
+    val withPid = withPid0.withColumnRenamed(pidCol, "__pid")
 
     // Job 2: per-(range, tag, group) counts — numPartitions x cols x groups
     // rows, tiny by the documented assumption.
@@ -231,28 +215,4 @@ object GroupPercentiles {
     spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
   }
 
-  /** Driver-side ordering matching Spark's ascending column order for the
-    * sampled key tuples (strings, numerics, dates).
-    */
-  private val keySeqOrdering: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
-    private def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
-      case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
-      case (x: Number, y: Number) => java.lang.Long.compare(x.longValue(), y.longValue())
-      case (x: String, y: String) => x.compareTo(y)
-      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
-      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
-      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-      case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
-    }
-    def compare(a: Seq[Any], b: Seq[Any]): Int = {
-      val it = a.iterator.zip(b.iterator)
-      while (it.hasNext) {
-        val (x, y) = it.next()
-        val c = cmp(x, y)
-        if (c != 0) return c
-      }
-      0
-    }
-  }
 }
