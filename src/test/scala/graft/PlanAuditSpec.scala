@@ -31,6 +31,32 @@ class PlanAuditSpec extends SparkSpec {
     // group cardinality, never by corpus size (documented at the query)
     "q70_kmv_source_overlap")
 
+  /** True iff this subtree provably emits at most one row: descends
+    * through nodes that never increase cardinality (project/filter/sort,
+    * exchanges, codegen wrappers, AQE stages) until the first "real"
+    * operator, which must be a grouping-less aggregate. A join, generate,
+    * union, or scan at that point means the side is unbounded.
+    */
+  private def rootedAtScalarAggregate(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    p match {
+      case a: HashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: AdaptiveSparkPlanExec => rootedAtScalarAggregate(a.executedPlan)
+      case s: QueryStageExec => rootedAtScalarAggregate(s.plan)
+      case r: ReusedExchangeExec => rootedAtScalarAggregate(r.child)
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: BroadcastExchangeExec | _: ShuffleExchangeExec |
+           _: WholeStageCodegenExec | _: InputAdapter =>
+        rootedAtScalarAggregate(p.children.head)
+      case _ => false
+    }
+  }
+
   test("no single-partition windows, cartesians, or undocumented BNL joins in any query plan") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var walked = 0
@@ -50,19 +76,18 @@ class PlanAuditSpec extends SparkSpec {
           failures += s"$name: cartesian product"
         val badBnl = nodes.exists {
           case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
-            // a BNL whose broadcast side is a GLOBAL aggregate (no grouping
-            // keys => exactly one row) is the standard scalar-broadcast
-            // pattern (q09's mean/std, q17's total) — constant cost at any
-            // scale. Any other BNL is a quadratic red flag.
-            !j.children.exists(side => graft.tools.PlanWalk.collectAll(side).exists {
-              case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
-                a.groupingExpressions.isEmpty
-              case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
-                a.groupingExpressions.isEmpty
-              case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
-                a.groupingExpressions.isEmpty
-              case _ => false
-            })
+            // a BNL whose BROADCAST side is rooted at a GLOBAL aggregate
+            // (no grouping keys => exactly one row) is the standard
+            // scalar-broadcast pattern (q09's mean/std, q17's total) —
+            // constant cost at any scale. The check descends the build
+            // side only, through row-bounded wrappers: a scalar aggregate
+            // buried under a join elsewhere in the lineage must NOT excuse
+            // a quadratic BNL between two large inputs.
+            val buildChild = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            }
+            !rootedAtScalarAggregate(buildChild)
           case _ => false
         }
         if (badBnl && !bnlAllowlist(name))

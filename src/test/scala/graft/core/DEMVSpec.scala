@@ -58,7 +58,7 @@ class DEMVSpec extends SparkSpec {
       .map(r => (Seq(r.getInt(0), r.getInt(1)), r.getInt(2)) -> r.getLong(3)).toMap
     demv.getCellPlans.foreach { p =>
       withClue(s"cell (${p.combo}, ${p.label}): ") {
-        assert(actual((p.combo, p.label.asInstanceOf[Int].toInt)) === p.targetSize)
+        assert(actual((p.combo, p.label.asInstanceOf[Int])) === p.targetSize)
       }
     }
   }

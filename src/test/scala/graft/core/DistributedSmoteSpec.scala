@@ -80,14 +80,16 @@ class DistributedSmoteSpec extends SparkSpec {
     val df = pts.toDF("s", "y", "f1", "f2")
     val out = Strategies.synthesizeSmote(df, key,
       Map(Seq[Any](0, 1) -> 9L, Seq[Any](1, 1) -> 31L), seed = 5)
-    val byCell = out.groupBy("s").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // one action: the adaptive dispatch (including the LSH path's shuffles)
+    // is the slowest plan in this suite — derive everything from one collect
+    val rows = out.collect()
+    val byCell = rows.groupBy(_.getInt(0)).map { case (s, g) => s -> g.length.toLong }
     assert(byCell === Map(0 -> 9L, 1 -> 31L))
     // both paths preserve the dtype contract (names + types; nullability
     // widens through the synthesized union) and stay inside the hull
     assert(out.schema.map(f => (f.name, f.dataType)) ===
       df.schema.map(f => (f.name, f.dataType)))
-    out.collect().foreach { r =>
+    rows.foreach { r =>
       if (r.getInt(0) == 0) assert(r.getDouble(2) >= 10.0 && r.getDouble(2) <= 11.0)
       else assert(r.getDouble(2) >= 500.0 && r.getDouble(2) <= 520.0)
     }

@@ -94,6 +94,9 @@ class ExactSamplerSpec extends SparkSpec {
   test("seed changes the sampled rows but not the sizes") {
     val a = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 1L)
     val b = ExactSampler.resize(df, Seq("g"), Map(Seq[Any]("a") -> 50L, Seq[Any]("b") -> 100L), seed = 2L)
-    assert(a.count() === b.count())
+    val aIds = a.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val bIds = b.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(aIds.length === bIds.length)
+    assert(aIds !== bIds, "different seeds picked identical row sets — seed ignored?")
   }
 }

@@ -45,5 +45,9 @@ class BloomFiltersSpec extends SparkSpec {
     val flags = Seq("a", "zzz-definitely-not").toDF("k")
       .select(BloomFilters.mightContain(bloom, $"k")).as[Boolean].collect()
     assert(flags(0))
+    // 2 items at fpp 0.01 makes a false positive on this probe vanishingly
+    // unlikely — asserting the absent key keeps this test from passing on
+    // a constant-true probe regression
+    assert(!flags(1), "definitely-absent key probed true")
   }
 }

@@ -55,12 +55,51 @@ class ReductionsSpec extends SparkSpec {
     assert(out.count() === 800)
     val preds = out.select("prediction").collect().map(_.getDouble(0)).toSet
     assert(preds.subsetOf(Set(0.0, 1.0)))
-    // same seed -> identical draw; prediction agrees with SOME iterate per row
+    // same seed -> identical draw
     val again = ens.transform(train).select("x1", "prediction").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).sorted.toSeq
     val first = out.select("x1", "prediction").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).sorted.toSeq
     assert(again === first)
+    // prediction agrees with SOME iterate per row — a draw that ignores
+    // the iterates (e.g. constant output) must not pass
+    val key = (r: org.apache.spark.sql.Row) => (r.getDouble(0), r.getDouble(1))
+    val ensPred = out.select("x1", "x2", "prediction").collect()
+      .map(r => key(r) -> r.getDouble(2)).toMap
+    val iteratePreds = ens.iterates.map(_.model.transform(train)
+      .select("x1", "x2", "prediction").collect()
+      .map(r => key(r) -> r.getDouble(2)).toMap)
+    ensPred.foreach { case (k, p) =>
+      assert(iteratePreds.exists(m => m(k) == p),
+        s"row $k prediction $p matches no iterate's prediction")
+    }
+  }
+
+  test("ensemble draw mixes disagreeing iterates per row, not one constant pick") {
+    import org.apache.spark.sql.Row
+    // two single-iterate fits on OPPOSITE labels guarantee per-row
+    // disagreement, making the membership check above impossible to
+    // satisfy vacuously: the draw must route each row to A or B
+    val flipped = train.withColumn("y", lit(1) - col("y"))
+    val itA = Reductions.ExponentiatedGradient.fitEnsemble(
+      train, Seq("x1", "x2"), "y", Seq("s1"), bound = 0.45, rounds = 1).iterates.head
+    val itB = Reductions.ExponentiatedGradient.fitEnsemble(
+      flipped, Seq("x1", "x2"), "y", Seq("s1"), bound = 0.45, rounds = 1).iterates.head
+    val mixed = Reductions.FittedEnsemble(Seq(itA, itB), Seq(0.5, 0.5), seed = 9)
+    val key = (r: Row) => (r.getDouble(0), r.getDouble(1))
+    val predOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("x1", "x2", "prediction").collect().map(r => key(r) -> r.getDouble(2)).toMap
+    val pA = predOf(itA.model.transform(train))
+    val pB = predOf(itB.model.transform(train))
+    val disagree = pA.keys.filter(k => pA(k) != pB(k)).toSet
+    assert(disagree.size > 100, "opposite-label models barely disagree — fixture broken")
+    val pM = predOf(mixed.transform(train))
+    // every row matches one of its iterates
+    pM.foreach { case (k, p) => assert(p == pA(k) || p == pB(k)) }
+    // and on disagreeing rows both iterates get picked: the draw is real
+    val fromA = disagree.count(k => pM(k) == pA(k))
+    assert(fromA > 0 && fromA < disagree.size,
+      s"draw picked one iterate for all ${disagree.size} disagreeing rows — not a mixture")
   }
 
   test("GridSearch picks a multiplier and returns group losses") {

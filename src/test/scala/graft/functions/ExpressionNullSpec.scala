@@ -29,7 +29,8 @@ class ExpressionNullSpec extends SparkSpec {
       assert(nullRow.isNullAt(i), s"column $i should be null for null input")
     }
     val okRow = out(0)
-    (0 until 5).foreach(i => assert(!okRow.isNullAt(i)))
+    (0 until okRow.length).foreach(i =>
+      assert(!okRow.isNullAt(i), s"column $i should be non-null for non-null input"))
   }
 
   test("vector expressions are null-safe") {

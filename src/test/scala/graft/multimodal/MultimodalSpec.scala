@@ -27,24 +27,25 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("real codecs: images decode as pgm, audio as wav, video falls to stub") {
+    // decode once (byte-level PGM/WAV work per payload), filter locally
     val f = Multimodal.extractFeatures(media)
-    val byKind = f.groupBy("kind", "codec").count().collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+      .select("media_id", "kind", "codec", "width", "height", "sample_rate", "duration_ms")
+      .collect()
+    val byKind = f.map(r => (r.getString(1), r.getString(2))).toSet
     assert(byKind === Set(("image", "pgm"), ("audio", "wav"), ("video", "stub")))
     // decoded image dims equal the metadata dims
-    val img = Multimodal.extractFeatures(media).where(col("kind") === "image")
-      .select("media_id", "width", "height").collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val img = f.filter(_.getString(1) == "image")
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
     val meta = media.where(col("kind") === "image")
       .select(col("media_id"), col("meta.width"), col("meta.height")).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(img === meta)
     // decoded wav sample rate and duration match the generator
-    val aud = Multimodal.extractFeatures(media).where(col("kind") === "audio")
-      .select("sample_rate", "duration_ms").collect()
+    val aud = f.filter(_.getString(1) == "audio")
+    assert(aud.nonEmpty)
     aud.foreach { r =>
-      assert(r.getInt(0) === 8000)
-      assert(r.getLong(1) >= 50 && r.getLong(1) <= 250)
+      assert(r.getInt(5) === 8000)
+      assert(r.getLong(6) >= 50 && r.getLong(6) <= 250)
     }
   }
 

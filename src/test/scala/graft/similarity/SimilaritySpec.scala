@@ -60,9 +60,31 @@ class SimilaritySpec extends SparkSpec {
     val q = vecs.where(col("vec_id") === 0)
     val out = Similarity.lshTopK(vecs, q, "vec_id", "embedding", k = 3, dim = 3, numBits = 2)
       .collect()
-    // every returned neighbor shares the query's bucket and ranks correctly
-    val cosines = out.sortBy(_.getInt(3)).map(_.getDouble(2))
+    assert(out.nonEmpty, "lshTopK found no neighbors in the query's bucket")
+    // ranks correctly
+    val sorted = out.sortBy(_.getInt(3))
+    val cosines = sorted.map(_.getDouble(2))
     assert(cosines.sameElements(cosines.sorted.reverse))
+    // subset of brute force, with matching cosines and no self-match
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    sorted.foreach { r =>
+      val n = r.getLong(1)
+      assert(n !== 0L, "self returned as its own neighbor")
+      assert(brute.contains(n), s"neighbor $n not in brute-force results")
+      assert(math.abs(brute(n) - r.getDouble(2)) < 1e-12,
+        s"neighbor $n cosine disagrees with brute force")
+    }
+    // every returned neighbor is within the probed ring: the default
+    // probes=-1 explores the base bucket plus all Hamming-1 flips, so the
+    // neighbor's bucket may differ from the query's by at most one bit
+    val buckets = vecs.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), dim = 3, numBits = 2).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sorted.foreach { r =>
+      val d = java.lang.Long.bitCount(buckets(r.getLong(1)) ^ buckets(0L))
+      assert(d <= 1, s"neighbor ${r.getLong(1)} is $d bucket bits from the query — outside the probed ring")
+    }
   }
 
   test("lshTopK probes knob is monotone: more probes never lose candidates") {
