@@ -65,11 +65,17 @@ object Components {
     // expensive) candidate-pair plan twice — once for a count, once for
     // the real collect.
     val probe: Array[(Long, Long)] =
-      if (longIds && driverEdgeThreshold > 0 && driverEdgeThreshold < Int.MaxValue)
+      if (longIds && driverEdgeThreshold > 0 && driverEdgeThreshold < Int.MaxValue) {
+        // typed collect deserializes straight to primitives — no
+        // transient Array[Row] alongside the tuple array when the probe
+        // comes back full on a large graph
+        val sp = pairs.sparkSession
+        import sp.implicits._
         pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
           .limit((driverEdgeThreshold + 1).toInt)
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-      else null
+          .as[(Long, Long)]
+          .collect()
+      } else null
     if (probe != null && probe.length <= driverEdgeThreshold) {
       val edgeArr = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]

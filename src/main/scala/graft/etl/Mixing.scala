@@ -48,10 +48,23 @@ object Mixing {
     * fractional-remainder sample (e.g. w = 2.5 keeps each row twice and
     * half the rows a third time) — the "repeat high-quality sources"
     * data-recipe epoch semantics.
+    *
+    * Weights above `maxWeight` (default 64 — replication means "epochs",
+    * and even aggressive recipes stay in single digits) are rejected:
+    * floor(w) materializes a w-element array per row before exploding,
+    * so a typo'd 2500-for-2.5 would silently multiply the corpus three
+    * orders of magnitude. Raise the cap explicitly if you truly mean it.
     */
-  def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String, salt: String = ""): DataFrame = {
+  def weightedMix(
+      sources: Seq[(DataFrame, Double)],
+      idCol: String,
+      salt: String = "",
+      maxWeight: Double = 64.0): DataFrame = {
     require(sources.nonEmpty, "at least one source required")
     require(sources.forall(_._2 >= 0.0), "weights must be non-negative")
+    require(sources.forall(_._2 <= maxWeight),
+      s"weight ${sources.map(_._2).max} exceeds maxWeight=$maxWeight — " +
+        "a weight is a replication factor (epochs); pass a larger maxWeight if intentional")
     sources.zipWithIndex.map { case ((df, w), i) =>
       if (w <= 1.0) sampleFraction(df, idCol, w, s"$salt$i")
       else {

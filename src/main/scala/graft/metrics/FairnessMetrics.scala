@@ -190,10 +190,13 @@ object FairnessMetrics {
     // class in different numeric types (int labels vs spark.ml double
     // predictions), and a raw `distinct` would keep Int 1 and Double 1.0
     // as two classes, double-counting every per-class result
+    // canonicalize Number classes to their doubleValue so the key a
+    // caller sees in the result Map is stable (Double 1.0, never an
+    // iteration-order-dependent Int 1 vs Double 1.0 coin flip) and
+    // result(1.0) exact lookups always hit
     val classes = cells.keysIterator.flatMap { case (_, t, p) => Iterator(t, p) }
-      .toSeq
-      .groupBy { case n: Number => n.doubleValue(): Any; case v => v }
-      .map(_._2.head).toSeq
+      .map { case n: Number => n.doubleValue(): Any; case v => v }
+      .toSeq.distinct
       .sortBy(identity)(graft.core.DEMV.anyOrdering) // np.unique order
     def rates(uGroup: Boolean): Map[Any, (Double, Double)] = {
       val g = cells.collect { case ((u, t, p), n) if u == uGroup => (t, p) -> n }

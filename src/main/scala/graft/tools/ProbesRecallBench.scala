@@ -56,7 +56,7 @@ object ProbesRecallBench {
     (Seq(0, 1, 2, 4, 8) :+ numBits).distinct.filter(_ <= numBits).foreach { p =>
       val t0 = System.nanoTime()
       val got = pairs(Similarity.lshTopK(corpus, queries, "vec_id", "v",
-        k = k, dim = dim, numBits = numBits, probes = p))
+        k = k, dim = dim, numBits = numBits, maxProbes = p))
       val sec = (System.nanoTime() - t0) / 1e9
       val recall = (truth & got).size.toDouble / truth.size
       val rec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(recall))

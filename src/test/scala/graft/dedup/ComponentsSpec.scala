@@ -61,6 +61,26 @@ class ComponentsSpec extends SparkSpec {
     assert(small === dist)
   }
 
+  test("probe overflow routes to the distributed loop and matches the driver path") {
+    import spark.implicits._
+    // EXERCISES THE ADAPTIVE ROUTING ITSELF (not threshold=0, which
+    // skips the probe): the probe collects threshold+1 edges, sees the
+    // graph is too big for the driver, and falls through to the
+    // distributed pointer-jumping loop. Both paths must agree exactly.
+    val rng = new scala.util.Random(31)
+    val n = 600
+    val pairs = (0 until 500).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val viaDriver = Components.connectedComponents(pairs, "a", "b", verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 50 << ~500 edges: probe runs, overflows, distributed wins
+    val viaOverflow = Components.connectedComponents(pairs, "a", "b", verts, "id",
+        driverEdgeThreshold = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOverflow === viaDriver)
+  }
+
   test("non-long ids always take the distributed path and still work") {
     import spark.implicits._
     val pairs = Seq((1, 2), (2, 3)).toDF("a", "b")

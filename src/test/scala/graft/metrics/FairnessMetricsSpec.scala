@@ -101,11 +101,11 @@ class FairnessMetricsSpec extends SparkSpec {
     val aod = FairnessMetrics.averageOddsDifference(
       mixed, GroupCondition(Map("s1" -> 1)), "pred", "y_true")
     assert(aod.size === 2, s"expected 2 classes, got keys ${aod.keySet}")
-    // same hand-computed values as the all-int fixture
-    def at(c: Double): Double =
-      aod.collectFirst { case (k: Number, v) if k.doubleValue() == c => v }.get
-    assert(math.abs(at(1.0) - (-0.75)) < 1e-12)
-    assert(math.abs(at(0.0) - 0.75) < 1e-12)
+    // numeric class keys are canonicalized to Double, so exact lookup is
+    // part of the contract — no collectFirst scan needed
+    assert(aod.keySet === Set(0.0, 1.0), s"non-canonical keys: ${aod.keySet}")
+    assert(math.abs(aod(1.0) - (-0.75)) < 1e-12)
+    assert(math.abs(aod(0.0) - 0.75) < 1e-12)
   }
 
   test("GroupCondition renders a conjunction and its whole-negation") {

@@ -95,7 +95,7 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.where(col("vec_id") < 5)
     // k >= corpus so top-k truncation cannot break the subset relation
     def pairs(probes: Int) = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
-      k = 200, dim = 8, numBits = 6, probes = probes)
+      k = 200, dim = 8, numBits = 6, maxProbes = probes)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val p0 = pairs(0); val p1 = pairs(1); val p3 = pairs(3); val all = pairs(-1)
