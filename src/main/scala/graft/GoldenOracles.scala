@@ -6,138 +6,43 @@ package graft
   * The ALGORITHMS behind them are independently oracle-verified through the
   * portable md5 twins (q58/q59/q60) and the MultimodalSpec golden decodes;
   * these literals close the last `no_oracle` gap in the driver gate by
-  * pinning the exact sf0.01 outputs, byte-for-byte, as DuckDB-runnable SQL.
+  * pinning the exact outputs, byte-for-byte, as DuckDB-runnable SQL.
   *
-  * VALID ONLY AT sf0.01 — the scale the driver's correctness gate runs at.
-  * Regenerate with tools/make_golden_sql.py after any intentional change
-  * to the underlying hash kernels (the point is that they never change).
+  * The pinned outputs are SCALE-SPECIFIC, so they live in per-scale
+  * resource files (`golden/<scale>/<query>.sql`, regenerated with
+  * tools/make_golden_sql.py after any intentional kernel change — the
+  * point is that the kernels never change). Resources rather than string
+  * literals because the sf0.1 winnowing set exceeds the JVM's 64 KB
+  * string-constant limit. [[forDir]] keys on the data directory's
+  * basename; a scale with no committed goldens contributes nothing, so
+  * Verify omits the oracle entirely and the checker records an honest
+  * rows-only result instead of a wrong-scale value mismatch.
   */
 object GoldenOracles {
-  val sql: Map[String, String] = Map(
-    "q23_minhash_neardup" ->
-      """SELECT * FROM (VALUES
-(CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(0.989547 AS DOUBLE)),
-(CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.928571 AS DOUBLE)),
-(CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.983516 AS DOUBLE)),
-(CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.970874 AS DOUBLE)),
-(CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(0.973384 AS DOUBLE)),
-(CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0.984791 AS DOUBLE)),
-(CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.988235 AS DOUBLE)),
-(CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0.985981 AS DOUBLE)),
-(CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.990769 AS DOUBLE)),
-(CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.983051 AS DOUBLE)),
-(CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.964602 AS DOUBLE)),
-(CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.983193 AS DOUBLE)),
-(CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(0.990596 AS DOUBLE)),
-(CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.981707 AS DOUBLE)),
-(CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.980769 AS DOUBLE)),
-(CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(0.981366 AS DOUBLE)),
-(CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(0.987179 AS DOUBLE)),
-(CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(0.988417 AS DOUBLE)),
-(CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(0.990991 AS DOUBLE)),
-(CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(0.972414 AS DOUBLE)),
-(CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.97479 AS DOUBLE)),
-(CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(0.980392 AS DOUBLE)),
-(CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(0.986063 AS DOUBLE)),
-(CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(0.979592 AS DOUBLE)),
-(CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(0.991416 AS DOUBLE))
-) AS t(id_a, id_b, jaccard)""",
-    "q24_simhash_neardup" ->
-      """SELECT * FROM (VALUES
-(CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(1 AS INTEGER)),
-(CAST(24 AS BIGINT), CAST(129 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(41 AS BIGINT), CAST(130 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(41 AS BIGINT), CAST(155 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(41 AS BIGINT), CAST(264 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(41 AS BIGINT), CAST(274 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(45 AS BIGINT), CAST(325 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0 AS INTEGER)),
-(CAST(57 AS BIGINT), CAST(441 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(57 AS BIGINT), CAST(447 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(57 AS BIGINT), CAST(459 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0 AS INTEGER)),
-(CAST(70 AS BIGINT), CAST(272 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
-(CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(76 AS BIGINT), CAST(299 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(76 AS BIGINT), CAST(328 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(77 AS BIGINT), CAST(118 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(91 AS BIGINT), CAST(197 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(91 AS BIGINT), CAST(233 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(91 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1 AS INTEGER)),
-(CAST(98 AS BIGINT), CAST(458 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(98 AS BIGINT), CAST(462 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(103 AS BIGINT), CAST(177 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(111 AS BIGINT), CAST(276 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(127 AS BIGINT), CAST(404 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(132 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(140 AS BIGINT), CAST(465 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(141 AS BIGINT), CAST(161 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(141 AS BIGINT), CAST(271 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(177 AS BIGINT), CAST(462 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(195 AS BIGINT), CAST(251 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(195 AS BIGINT), CAST(258 AS BIGINT), CAST(1 AS INTEGER)),
-(CAST(195 AS BIGINT), CAST(311 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(202 AS BIGINT), CAST(283 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(210 AS BIGINT), CAST(279 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(267 AS BIGINT), CAST(325 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(272 AS BIGINT), CAST(447 AS BIGINT), CAST(1 AS INTEGER)),
-(CAST(280 AS BIGINT), CAST(334 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(290 AS BIGINT), CAST(458 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(290 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(298 AS BIGINT), CAST(486 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(325 AS BIGINT), CAST(413 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(2 AS INTEGER)),
-(CAST(441 AS BIGINT), CAST(459 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(447 AS BIGINT), CAST(459 AS BIGINT), CAST(3 AS INTEGER)),
-(CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(2 AS INTEGER))
-) AS t(id_a, id_b, hamming)""",
-    "q32_media_features" ->
-      """SELECT * FROM (VALUES
-('audio', 'wav', CAST(165 AS BIGINT), CAST(0.258874 AS DOUBLE), CAST(387388 AS BIGINT), CAST(-1 AS INTEGER), CAST(8000 AS INTEGER)),
-('image', 'pgm', CAST(166 AS BIGINT), CAST(0.473491 AS DOUBLE), CAST(67816 AS BIGINT), CAST(32 AS INTEGER), CAST(-1 AS INTEGER)),
-('video', 'stub', CAST(169 AS BIGINT), CAST(0.499668 AS DOUBLE), CAST(26755 AS BIGINT), CAST(-1 AS INTEGER), CAST(-1 AS INTEGER))
-) AS t(kind, codec, n, avg_brightness, total_bytes, max_width, max_sample_rate)""",
-    "q38_winnowing_pairs" ->
-      """SELECT * FROM (VALUES
-(CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(176 AS BIGINT)),
-(CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(16 AS BIGINT)),
-(CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(89 AS BIGINT)),
-(CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(39 AS BIGINT)),
-(CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(167 AS BIGINT)),
-(CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(168 AS BIGINT)),
-(CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(152 AS BIGINT)),
-(CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(111 AS BIGINT)),
-(CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(203 AS BIGINT)),
-(CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(89 AS BIGINT)),
-(CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(43 AS BIGINT)),
-(CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(46 AS BIGINT)),
-(CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(201 AS BIGINT)),
-(CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(73 AS BIGINT)),
-(CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(75 AS BIGINT)),
-(CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(72 AS BIGINT)),
-(CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(118 AS BIGINT)),
-(CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(167 AS BIGINT)),
-(CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(194 AS BIGINT)),
-(CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(65 AS BIGINT)),
-(CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(51 AS BIGINT)),
-(CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(75 AS BIGINT)),
-(CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(174 AS BIGINT)),
-(CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(60 AS BIGINT)),
-(CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(127 AS BIGINT))
-) AS t(id_a, id_b, shared_fingerprints)"""
-  )
+
+  /** The golden-oracle query names (stable across scales). */
+  val queries: Seq[String] = Seq(
+    "q23_minhash_neardup", "q24_simhash_neardup",
+    "q32_media_features", "q38_winnowing_pairs")
+
+  private def load(scale: String, q: String): Option[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$scale/$q.sql")
+    if (in == null) None
+    else
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+  }
+
+  /** Golden oracle SQL for one scale tag ("sf0.01", "sf0.1"); empty map
+    * when no goldens are committed for that scale.
+    */
+  def forScale(scale: String): Map[String, String] =
+    queries.flatMap(q => load(scale, q).map(q -> _)).toMap
+
+  /** Golden oracle SQL selected by the data directory's basename. */
+  def forDir(sfDir: String): Map[String, String] =
+    forScale(new java.io.File(sfDir).getName)
+
+  /** The driver's correctness gate runs at sf0.01 — this is its set. */
+  val sql: Map[String, String] = forScale("sf0.01")
 }

@@ -1380,22 +1380,21 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q20_text_stats" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens,
         |  length(text) AS n_chars_computed,
         |  round(CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
-        |  round(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(string_split_regex(trim(text), '\s+')) END, 6) AS stopword_ratio
+        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END, 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_lang_confusion" ->
       """WITH g AS (SELECT lang,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
         |  FROM documents),
         |c AS (SELECT lang, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
@@ -1405,13 +1404,13 @@ object SparkEntry {
         |SELECT lang, guess, count(*) AS n FROM c GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
     "q22_quality_scores" ->
       """WITH s AS (SELECT source,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok,
         |  CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(string_split_regex(trim(text), '\s+')) END AS stop_r
+        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END AS stop_r
         |  FROM documents)
         |SELECT source,
         |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
@@ -1460,17 +1459,17 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q36_corpus_clean" ->
       """WITH f AS (SELECT source, doc_id, lang, text,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok,
         |  CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(string_split_regex(trim(text), '\s+')) END AS stop_r,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
-        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END AS stop_r,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
         |  FROM documents),
         |scored AS (SELECT *,
         |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
@@ -1551,8 +1550,7 @@ object SparkEntry {
         |FROM s GROUP BY user_id HAVING max(session_id) > 1 ORDER BY user_id""".stripMargin,
     "q40_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id,
         |  len(w) - 2 AS t3,
@@ -1568,8 +1566,7 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH w AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -1812,13 +1809,13 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms
         |ORDER BY c.user_id, c.ts_ms, c.click_value""".stripMargin,
     "q42_top_tokens" ->
-      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
         |c AS (SELECT lang, token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY 1, 2),
         |r AS (SELECT lang, token, n,
         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
         |SELECT lang, rank, token, n FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q43_lexical_diversity" ->
-      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_types,
         |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
         |FROM t WHERE length(token) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
@@ -1845,8 +1842,7 @@ object SparkEntry {
   private def staticLlmOracles: Map[String, String] = Map(
     "q61_decontaminate" ->
       """WITH w AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -1869,8 +1865,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q63_chunk_dedup" ->
       """WITH w AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
         |c AS (SELECT doc_id,
         |  [array_to_string(list_slice(w, i, i + 9), ' ')
@@ -1889,19 +1884,17 @@ object SparkEntry {
         |FROM c LEFT JOIN agg USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     "q64_token_budget" ->
       """WITH s AS (SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |  round(CAST(
-        |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |                ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 10 AND 100000
+        |    (CASE WHEN (len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) BETWEEN 10 AND 100000
         |          THEN 0.4 ELSE 0.0 END)
         |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
         |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
         |          THEN 0.3 ELSE 0.0 END)
-        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |           ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |             / len(string_split_regex(trim(text), '\s+')) END) > 0.01
+        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END) > 0.01
         |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
         |  FROM documents),
         |r AS (SELECT doc_id, quality, n_tokens,
@@ -1914,8 +1907,7 @@ object SparkEntry {
     "q69_canonical_docs" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -1940,16 +1932,15 @@ object SparkEntry {
         |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
         |q AS (SELECT doc_id,
         |  round(CAST(
-        |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |                ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 10 AND 100000
+        |    (CASE WHEN (len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) BETWEEN 10 AND 100000
         |          THEN 0.4 ELSE 0.0 END)
         |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
         |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
         |          THEN 0.3 ELSE 0.0 END)
-        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |           ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |             t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |             / len(string_split_regex(trim(text), '\s+')) END) > 0.01
+        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
+        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END) > 0.01
         |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
         |  FROM documents),
         |j AS (SELECT comp.component, comp.doc_id, q.quality,
@@ -1980,8 +1971,7 @@ object SparkEntry {
         |GROUP BY tf2.doc_id ORDER BY tf2.doc_id""".stripMargin,
     "q67_token_mix" ->
       """WITH s AS (SELECT doc_id, lang,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
         |  FROM documents),
         |t AS (SELECT sum(n_tokens) AS total FROM s),

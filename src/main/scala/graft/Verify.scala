@@ -41,7 +41,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // golden VALUES oracles are scale-specific: swap in the set committed
+    // for THIS data directory (sf0.01 for the driver gate); at a scale
+    // with no committed goldens the four queries get no oracle at all —
+    // an honest rows-only check instead of a wrong-scale value mismatch
+    val oracle = SparkEntry.oracleSql -- GoldenOracles.queries ++
+      GoldenOracles.forDir(sfDir)
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

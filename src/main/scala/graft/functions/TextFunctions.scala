@@ -13,9 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace-separated token count; 0 for empty/blank strings. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+  /** Whitespace-separated token count; 0 for empty/blank strings.
+    *
+    * A token is a maximal run of non-`\s` characters — the same contract
+    * as the compiled kernels' shared scanner (TextAlgo.wsTokens), so the
+    * whole token family agrees on edge whitespace. The old
+    * `split(trim(c))` form disagreed with the kernels on strings edged
+    * with control whitespace ("\t" counted 2 tokens: SQL trim strips
+    * 0x20 only, and split emits empty edge tokens) — found by the
+    * FuzzDiff differential harness, round 5.
+    */
+  def tokenCount(c: Column): Column = {
+    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
 
   /** Tokens matching a BPE-ish word/number/punctuation segmentation —
     * approximates subword tokenizer pre-splitting: runs of letters, runs of

@@ -117,6 +117,54 @@ class SkewInjectionSpec extends SparkSpec {
       s"salted max ${sRecs.max} not materially below plain max ${pRecs.max}")
   }
 
+  test("q46 salted join under AQE: the coalescer does not degrade the salted plan") {
+    // Companion to the AQE-off leg above (which isolates the salting from
+    // the coalescer). This leg is the production configuration: AQE ON,
+    // partition coalescing ON — only AQE's own skew-join mitigation stays
+    // off so the measurement attributes the bound to OUR salt, not to
+    // Spark's runtime splitter. The property: the coalescer may re-pack
+    // small post-shuffle partitions, but it can never UNDO the salt (it
+    // only merges, never splits), so the per-task max/median bound holds
+    // in the config users actually run.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    // the default 64 MB advisory target would swallow this whole ~40 MB toy
+    // shuffle into a handful of tasks and the measurement would read the
+    // pack size, not the salt; 1 MB keeps the target-to-data ratio roughly
+    // what 64 MB is to a production shuffle
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    val left = skewedFact(s)
+    val dim = s.range(0, 101).select(
+      when(col("id") === 100, lit("hot"))
+        .otherwise(concat(lit("k"), col("id") % 100)).as("key"),
+      (col("id") * 10).as("dim")).dropDuplicates("key")
+
+    val plain = left.join(dim, Seq("key"))
+    val salted = SkewJoin.saltedEquiJoin(left, dim, Seq("key"), saltBuckets = 64)
+    assert(salted.count() === 2000000L)
+
+    val plainTasks = shuffleStageTasks(plain.write.format("noop").mode("overwrite").save())
+    val saltedTasks = shuffleStageTasks(salted.write.format("noop").mode("overwrite").save())
+    val pRecs = plainTasks.map(_._1).filter(_ > 0)
+    val sRecs = saltedTasks.map(_._1).filter(_ > 0)
+    info(s"AQE-on plain  join tasks: n=${pRecs.length} max=${pRecs.max} median=${median(pRecs)}")
+    info(s"AQE-on salted join tasks: n=${sRecs.length} max=${sRecs.max} median=${median(sRecs)}")
+
+    // AQE coalescing alone cannot fix the skew: merges never split the hot
+    // key's partition, so the plain join still funnels 1M rows to one task
+    assert(pRecs.max >= 1000000L, s"fixture not skewed enough under AQE: max=${pRecs.max}")
+    // and it does not degrade the salt: with 64 buckets >= 2x partitions the
+    // coalesced salted tasks stay within 2x of the median (the brief's rule)
+    assert(sRecs.max <= 2 * median(sRecs),
+      s"AQE-on salted max ${sRecs.max} > 2x median ${median(sRecs)}")
+    assert(sRecs.max <= pRecs.max / 4,
+      s"AQE-on salted max ${sRecs.max} not materially below plain max ${pRecs.max}")
+  }
+
   test("q72 per-group cap: map-side WindowGroupLimit keeps the hot group's shuffle bounded") {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "32")

@@ -1,17 +1,23 @@
 #!/usr/bin/env python3
-"""Regenerate src/main/scala/graft/GoldenOracles.scala from a Verify dump.
+"""Regenerate the scale-keyed golden VALUES oracles from a Verify dump.
 
 Usage:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-  python3 tools/make_golden_sql.py /tmp/verify_out
+  python3 tools/make_golden_sql.py /tmp/verify_out sf0.01
+
+Writes src/main/resources/golden/<scale>/<query>.sql — one DuckDB-runnable
+VALUES statement per golden query, loaded at runtime by
+graft.GoldenOracles (resource files sidestep Scala's 64 KB string-constant
+limit, which the sf0.1 winnowing pair set exceeds).
 
 The four queries below have JVM-hash-specific outputs (xxhash64 /
 splitmix64 / rolling-poly / seeded binary payloads) that no other engine
 reproduces from the raw tables; their algorithms are oracle-verified via
 the portable md5 twins (q58/q59/q60) and MultimodalSpec golden decodes.
-This script pins the exact sf0.01 outputs as DuckDB-runnable VALUES SQL
-so the driver gate gets a strict row/schema/hash check for them too.
+Pinning the exact per-scale outputs as VALUES SQL gives the driver gate a
+strict row/schema/hash check for them too.
 """
+import os
 import sys
 import glob
 import duckdb
@@ -29,24 +35,6 @@ SPECS = {
                             ("shared_fingerprints", "BIGINT")],
 }
 
-HEADER = '''package graft
-
-/** Committed-golden VALUES oracles for the four queries whose outputs are
-  * JVM-hash-specific (xxhash64 / splitmix64 / rolling-poly / seeded binary
-  * payloads) and therefore have no engine-independent SQL reformulation.
-  * The ALGORITHMS behind them are independently oracle-verified through the
-  * portable md5 twins (q58/q59/q60) and the MultimodalSpec golden decodes;
-  * these literals close the last `no_oracle` gap in the driver gate by
-  * pinning the exact sf0.01 outputs, byte-for-byte, as DuckDB-runnable SQL.
-  *
-  * VALID ONLY AT sf0.01 — the scale the driver's correctness gate runs at.
-  * Regenerate with tools/make_golden_sql.py after any intentional change
-  * to the underlying hash kernels (the point is that they never change).
-  */
-object GoldenOracles {
-  val sql: Map[String, String] = Map(
-'''
-
 
 def lit(v, t):
     if v is None:
@@ -58,8 +46,9 @@ def lit(v, t):
     return f"CAST({v} AS {t})"
 
 
-def main(out_dir):
-    body = []
+def main(out_dir, scale):
+    dest = os.path.join("src/main/resources/golden", scale)
+    os.makedirs(dest, exist_ok=True)
     for q, cols in SPECS.items():
         con = duckdb.connect()
         files = glob.glob(f"{out_dir}/{q}/*.parquet")
@@ -72,16 +61,14 @@ def main(out_dir):
             "(" + ", ".join(lit(v, t) for v, (c, t) in zip(r, cols)) + ")"
             for r in rows)
         names = ", ".join(c for c, _ in cols)
-        sql = f"SELECT * FROM (VALUES\n{vals}\n) AS t({names})"
-        body.append(f'    "{q}" ->\n      """{sql}""",')
-        print(f"{q}: {len(rows)} rows")
-    entries = "\n".join(body).rstrip(",")
-    src = HEADER + entries + "\n  )\n}\n"
-    path = "src/main/scala/graft/GoldenOracles.scala"
-    with open(path, "w") as f:
-        f.write(src)
-    print(f"wrote {path}")
+        sql = f"SELECT * FROM (VALUES\n{vals}\n) AS t({names})\n"
+        path = os.path.join(dest, f"{q}.sql")
+        with open(path, "w") as f:
+            f.write(sql)
+        print(f"{path}: {len(rows)} rows")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out")
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2])

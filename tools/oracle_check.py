@@ -22,7 +22,15 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        # + 0.0 canonicalizes -0.0 to 0.0: the two are numerically equal
+        # but str-sort differently, misaligning the row compare (seen on
+        # exact-cancellation dot products whose summation order differs).
+        # The 15-significant-digit cap absorbs last-ULP summation-order
+        # noise at magnitudes where round(…, 9) is the identity (seen on
+        # a 1e+150-magnitude fuzz dot product differing in the 17th
+        # digit); a real semantic divergence always exceeds 2 ULPs.
+        v = round(v, 9) + 0.0
+        return float(f"{v:.14e}")
     return v
 
 def main(sf_dir, out_dir):
@@ -47,9 +55,20 @@ def main(sf_dir, out_dir):
                 con.execute(
                     "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}/*.parquet')")
+    # extra input tables written by the producer (e.g. FuzzDiff's edge
+    # corpus): <out_dir>/_tables/<name>.parquet/ becomes view <name> —
+    # both engines then read byte-identical parquet inputs
+    tdir = os.path.join(out_dir, "_tables")
+    if os.path.isdir(tdir):
+        for tn in sorted(os.listdir(tdir)):
+            if tn.endswith(".parquet"):
+                con.execute(
+                    f"CREATE VIEW {tn[:-8]} AS SELECT * FROM read_parquet('{tdir}/{tn}/*.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):
+        if name.startswith("_"):
+            continue
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
