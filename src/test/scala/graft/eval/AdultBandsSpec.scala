@@ -66,4 +66,49 @@ class AdultBandsSpec extends SparkSpec {
     // ...without collapsing accuracy (paper reports low single-digit cost).
     assert(dAcc >= bAcc - 0.05, s"demv acc $dAcc collapsed vs biased $bAcc")
   }
+
+  // E7 fidelity on the widest one-hot tower: the reductions retrain a
+  // logistic learner 5x per fold (EG rounds / grid points), so these run at
+  // k=5 to bound wall time; the biased yardstick is recomputed at the SAME
+  // fold count so the comparison is apples-to-apples. No published adult
+  // CSVs exist (see header), so the bands are the methods' own contracts.
+  private lazy val (biased5, eg5, grid5) = {
+    val spec = Datasets.adult(spark, s"$dataDir/adult.data", numberOfFeatures = 2)
+    val b = CrossVal.crossVal(spec, "logistic", method = "biased", k = 5)
+    val e = CrossVal.crossVal(spec, "logistic", method = "eg", k = 5)
+    val g = CrossVal.crossVal(spec, "logistic", method = "grid", k = 5)
+    (b, e, g)
+  }
+
+  test("adult eg/logistic: bounded group loss without losing accuracy or parity ground") {
+    assume(available, "adult.data not present in this container")
+    val bAcc = mean(biased5.map(_.acc)); val eAcc = mean(eg5.map(_.acc))
+    val bStat = mean(biased5.map(_.statPar)); val eStat = mean(eg5.map(_.statPar))
+    info(f"eg: acc=$eAcc%.4f stat_par=$eStat%.4f (biased acc=$bAcc%.4f stat_par=$bStat%.4f)")
+    // EG constrains per-group 0-1 loss, not parity directly (cmc moved
+    // stat_par only -0.126 -> -0.107): the contract is accuracy stays close
+    // and parity does not materially worsen.
+    assert(eAcc >= bAcc - 0.05, s"eg acc $eAcc collapsed vs biased $bAcc")
+    assert(eAcc >= 0.70, s"eg acc $eAcc below any published adult figure")
+    assert(math.abs(eStat) <= math.abs(bStat) + 0.05,
+      s"eg |stat_par| ${math.abs(eStat)} materially worse than biased ${math.abs(bStat)}")
+  }
+
+  test("adult grid/logistic: loss-constrained selection keeps accuracy and parity ground") {
+    assume(available, "adult.data not present in this container")
+    val bAcc = mean(biased5.map(_.acc)); val gAcc = mean(grid5.map(_.acc))
+    val bStat = mean(biased5.map(_.statPar)); val gStat = mean(grid5.map(_.statPar))
+    info(f"grid: acc=$gAcc%.4f stat_par=$gStat%.4f (biased acc=$bAcc%.4f stat_par=$bStat%.4f)")
+    // The reference's GridSearch constrains per-group 0-1 LOSS
+    // (BoundedGroupLoss, `generatemetrics.py:116-120`), not parity: cmc's
+    // published parity shrink (-0.126 -> -0.012) is dataset-specific, not a
+    // method guarantee. On adult the loss-minimizing grid point is near the
+    // unweighted model (measured: both parities within 0.002), so the
+    // contract to pin is accuracy parity with biased and no material
+    // parity regression — same shape as the EG test above.
+    assert(gAcc >= bAcc - 0.10, s"grid acc $gAcc collapsed vs biased $bAcc")
+    assert(gAcc >= 0.70, s"grid acc $gAcc below any published adult figure")
+    assert(math.abs(gStat) <= math.abs(bStat) + 0.05,
+      s"grid |stat_par| ${math.abs(gStat)} materially worse than biased ${math.abs(bStat)}")
+  }
 }

@@ -38,4 +38,19 @@ class BaselineBandsSpec extends SparkSpec {
     assert(math.abs(statPar - (-0.107)) <= 2 * 0.043, s"stat_par $statPar")
     assert(math.abs(acc - 0.509) <= 2 * 0.033, s"acc $acc")
   }
+
+  test("cmc grid/logistic: stat_par and acc inside the published bands") {
+    assume(available, "cmc.data not present in this container")
+    val spec = Datasets.cmc(spark, s"$dataDir/cmc.data", numberOfFeatures = 2)
+    val rows = CrossVal.crossVal(spec, "logistic", method = "grid", k = 10)
+    val statPar = mean(rows.map(_.statPar))
+    val acc = mean(rows.map(_.acc))
+    // BASELINE.md: grid/logistic stat_par -0.012 +- 0.091, acc 0.445 +- 0.046
+    // (2 std). Grid's published stat_par band is wide — fairlearn's grid
+    // searches the full multiplier simplex while ours walks the 1-D
+    // unpriv-axis slice, but both land the parity near zero, which is the
+    // observable the band actually constrains.
+    assert(math.abs(statPar - (-0.012)) <= 2 * 0.091, s"stat_par $statPar")
+    assert(math.abs(acc - 0.445) <= 2 * 0.046, s"acc $acc")
+  }
 }

@@ -108,6 +108,41 @@ class SimilaritySpec extends SparkSpec {
     assert(p0.size < all.size, "full Hamming-1 ring found nothing beyond the base bucket")
   }
 
+  test("query-directed probing: maxProbes=numBits/2 keeps >=85% of full-ring recall") {
+    import spark.implicits._
+    // Spec-guards the calibration the lshTopK scaladoc promises (measured
+    // at 20k vectors by graft.tools.ProbesRecallBench): flipping the
+    // lowest-|margin| bits first means half the probes buy almost all the
+    // recall. A clustered corpus (like real embedding corpora) is the hard
+    // case — true neighbors straddle the same hyperplanes.
+    val rng = new scala.util.Random(42)
+    val dim = 32
+    val centers = Array.fill(12, dim)(rng.nextGaussian())
+    val corpus = (0L until 4000L).map { i =>
+      val c = centers(rng.nextInt(centers.length))
+      (i, c.map(x => x + 0.3 * rng.nextGaussian()))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = corpus.where(col("vec_id") < 25).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10))
+    def recall(p: Int) = {
+      val got = pairSet(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 10, dim = dim, numBits = 8, maxProbes = p))
+      (truth & got).size.toDouble / truth.size
+    }
+    val r0 = recall(0); val r2 = recall(2); val r4 = recall(4); val rFull = recall(-1)
+    info(f"recall@10: probes0=$r0%.3f probes2=$r2%.3f probes4=$r4%.3f full=$rFull%.3f")
+    // monotone ladder (query-directed flips nest lowest-margin-first)
+    assert(r0 <= r2 && r2 <= r4 && r4 <= rFull, "recall ladder not monotone")
+    // the ring must actually matter on this corpus, or the ratio is vacuous
+    assert(rFull > r0, "full ring bought no recall over the base bucket")
+    // the documented trade: half the probes keep >=85% of full-ring recall
+    assert(r4 >= 0.85 * rFull, f"probes=4 recall $r4%.3f < 0.85 x full-ring $rFull%.3f")
+    corpus.unpersist(); queries.unpersist()
+  }
+
   test("ivfTopK: clustered corpus, probing recovers the true neighbors") {
     import spark.implicits._
     // two tight clusters around (1,0,0) and (0,1,0); queries from cluster A
