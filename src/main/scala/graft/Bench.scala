@@ -13,15 +13,24 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name subset, for runs
+    // against partial data dirs (e.g. the sf10 pair-finding decade, where
+    // only documents+embeddings exist at that scale)
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // warmup: JVM/codegen/parquet-footer caches out of the timed loop
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // (documents always exists; lineitem may be absent in a partial dir)
+    if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     // q35 is the documented exact all-pairs baseline: O(n^2) BY DESIGN, kept
     // for correctness (Verify still oracle-checks it) and as the recall
     // yardstick for its bucketed sibling q39, which IS timed. A quadratic
     // plan has no business in a throughput contract meant to extrapolate to
     // 100 TB — see tools/CrossoverBench for the measured q35/q39 crossover.
-    val timedQueries = SparkEntry.queries - "q35_cosine_neardup_exact"
+    val timedQueries = (SparkEntry.queries - "q35_cosine_neardup_exact")
+      .filter { case (name, _) => onlySet.forall(_.contains(name)) }
+    require(timedQueries.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries")
     // Best-of-N (default 2) per query: a single pass can record a host
     // stall (hypervisor steal, GC roaming across queries — see
     // BENCHNOTES.md round 3) as a 30x query time. The min over passes is

@@ -27,8 +27,16 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     e.schema("ts").dataType match {
+      // driver layouts seen across rounds: TIMESTAMP(NANOS) read as long
+      // under nanosAsLong (ScaleUp keeps that layout), plain micros read
+      // as TIMESTAMP_NTZ, and instant-semantics TIMESTAMP. All converge on
+      // TIMESTAMP in the UTC session so unix_millis/epoch math is layout-
+      // independent (NTZ cast reinterprets the wall clock as UTC — exactly
+      // DuckDB's epoch_us reading of the same file).
       case org.apache.spark.sql.types.LongType =>
         e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        e.withColumn("ts", col("ts").cast("timestamp"))
       case _ => e
     }
   }
@@ -1041,6 +1049,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))),
 
+    // q74: Gopher rule-based quality gate (SURVEY+ L7 family) — per-source
+    // counts of each rule failure plus the combined pass, all from ONE
+    // compiled single-pass counter kernel per document. The word-count
+    // window uses the paper's [50, 100k]; the fixture straddles it, so
+    // every rule column carries real signal.
+    "q74_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextFunctions.gopherFlags(col("text"), 50L, 100000L).as("f"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("f.fail_words").cast("long")).as("n_fail_words"),
+          sum(col("f.fail_word_len").cast("long")).as("n_fail_word_len"),
+          sum(col("f.fail_symbol").cast("long")).as("n_fail_symbol"),
+          sum(col("f.fail_bullet").cast("long")).as("n_fail_bullet"),
+          sum(col("f.fail_ellipsis").cast("long")).as("n_fail_ellipsis"),
+          sum(col("f.fail_alpha").cast("long")).as("n_fail_alpha"),
+          sum(col("f.fail_stopword").cast("long")).as("n_fail_stopword"),
+          sum(col("f.pass").cast("long")).as("n_pass"))
+        .orderBy(col("source"))),
+
+    // q75: within-document repeated-line removal (CCNet/RefinedWeb
+    // boilerplate stripping) — map-side compiled kernel, zero shuffle;
+    // reports the line/char deltas per document.
+    "q75_line_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+          TextFunctions.dedupLines(col("text")).as("__clean"))
+        .select(col("doc_id"), col("n_lines"),
+          size(split(col("__clean"), "\n", -1)).cast("long").as("n_kept"),
+          length(col("__clean")).cast("long").as("n_chars_after"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2048,7 +2089,59 @@ object SparkEntry {
         |      doc_id) AS rk
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin
+        |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin,
+    // Gopher counters replayed with list functions; every definition
+    // mirrors the kernel: \s-run tokens, code-point lengths, space-only
+    // line trims, non-overlapping "..." runs, distinct-stopword presence
+    "q74_gopher_rules" ->
+      """WITH c AS (SELECT source,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |  list_filter(string_split(text, chr(10)), l -> trim(l, ' ') <> '') AS nls,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell3,
+        |  length(text) - length(replace(text, '…', '')) AS n_ellu
+        |  FROM documents),
+        |g AS (SELECT source,
+        |  len(toks) AS n_w,
+        |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |  n_hash + n_ell3 + n_ellu AS n_sym,
+        |  len(nls) AS n_lines,
+        |  len(list_filter(nls, l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+        |  len(list_filter(nls, l -> ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…'))) AS n_ellend,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
+        |  FROM c),
+        |f AS (SELECT source,
+        |  (n_w < 50 OR n_w > 100000) AS f_words,
+        |  (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0) AS f_wlen,
+        |  (n_w > 0 AND n_sym * 1.0 / n_w > 0.1) AS f_sym,
+        |  (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9) AS f_bul,
+        |  (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3) AS f_ell,
+        |  (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8) AS f_alpha,
+        |  (n_stop < 2) AS f_stop
+        |  FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+        |  CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+        |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+        |  CAST(sum(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
+        |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
+        |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+        |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+        |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // first-occurrence line filter: (x, i) lambda index vs list_position
+    // (first match, 1-based) replays LinkedHashSet order exactly
+    "q75_line_dedup" ->
+      """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |k AS (SELECT doc_id, len(ls) AS n_lines,
+        |  list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM l)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars_after
+        |FROM k ORDER BY doc_id""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -791,6 +791,122 @@ object TextAlgo {
     s
   }
 
+  /** The Gopher required-stopword set (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", app. A1.1): a document must contain at least two
+    * DISTINCT members to pass the rule-based quality gate.
+    */
+  val GopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Single-pass raw counters for the Gopher rule-based quality gate
+    * (Rae et al. 2021, app. A1.1 — the standard pretraining-corpus filter
+    * family), as array<long>:
+    *
+    *   [0] whitespace-token count            [1] sum of token lengths (code points)
+    *   [2] tokens containing an ASCII letter [3] '#' characters
+    *   [4] non-overlapping "..." runs        [5] U+2026 '…' characters
+    *   [6] nonempty lines (space-trimmed)    [7] bullet lines (-, *, •)
+    *   [8] lines ending in "..." or "…"      [9] distinct [[GopherStopwords]] present
+    *
+    * ONE scan for tokens + symbols, one for lines; the rule thresholds
+    * (word-count window, mean-word-length window, symbol/bullet/ellipsis
+    * ratios, alpha fraction, stopword minimum) are cheap codegen'd Column
+    * arithmetic on top — see `TextFunctions.gopherFlags`. Tokenization is
+    * the engine-wide `\s`-run contract ([[isJavaWs]]); lengths are code
+    * points so the DuckDB oracle's `length()` replays them exactly.
+    */
+  def gopherCounters(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    var nHash = 0L; var nEllU = 0L
+    val stopMask = new Array[Boolean](GopherStopwords.length)
+    val words = wsTokens(str)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      nWords += 1
+      sumLen += w.codePointCount(0, w.length)
+      var j = 0; var alpha = false
+      while (j < w.length && !alpha) {
+        val c = w.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      // ASCII-fold lowercase compare against the pure-ASCII stopword set:
+      // a token whose unicode lowering differs can never equal one anyway
+      var si = 0
+      while (si < GopherStopwords.length) {
+        if (!stopMask(si)) {
+          val sw = GopherStopwords(si)
+          if (sw.length == w.length) {
+            var m = 0; var ok = true
+            while (m < w.length && ok) {
+              var c = w.charAt(m)
+              if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+              ok = c == sw.charAt(m)
+              m += 1
+            }
+            if (ok) stopMask(si) = true
+          }
+        }
+        si += 1
+      }
+      wi += 1
+    }
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '#') nHash += 1
+      else if (c == '…') nEllU += 1
+      i += 1
+    }
+    var nEll3 = 0L
+    var p = str.indexOf("...")
+    while (p >= 0) { nEll3 += 1; p = str.indexOf("...", p + 3) }
+    // line pass: split on '\n', trim 0x20 only (the oracle's trim(l, ' '))
+    var nLines = 0L; var nBullet = 0L; var nEllEnd = 0L
+    var start = 0
+    var done = false
+    while (!done) {
+      val nl = str.indexOf('\n', start)
+      val end = if (nl < 0) str.length else nl
+      var a = start; var b = end
+      while (a < b && str.charAt(a) == ' ') a += 1
+      while (b > a && str.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        nLines += 1
+        val first = str.charAt(a)
+        if (first == '-' || first == '*' || first == '•') nBullet += 1
+        if (str.charAt(b - 1) == '…' ||
+          (b - a >= 3 && str.charAt(b - 1) == '.' && str.charAt(b - 2) == '.' && str.charAt(b - 3) == '.'))
+          nEllEnd += 1
+      }
+      if (nl < 0) done = true else start = nl + 1
+    }
+    var nStop = 0L
+    var si = 0
+    while (si < stopMask.length) { if (stopMask(si)) nStop += 1; si += 1 }
+    new GenericArrayData(Array(nWords, sumLen, nAlpha, nHash, nEll3, nEllU,
+      nLines, nBullet, nEllEnd, nStop))
+  }
+
+  /** Order-preserving removal of repeated lines within one document (exact
+    * string equality, first occurrence wins) — the within-doc half of
+    * boilerplate removal in CCNet/RefinedWeb-style pipelines (nav bars,
+    * cookie banners, repeated headers). Map-side, zero shuffle: the
+    * corpus-level sibling is chunk-granular dedup (`dedup/ChunkDedup`).
+    */
+  def dedupLines(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('\n') < 0) return s
+    val seen = new java.util.LinkedHashSet[String]()
+    val parts = str.split("\n", -1)
+    var i = 0
+    while (i < parts.length) { seen.add(parts(i)); i += 1 }
+    UTF8String.fromString(String.join("\n", seen))
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

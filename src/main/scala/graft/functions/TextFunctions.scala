@@ -142,6 +142,63 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
 
+  /** Raw counters for the Gopher rule-based quality gate (one compiled
+    * pass, [[GopherCountersExpr]]; slot layout in
+    * [[TextAlgo.gopherCounters]]). Use [[gopherFlags]] for the thresholded
+    * verdicts.
+    */
+  def gopherCounters(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColG, expression => toExprG}
+    toColG(GopherCountersExpr(toExprG(c)))
+  }
+
+  /** Gopher rule-based quality verdicts (Rae et al. 2021, app. A1.1) as a
+    * struct of per-rule failure booleans plus the combined `pass`:
+    *
+    *   fail_words     word count outside [minWords, maxWords]
+    *   fail_word_len  mean word length outside [3, 10] (code points)
+    *   fail_symbol    ('#' + "..." + '…') / words  > 0.1
+    *   fail_bullet    bullet-led lines / nonempty lines  > 0.9
+    *   fail_ellipsis  "..."/'…'-ended lines / nonempty lines  > 0.3
+    *   fail_alpha     words containing an ASCII letter / words  < 0.8
+    *   fail_stopword  fewer than 2 distinct [[TextAlgo.GopherStopwords]]
+    *
+    * All thresholds are ratios of the single-pass counters, so the gate is
+    * one codegen'd map stage — filter 100 TB before anything shuffles.
+    */
+  def gopherFlags(c: Column, minWords: Long = 50L, maxWords: Long = 100000L): Column = {
+    val g = gopherCounters(c)
+    val nW = element_at(g, 1); val sumLen = element_at(g, 2)
+    val nAlpha = element_at(g, 3)
+    val nSym = element_at(g, 4) + element_at(g, 5) + element_at(g, 6)
+    val nLines = element_at(g, 7); val nBullet = element_at(g, 8)
+    val nEllEnd = element_at(g, 9); val nStop = element_at(g, 10)
+    val d = (x: Column) => x.cast("double")
+    val fWords = nW < minWords || nW > maxWords
+    val fWordLen = nW === 0 || d(sumLen) / d(nW) < 3.0 || d(sumLen) / d(nW) > 10.0
+    val fSymbol = nW > 0 && d(nSym) / d(nW) > 0.1
+    val fBullet = nLines > 0 && d(nBullet) / d(nLines) > 0.9
+    val fEllipsis = nLines > 0 && d(nEllEnd) / d(nLines) > 0.3
+    val fAlpha = nW === 0 || d(nAlpha) / d(nW) < 0.8
+    val fStop = nStop < 2
+    struct(
+      fWords.as("fail_words"), fWordLen.as("fail_word_len"),
+      fSymbol.as("fail_symbol"), fBullet.as("fail_bullet"),
+      fEllipsis.as("fail_ellipsis"), fAlpha.as("fail_alpha"),
+      fStop.as("fail_stopword"),
+      (!fWords && !fWordLen && !fSymbol && !fBullet && !fEllipsis && !fAlpha && !fStop).as("pass"))
+  }
+
+  /** Order-preserving removal of repeated lines within each document
+    * (exact equality, first occurrence wins; [[DedupLinesExpr]], compiled,
+    * zero shuffle) — CCNet/RefinedWeb-style boilerplate stripping. The
+    * corpus-level sibling is `dedup/ChunkDedup`.
+    */
+  def dedupLines(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColL, expression => toExprL}
+    toColL(DedupLinesExpr(toExprL(c)))
+  }
+
   // --- PII scrubbing -------------------------------------------------------
   // Patterns deliberately restricted to regex syntax shared by Java's
   // engine and RE2 (character classes, bounded repeats, \b; no lookarounds)

@@ -560,3 +560,40 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Raw counters for the Gopher rule-based quality gate as array<long>
+  * (see [[TextAlgo.gopherCounters]] for the slot layout) — one compiled
+  * pass per document; rule thresholds stay cheap Column arithmetic.
+  */
+case class GopherCountersExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_counters"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.gopherCounters(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.gopherCounters($c)")
+  override protected def withNewChildInternal(newChild: Expression): GopherCountersExpr =
+    copy(child = newChild)
+}
+
+/** Order-preserving within-document repeated-line removal (exact equality,
+  * first occurrence wins) — map-side boilerplate stripping.
+  */
+case class DedupLinesExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dedup_lines"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.dedupLines(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.dedupLines($c)")
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesExpr =
+    copy(child = newChild)
+}

@@ -455,6 +455,67 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_gopher", 10, { rng =>
+      // random word-count window so the threshold arms all get exercised;
+      // stopword equality is parity-safe on raw unicode (no codepoint
+      // lowers into a distinct ASCII stopword spelling — see kernel doc)
+      val minW = rng.nextInt(8)
+      val maxW = 10 + rng.nextInt(200)
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").select(col("id"),
+          TextFunctions.gopherFlags(col("s"), minW, maxW).as("f"))
+          .where(col("s").isNotNull)
+          .select(col("id"), col("f.fail_words"), col("f.fail_word_len"),
+            col("f.fail_symbol"), col("f.fail_bullet"), col("f.fail_ellipsis"),
+            col("f.fail_alpha"), col("f.fail_stopword"), col("f.pass"))
+      val duck =
+        s"""WITH c AS (SELECT id,
+           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS toks,
+           |  list_filter(string_split(s, chr(10)), l -> trim(l, ' ') <> '') AS nls,
+           |  length(s) - length(replace(s, '#', '')) AS n_hash,
+           |  (length(s) - length(replace(s, '...', ''))) // 3 AS n_ell3,
+           |  length(s) - length(replace(s, '…', '')) AS n_ellu
+           |  FROM fuzz_docs WHERE s IS NOT NULL),
+           |g AS (SELECT id, len(toks) AS n_w,
+           |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+           |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+           |  n_hash + n_ell3 + n_ellu AS n_sym, len(nls) AS n_lines,
+           |  len(list_filter(nls, l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+           |  len(list_filter(nls, l -> ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…'))) AS n_ellend,
+           |  len(list_filter(['the','be','to','of','and','that','have','with'],
+           |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
+           |  FROM c)
+           |SELECT id,
+           |  (n_w < $minW OR n_w > $maxW) AS fail_words,
+           |  (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0) AS fail_word_len,
+           |  (n_w > 0 AND n_sym * 1.0 / n_w > 0.1) AS fail_symbol,
+           |  (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9) AS fail_bullet,
+           |  (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3) AS fail_ellipsis,
+           |  (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8) AS fail_alpha,
+           |  (n_stop < 2) AS fail_stopword,
+           |  NOT ((n_w < $minW OR n_w > $maxW)
+           |    OR (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0)
+           |    OR (n_w > 0 AND n_sym * 1.0 / n_w > 0.1)
+           |    OR (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9)
+           |    OR (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3)
+           |    OR (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8)
+           |    OR (n_stop < 2)) AS pass
+           |FROM g""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_dedup_lines", 6, { _ =>
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").select(col("id"),
+          TextFunctions.dedupLines(col("s")).as("clean"))
+          .where(col("s").isNotNull)
+      val duck =
+        """WITH l AS (SELECT id, string_split(s, chr(10)) AS ls FROM fuzz_docs WHERE s IS NOT NULL)
+          |SELECT id, array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS clean
+          |FROM l""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_word_ngrams", 10, { rng =>
       val n = 2 + rng.nextInt(4)
       // the kernel returns distinct n-grams in first-occurrence order;

@@ -22,7 +22,9 @@ class ExpressionNullSpec extends SparkSpec {
       TextFunctions.simhash64(col("t")).as("sim"),
       TextFunctions.winnowingFingerprints(col("t")).as("win"),
       TextFunctions.langGuess(col("t")).as("lang"),
-      TextFunctions.stopwordRatio(col("t")).as("stop"))
+      TextFunctions.stopwordRatio(col("t")).as("stop"),
+      TextFunctions.gopherCounters(col("t")).as("gc"),
+      TextFunctions.dedupLines(col("t")).as("dl"))
       .collect()
     val nullRow = out(1)
     (0 until nullRow.length).foreach { i =>

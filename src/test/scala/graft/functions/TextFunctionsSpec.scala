@@ -10,6 +10,11 @@ class TextFunctionsSpec extends SparkSpec {
     Seq(text).toDF("t").select(colExpr).collect()(0).get(0)
   }
 
+  private def df(text: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+  }
+
   test("tokenCount") {
     assert(one(TextFunctions.tokenCount(col("t")), "the quick  brown fox") === 4)
     assert(one(TextFunctions.tokenCount(col("t")), "") === 0)
@@ -229,5 +234,57 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.qualityScore(col("t")), good) === 1.0)
     // too short -> loses 0.4 length component
     assert(one(TextFunctions.qualityScore(col("t")), "the end") === 0.6)
+  }
+
+  test("gopherCounters: golden slot-by-slot accounting") {
+    val text = "the cat and # dog...\n- bullet one\n- bullet two…\n   \nWith be to of"
+    val g = one(TextFunctions.gopherCounters(col("t")), text).asInstanceOf[scala.collection.Seq[Long]]
+    // tokens: the cat and # dog... | - bullet one | - bullet two… | With be to of  = 15
+    assert(g(0) === 15, "word count")
+    // lengths (code points): 3+3+3+1+6 + 1+6+3 + 1+6+4 + 4+2+2+2 = 47
+    assert(g(1) === 47, "sum word length")
+    assert(g(2) === 12, "alpha words: 15 minus '#' and the two bare '-' bullets")
+    assert(g(3) === 1, "'#' chars")
+    assert(g(4) === 1, "'...' runs")
+    assert(g(5) === 1, "U+2026 chars")
+    assert(g(6) === 4, "nonempty lines (the space-only line drops)")
+    assert(g(7) === 2, "bullet lines")
+    assert(g(8) === 2, "ellipsis-ending lines ('dog...' line and 'two…' line)")
+    // distinct stopwords present: the, and, with(case-folds), be, to, of = 6
+    assert(g(9) === 6, "distinct Gopher stopwords")
+  }
+
+  test("gopherCounters: '...' runs are non-overlapping and line trims are space-only") {
+    val g = one(TextFunctions.gopherCounters(col("t")), ".......").asInstanceOf[scala.collection.Seq[Long]]
+    assert(g(4) === 2, "7 dots = 2 non-overlapping '...' runs")
+    // a tab-only line is NOT trimmed away (space-only trim contract)
+    val g2 = one(TextFunctions.gopherCounters(col("t")), "a\n\t\n  \nb").asInstanceOf[scala.collection.Seq[Long]]
+    assert(g2(6) === 3, "tab line counts nonempty; space-only line does not")
+  }
+
+  test("gopherFlags: paper thresholds verdict on crafted documents") {
+    val passDoc = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the cat sat with a dog and it was to be of note"
+    val row = df(passDoc).select(TextFunctions.gopherFlags(col("t")).as("f"))
+      .select("f.*").collect()(0)
+    val names = Seq("fail_words", "fail_word_len", "fail_symbol", "fail_bullet",
+      "fail_ellipsis", "fail_alpha", "fail_stopword", "pass")
+    val vals = names.zipWithIndex.map { case (n, i) => n -> row.getBoolean(i) }.toMap
+    assert(vals("pass"), s"crafted doc should pass all rules: $vals")
+    // short doc trips the word-count rule only at the words slot
+    val shortRow = df("the cat with of").select(TextFunctions.gopherFlags(col("t")).as("f"))
+      .select("f.*").collect()(0)
+    assert(shortRow.getBoolean(0), "fail_words for a 4-word doc")
+    assert(!shortRow.getBoolean(7), "no pass")
+  }
+
+  test("dedupLines: first occurrence wins, order and empties preserved") {
+    assert(one(TextFunctions.dedupLines(col("t")), "a\nb\na\n\nb\nc") === "a\nb\n\nc")
+    // no newline -> identity (fast path)
+    assert(one(TextFunctions.dedupLines(col("t")), "plain text") === "plain text")
+    // exact equality: differing leading whitespace is a different line
+    assert(one(TextFunctions.dedupLines(col("t")), "x\n x\nx") === "x\n x")
+    // empty string stays empty
+    assert(one(TextFunctions.dedupLines(col("t")), "") === "")
   }
 }
