@@ -486,7 +486,12 @@ object SparkEntry {
     "q39_cosine_neardup_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      Similarity.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.3, dim = 64, numBits = 4)
+      // occupancy-scaled bit-width (one count job): pinning bits made the
+      // within-bucket self-join quadratic in corpus size — the sf10 decade
+      // measured 70x wall for 10x data before this (BENCHNOTES round 5)
+      val bits = Similarity.bitsForOccupancy(e.count())
+      q39Bits = Some(bits)
+      Similarity.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.3, dim = 64, numBits = bits)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -734,8 +739,10 @@ object SparkEntry {
     "q55_neardup_components" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bits = Similarity.bitsForOccupancy(e.count())
+      q55Bits = Some(bits)
       val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "v",
-        threshold = 0.3, dim = 64, numBits = 4)
+        threshold = 0.3, dim = 64, numBits = bits)
       graft.dedup.Components.connectedComponents(
         pairs, "id_a", "id_b", e.select(col("vec_id")), "vec_id")
         .select(col("id").as("vec_id"), col("component"))
@@ -1005,8 +1012,12 @@ object SparkEntry {
     "q71_semdedup_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // SemDeDup scaling rule: cells grow with the corpus (the paper runs
+      // 50k cells over 5B vectors) so within-cell all-pairs stays linear —
+      // k pinned at 8 measured 95x wall for 10x data on the sf10 decade
+      val k = Similarity.cellsForOccupancy(emb.count())
       val (cent, pairs) = Similarity.semanticNearDupPairs(
-        emb, "vec_id", "v", dim = 64, threshold = 0.3, k = 8)
+        emb, "vec_id", "v", dim = 64, threshold = 0.3, k = k)
       q71Centroids = Some(cent)
       pairs.select(col("cell").cast("long").as("cell"), col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))
@@ -1106,11 +1117,66 @@ object SparkEntry {
     * `Double.toString` round-trips exactly through DuckDB's parser, and
     * both engines accumulate the dot product in ascending index order.
     */
-  private lazy val q39PlaneLits: Seq[String] = {
+  /** DuckDB literals for the first `numBits` seeded hyperplanes — the SAME
+    * row-major gaussian stream `hyperplaneBucket` consumes, so plane i is
+    * identical for every bit-width (prefix property of the fill).
+    */
+  private def planeLits(numBits: Int): Seq[String] = {
     val rng = new scala.util.Random(42L)
-    Seq.fill(4 * 64)(rng.nextGaussian()).grouped(64)
+    Seq.fill(numBits * 64)(rng.nextGaussian()).grouped(64)
       .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")).toSeq
   }
+
+  private lazy val q39PlaneLits: Seq[String] = planeLits(4)
+
+  /** The sign-sketch bucket expression over `numBits` embedded planes —
+    * bit i weighted 2^i, matching `TextAlgo.hyperplaneBucket`.
+    */
+  private def bucketCaseSql(numBits: Int): String = {
+    val lits = planeLits(numBits)
+    (0 until numBits).map(i =>
+      s"(CASE WHEN list_dot_product(v, ${lits(i)}) >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n  + ")
+  }
+
+  /** Bit-widths the q39/q55 runs derived from their corpus count
+    * (`Similarity.bitsForOccupancy`), captured like the trained-centroid
+    * oracles: Verify dumps `oracleSql` after the queries run, so the
+    * replayed plane ladder always matches THIS run's width.
+    */
+  @volatile private var q39Bits: Option[Int] = None
+  @volatile private var q55Bits: Option[Int] = None
+
+  private def q39OracleSql(bits: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    ${bucketCaseSql(bits)} AS bucket
+       |  FROM e)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE list_dot_product(a.v, c.v) /
+       |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def q55OracleSql(bits: Int): String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    ${bucketCaseSql(bits)} AS bucket
+       |  FROM e),
+       |pair AS (SELECT a.vec_id AS s, c.vec_id AS t
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  WHERE list_dot_product(a.v, c.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3),
+       |edges AS (SELECT s, t FROM pair UNION ALL SELECT t AS s, s AS t FROM pair),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT edges.t, reach.lab FROM reach JOIN edges ON reach.id = edges.s)
+       |SELECT id AS vec_id, min(lab) AS component
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   /** Trained IVF centroids captured by the q37 query run (deterministic:
     * seeded bounded sample + seeded Lloyd on the same corpus the oracle
@@ -1213,22 +1279,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "q39_cosine_neardup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |    (CASE WHEN list_dot_product(v, ${q39PlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
-         |  FROM e)
-         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         |  round(list_dot_product(a.v, c.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
-         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |WHERE list_dot_product(a.v, c.v) /
-         |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
-    // q27: same embedded planes; multi-probe = own bucket + each sign bit
+    // q27: 4-bit embedded planes (fixed — a 3-query k-NN probe, no
+    // occupancy concern); multi-probe = own bucket + each sign bit
     // flipped once, exact re-rank within candidates
     "q27_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1734,26 +1786,6 @@ object SparkEntry {
         |FROM tok GROUP BY doc_id
         |HAVING count(DISTINCT term) = 3
         |ORDER BY doc_id""".stripMargin,
-    "q55_neardup_components" ->
-      s"""WITH RECURSIVE
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |    (CASE WHEN list_dot_product(v, ${q39PlaneLits(0)}) >= 0 THEN 1 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(1)}) >= 0 THEN 2 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(2)}) >= 0 THEN 4 ELSE 0 END)
-         |  + (CASE WHEN list_dot_product(v, ${q39PlaneLits(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
-         |  FROM e),
-         |pair AS (SELECT a.vec_id AS s, c.vec_id AS t
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-         |  WHERE list_dot_product(a.v, c.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.3),
-         |edges AS (SELECT s, t FROM pair UNION ALL SELECT t AS s, s AS t FROM pair),
-         |reach(id, lab) AS (
-         |  SELECT vec_id, vec_id FROM e
-         |  UNION
-         |  SELECT edges.t, reach.lab FROM reach JOIN edges ON reach.id = edges.s)
-         |SELECT id AS vec_id, min(lab) AS component
-         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q54_quantize_int8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,
@@ -1875,6 +1907,8 @@ object SparkEntry {
     q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c)) ++
     q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
+    q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
+    q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++
     staticLlmOracles
 
   /** Oracles for q61-q64, q66, q70 and q72 (static SQL — no captured

@@ -184,7 +184,16 @@ object Similarity {
       seed: Long = 42L,
       sampleCap: Int = 0,
       maxIter: Int = 10): Seq[Double] = {
-    val cap = if (sampleCap > 0) sampleCap else 256 * nLists
+    // default cap: 256/cell for small quantizers (unchanged published
+    // layouts), but bounded at max(25k, 64/cell) once cells scale with the
+    // corpus (cellsForOccupancy) — driver Lloyd's AND k-means++ seeding
+    // are O(sample x nLists x dim), so an uncapped 256/cell sample at
+    // hundreds of cells turns training into tens of seconds of
+    // single-threaded driver CPU (measured on the sf10 decade); 64-100
+    // points per cell is the quality floor the scaladoc above cites
+    val cap =
+      if (sampleCap > 0) sampleCap
+      else math.min(256 * nLists, math.max(25000, 64 * nLists))
     // ONE distributed job collects the sample; Lloyd's on <= cap points is
     // driver-trivial (cap * nLists * dim flops per iteration) — spark.ml
     // KMeans here would cost a dozen scheduler round-trips to cluster a
@@ -352,6 +361,40 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (pairs must share a bucket).
     */
+  /** Smallest hyperplane bit-width (>= minBits) whose mean bucket
+    * occupancy n/2^bits stays at or under `targetOccupancy`.
+    *
+    * THE parameter that keeps single-table sign-LSH pair finding linear:
+    * with bits pinned, occupancy grows with the corpus and within-bucket
+    * candidate pairs grow QUADRATICALLY — measured on the sf10 decade as
+    * a 70x wall-time jump for 10x data (BENCHNOTES round 5) before this
+    * existed. Costs one count() job; recall per true pair of angle theta
+    * is (1 - theta/pi)^bits, so growing bits trades tail-similarity
+    * recall for bounded cost — the high-cosine pairs near-dup actually
+    * hunts degrade slowest. Callers that need fixed recall at fixed cost
+    * per candidate should hold bits and cap occupancy instead (the
+    * streaming variant's maxBucketState).
+    */
+  def bitsForOccupancy(
+      n: Long, targetOccupancy: Long = 64L, minBits: Int = 4, maxBits: Int = 24): Int = {
+    var bits = minBits
+    while (bits < maxBits && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
+  /** KMeans cell count for a target mean cell occupancy — the SemDeDup
+    * scaling rule (Abbas et al. 2023 run 50k clusters over 5B embeddings
+    * for exactly this reason): cells must grow WITH the corpus so
+    * within-cell all-pairs work stays n * occupancy, not n^2/k. Clamped
+    * below so small fixtures keep their published cell layouts; training
+    * stays bounded (256 sampled points per cell, driver Lloyd's).
+    */
+  def cellsForOccupancy(
+      n: Long, targetOccupancy: Long = 512L, minCells: Int = 8, maxCells: Int = 1 << 17): Int = {
+    val want = (n + targetOccupancy - 1) / targetOccupancy
+    math.min(maxCells.toLong, math.max(minCells.toLong, want)).toInt
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -108,6 +108,23 @@ class SimilaritySpec extends SparkSpec {
     assert(p0.size < all.size, "full Hamming-1 ring found nothing beyond the base bucket")
   }
 
+  test("occupancy scaling: bits/cells grow with the corpus, fixtures keep published layouts") {
+    // mean occupancy n/2^bits stays at or under target once above the floor
+    assert(Similarity.bitsForOccupancy(200L) === 4, "sf0.01 embeddings stay at the 4-bit floor")
+    assert(Similarity.bitsForOccupancy(2000L) === 5)
+    assert(Similarity.bitsForOccupancy(200000L) === 12)
+    (Seq(100L, 5000L, 300000L, 50000000L)).foreach { n =>
+      val b = Similarity.bitsForOccupancy(n)
+      assert(b >= 4 && (b == 4 || (n >> b) <= 64L), s"occupancy bound violated at n=$n")
+      assert(Similarity.bitsForOccupancy(n * 10) >= b, "monotone in n")
+    }
+    // SemDeDup cells: floor of 8 protects the published fixture layout
+    assert(Similarity.cellsForOccupancy(200L) === 8)
+    assert(Similarity.cellsForOccupancy(2000L) === 8)
+    assert(Similarity.cellsForOccupancy(200000L) === 391)
+    assert(Similarity.cellsForOccupancy(5000000000L) === (1 << 17), "clamped at maxCells")
+  }
+
   test("query-directed probing: maxProbes=numBits/2 keeps >=85% of full-ring recall") {
     import spark.implicits._
     // Spec-guards the calibration the lshTopK scaladoc promises (measured
