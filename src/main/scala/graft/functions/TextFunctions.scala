@@ -174,12 +174,19 @@ object TextFunctions {
     val nLines = element_at(g, 7); val nBullet = element_at(g, 8)
     val nEllEnd = element_at(g, 9); val nStop = element_at(g, 10)
     val d = (x: Column) => x.cast("double")
+    // ratios are branch-guarded (CaseWhen evaluates only the taken arm):
+    // a bare `nW === 0 || x/nW < 3` still EVALUATES the division on
+    // zero-word docs and throws DIVIDE_BY_ZERO under ANSI mode — found by
+    // the FuzzDiff empty/whitespace-only corpus, invisible to fixtures
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, d(num) / d(den)).otherwise(lit(0.0))
+    val mwl = ratio(sumLen, nW)
     val fWords = nW < minWords || nW > maxWords
-    val fWordLen = nW === 0 || d(sumLen) / d(nW) < 3.0 || d(sumLen) / d(nW) > 10.0
-    val fSymbol = nW > 0 && d(nSym) / d(nW) > 0.1
-    val fBullet = nLines > 0 && d(nBullet) / d(nLines) > 0.9
-    val fEllipsis = nLines > 0 && d(nEllEnd) / d(nLines) > 0.3
-    val fAlpha = nW === 0 || d(nAlpha) / d(nW) < 0.8
+    val fWordLen = nW === 0 || mwl < 3.0 || mwl > 10.0
+    val fSymbol = nW > 0 && ratio(nSym, nW) > 0.1
+    val fBullet = nLines > 0 && ratio(nBullet, nLines) > 0.9
+    val fEllipsis = nLines > 0 && ratio(nEllEnd, nLines) > 0.3
+    val fAlpha = nW === 0 || ratio(nAlpha, nW) < 0.8
     val fStop = nStop < 2
     struct(
       fWords.as("fail_words"), fWordLen.as("fail_word_len"),

@@ -276,6 +276,13 @@ class TextFunctionsSpec extends SparkSpec {
       .select("f.*").collect()(0)
     assert(shortRow.getBoolean(0), "fail_words for a 4-word doc")
     assert(!shortRow.getBoolean(7), "no pass")
+    // zero-word documents must produce verdicts, not an ANSI
+    // DIVIDE_BY_ZERO (the FuzzDiff-caught edge: ratios are branch-guarded)
+    Seq("", "   ", "\n\n", "\t").foreach { t =>
+      val r = df(t).select(TextFunctions.gopherFlags(col("t")).as("f"))
+        .select("f.*").collect()(0)
+      assert(r.getBoolean(0) && !r.getBoolean(7), s"empty-ish doc '$t' should fail_words, not pass")
+    }
   }
 
   test("dedupLines: first occurrence wins, order and empties preserved") {
