@@ -260,12 +260,22 @@ object Similarity {
       while (i < math.min(a.length, b.length)) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    // Per-point loops below run on the common ForkJoin pool: the two
+    // O(n x k x dim) phases (seeding distance refresh, Lloyd assignment)
+    // are embarrassingly parallel over points, each writing only its own
+    // slot — results are BIT-IDENTICAL to the sequential loop because
+    // per-point arithmetic is unchanged and every order-sensitive
+    // accumulation (minD.sum, the centroid sums) stays sequential.
+    // Matters once cellsForOccupancy scales k into the hundreds: the
+    // single-threaded train was ~7 s of the q71 sf10 wall.
+    def parForeach(bound: Int)(f: Int => Unit): Unit =
+      java.util.stream.IntStream.range(0, bound).parallel().forEach(i => f(i))
     // k-means++ seeding
     val centers = scala.collection.mutable.ArrayBuffer(pts(rng.nextInt(n)))
     val minD = Array.fill(n)(Double.MaxValue)
     while (centers.length < k) {
-      var i = 0
-      while (i < n) { minD(i) = math.min(minD(i), d2(pts(i), centers.last)); i += 1 }
+      val last = centers.last
+      parForeach(n) { i => minD(i) = math.min(minD(i), d2(pts(i), last)) }
       val totalW = minD.sum
       val pick =
         if (totalW <= 0) rng.nextInt(n)
@@ -282,19 +292,19 @@ object Similarity {
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      moved = false
-      var i = 0
-      while (i < n) {
+      val anyMoved = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val snap = centers.toArray
+      parForeach(n) { i =>
         var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < centers.length) {
-          val d = d2(pts(i), centers(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        while (c < snap.length) {
+          val d = d2(pts(i), snap(c)); if (d < bestD) { bestD = d; best = c }; c += 1
         }
-        if (assign(i) != best) { assign(i) = best; moved = true }
-        i += 1
+        if (assign(i) != best) { assign(i) = best; anyMoved.set(true) }
       }
+      moved = anyMoved.get()
       val sums = Array.fill(centers.length)(new Array[Double](dim))
       val cnts = new Array[Long](centers.length)
-      i = 0
+      var i = 0
       while (i < n) {
         val c = assign(i); cnts(c) += 1
         var j = 0
