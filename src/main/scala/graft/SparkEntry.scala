@@ -496,6 +496,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q76: banded sign-LSH near-dup (SURVEY+ L40) — the recall-controlled
+    // production shape of q39: any-band collision makes a candidate, so
+    // per-pair recall rises 1-(1-p^r)^b at a LINEAR x4 cost; bits still
+    // ride the occupancy rule, so the decade scaling holds.
+    "q76_banded_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val bits = Similarity.bitsForOccupancy(e.count())
+      q76Bits = Some(bits)
+      Similarity.bandedCosineNearDupPairs(e, "vec_id", "v", threshold = 0.3,
+          dim = 64, numBits = bits, numBands = Q76Bands)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q40: intra-document repetition — duplicate word-n-gram fraction, the
     // quality signal corpus cleaning thresholds on (compiled kernel;
     // DuckDB replays the exact n-gram construction via list comprehension)
@@ -1146,6 +1161,51 @@ object SparkEntry {
     */
   @volatile private var q39Bits: Option[Int] = None
   @volatile private var q55Bits: Option[Int] = None
+  @volatile private var q76Bits: Option[Int] = None
+
+  /** q76's band count — fixed small constant (recall multiplier; cost is
+    * linear in it), embedded in both the query and its oracle.
+    */
+  private val Q76Bands = 4
+
+  /** Plane literals for band `band` of a banded sketch: slice of the SAME
+    * seeded stream [[bandedCosineNearDupPairs]] consumes (band 0 == the
+    * single-table planes).
+    */
+  private def bandPlaneLits(numBits: Int, numBands: Int): Seq[Seq[String]] = {
+    val rng = new scala.util.Random(42L)
+    val all = Seq.fill(numBands * numBits * 64)(rng.nextGaussian())
+    (0 until numBands).map { b =>
+      all.slice(b * numBits * 64, (b + 1) * numBits * 64).grouped(64)
+        .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")).toSeq
+    }
+  }
+
+  private def q76OracleSql(bits: Int): String = {
+    val bands = bandPlaneLits(bits, Q76Bands)
+    val bucketCols = bands.zipWithIndex.map { case (lits, bi) =>
+      (0 until bits).map(i =>
+        s"(CASE WHEN list_dot_product(v, ${lits(i)}) >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("    ", "\n  + ", s" AS b$bi")
+    }.mkString(",\n")
+    val bandJoins = (0 until Q76Bands).map(bi =>
+      s"SELECT a.vec_id AS ia, c.vec_id AS ib FROM b a JOIN b c ON a.b$bi = c.b$bi AND a.vec_id < c.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |$bucketCols
+       |  FROM e),
+       |cand AS (
+       |  $bandJoins
+       |)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+       |FROM cand JOIN e x ON ia = x.vec_id JOIN e y ON ib = y.vec_id
+       |WHERE list_dot_product(x.v, y.v) /
+       |  (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private def q39OracleSql(bits: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1909,6 +1969,7 @@ object SparkEntry {
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++
+    q76Bits.map(b => "q76_banded_neardup" -> q76OracleSql(b)) ++
     staticLlmOracles
 
   /** Oracles for q61-q64, q66, q70 and q72 (static SQL — no captured

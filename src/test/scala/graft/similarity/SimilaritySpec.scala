@@ -160,6 +160,42 @@ class SimilaritySpec extends SparkSpec {
     corpus.unpersist(); queries.unpersist()
   }
 
+  test("banded near-dup: single table is band 0; bands only add pairs; recall rises") {
+    import spark.implicits._
+    // planted near-dups: consecutive even/odd ids share a base direction
+    // with small noise (cosine ~0.95+); the rest are random
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 400L).map { i =>
+      val base = Array.fill(16)(rng.nextGaussian())
+      (i, base)
+    }.flatMap { case (i, base) =>
+      if (i % 4 == 0)
+        Seq((2 * i, base), (2 * i + 1, base.map(x => x + 0.05 * rng.nextGaussian())))
+      else Seq((2 * i, base))
+    }.toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = 16, numBits = 8))
+    val banded1 = pairsOf(Similarity.bandedCosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = 16, numBits = 8, numBands = 1))
+    val banded4 = pairsOf(Similarity.bandedCosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, dim = 16, numBits = 8, numBands = 4))
+    // band 0 consumes the same plane-stream prefix -> numBands=1 IS the
+    // single-table operator
+    assert(banded1 === single, "numBands=1 must equal the single-table operator")
+    // more bands only add candidates (union over bands)
+    assert(single.subsetOf(banded4), "single-table pairs must survive banding")
+    // and the added bands find real planted pairs the single table missed
+    val planted = (0L until 400L by 4L).map(i => (2 * i, 2 * i + 1)).toSet
+    val singleHit = (single & planted).size
+    val bandedHit = (banded4 & planted).size
+    info(s"planted recall: single=$singleHit/${planted.size} banded4=$bandedHit/${planted.size}")
+    assert(bandedHit > singleHit, "4 bands should recover planted pairs one table misses")
+    assert(bandedHit >= (planted.size * 0.6).toInt,
+      s"banded recall $bandedHit/${planted.size} below the 1-(1-p^r)^b expectation")
+  }
+
   test("ivfTopK: clustered corpus, probing recovers the true neighbors") {
     import spark.implicits._
     // two tight clusters around (1,0,0) and (0,1,0); queries from cluster A
