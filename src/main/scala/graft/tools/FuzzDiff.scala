@@ -747,6 +747,49 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_banded_pairs", 8, { rng =>
+      // banded sign-LSH near-dup over the edge vectors (zero, 1e150,
+      // denormal, NULL): replays the exact plane stream the operator
+      // consumes. Threshold > 0 keeps the zero-vector contract aligned
+      // (kernel cosine -> 0.0, DuckDB 0/0 -> NULL; both fail >= t).
+      val bits = 2 + rng.nextInt(3)
+      val bands = 1 + rng.nextInt(3)
+      val seed = 42L + rng.nextInt(5)
+      val thr = Seq(0.1, 0.3, 0.5)(rng.nextInt(3))
+      val build: SparkSession => DataFrame = s =>
+        graft.similarity.Similarity.bandedCosineNearDupPairs(
+          s.table("fuzz_vecs").where(col("v").isNotNull), "id", "v",
+          threshold = thr, dim = 8, numBits = bits, numBands = bands, seed = seed)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      val prng = new Random(seed)
+      val all = Seq.fill(bands * bits * 8)(prng.nextGaussian())
+      val ladders = (0 until bands).map { b =>
+        val lits = all.slice(b * bits * 8, (b + 1) * bits * 8).grouped(8)
+          .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")).toSeq
+        (0 until bits).map(i =>
+          s"(CASE WHEN list_dot_product(v, ${lits(i)}) >= 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString("    ", "\n  + ", s" AS b$b")
+      }.mkString(",\n")
+      val unions = (0 until bands).map(b =>
+        s"SELECT a.id AS ia, c.id AS ib FROM b a JOIN b c ON a.b$b = c.b$b AND a.id < c.id")
+        .mkString("\n  UNION\n  ")
+      val duck =
+        s"""WITH m AS MATERIALIZED (SELECT id, v FROM fuzz_vecs WHERE v IS NOT NULL),
+           |b AS (SELECT id, v,
+           |$ladders
+           |  FROM m),
+           |cand AS (
+           |  $unions
+           |)
+           |SELECT ia AS id_a, ib AS id_b,
+           |  round(list_dot_product(x.v, y.v) /
+           |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+           |FROM cand JOIN m x ON ia = x.id JOIN m y ON ib = y.id
+           |WHERE list_dot_product(x.v, y.v) /
+           |  (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= ${java.lang.Double.toString(thr)}""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_vec_quantize", 6, { _ =>
       val build: SparkSession => DataFrame = s =>
         s.table("fuzz_vecs").select(col("id"),
@@ -820,18 +863,24 @@ object FuzzDiff {
     val out = Seq.newBuilder[FuzzCase]
     var produced = 0
     var round = 0
+    // shares are ROUNDED, so their sum can land under nCases for some
+    // (templates, nCases) pairs — once a full pass adds nothing, fill the
+    // remainder uncapped round-robin instead of stalling
+    var uncapped = false
     while (produced < nCases) {
+      val before = produced
       pool.foreach { t =>
-        // weight w => ceil(w * nCases / totalWeight) instances across the run
+        // weight w => ~w * nCases / totalWeight instances across the run
         val share = math.max(1, math.round(t.weight.toDouble * nCases / totalWeight).toInt)
-        if (produced < nCases && round < share) {
+        if (produced < nCases && (uncapped || round < share)) {
           val (build, duck) = t.gen(rng)
           produced += 1
           out += FuzzCase(f"fz$produced%03d_${t.key}", duck, build)
         }
       }
+      if (produced == before) uncapped = true
       round += 1
-      if (round > nCases) throw new IllegalStateException("case generation stalled")
+      if (round > 2 * nCases) throw new IllegalStateException("case generation stalled")
     }
     out.result()
   }
