@@ -1108,6 +1108,48 @@ object SparkEntry {
           length(col("__clean")).cast("long").as("n_chars_after"))
         .orderBy(col("doc_id"))),
 
+    // q77: BM25 top-k retrieval (graft.text.Search.bm25TopK) — OR-semantics
+    // ranked search with Lucene idf; "dup" is the rare high-idf term, the
+    // others are corpus-common. One posting shuffle (filtered to the query
+    // terms map-side), dl rides the grouping key, |Q|-row broadcast df,
+    // TakeOrderedAndProject top-k. Oracle replays the identical double
+    // arithmetic in DuckDB (explicit DOUBLE casts keep it out of DECIMAL).
+    "q77_bm25_topk" -> ((s, dir) =>
+      graft.text.Search.bm25TopK(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        terms = Seq("dup", "window", "stream"), k = 20)),
+
+    // q78: corpus top-k bigram stats (graft.text.NgramStats) — two-level
+    // hash-agg (map-side combined), TakeOrderedAndProject top-k; ties at
+    // the cut break on the bigram string (ASCII, binary-collation-stable)
+    "q78_top_bigrams" -> ((s, dir) =>
+      graft.text.NgramStats.topBigrams(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text", k = 30)),
+
+    // q79: JSONL boundary roundtrip (graft.data.JsonLines) — sharded
+    // lang-partitioned JSONL export then explicit-schema PERMISSIVE
+    // read-back; the oracle is the source table itself, so a hash-green
+    // run proves the interchange format is lossless INCLUDING newlines
+    // and escapes in text, and that no line was dropped or quarantined
+    "q79_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q79_jsonl").getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      graft.data.JsonLines.writeSharded(docs, out,
+        partitionCols = Seq("lang"), orderCols = Seq(col("doc_id")),
+        maxRecordsPerFile = 2000, shardsPerPartition = 2)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType), StructField("text", StringType),
+        StructField("lang", StringType)))
+      graft.data.JsonLines.read(s, out, schema)
+        .where(col("_corrupt_line").isNull)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2229,6 +2271,47 @@ object SparkEntry {
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // first-occurrence line filter: (x, i) lambda index vs list_position
     // (first match, 1-based) replays LinkedHashSet order exactly
+    // BM25 replay: every arithmetic step casts into DOUBLE before any
+    // DECIMAL op can happen, and the expression shapes (association order)
+    // mirror Search.bm25TopK exactly; 1.2+1.0 == 2.2 exactly in binary64,
+    // so the literal 2.2 numerator is the same double on both engines
+    "q77_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS dl
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term IN ('dup', 'window', 'stream')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1 + (s.n - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * tf.tf * CAST(2.2 AS DOUBLE)
+        |      / (tf.tf + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)) AS contrib
+        |  FROM tf JOIN f USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(contrib), 6) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY round(sum(contrib), 6) DESC, doc_id LIMIT 20""".stripMargin,
+    "q78_top_bigrams" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  [w[i] || ' ' || w[i + 1] for i in range(1, greatest(len(w), 1))] AS bgs
+        |  FROM w),
+        |e AS (SELECT doc_id, unnest(bgs) AS bigram FROM b),
+        |d AS (SELECT doc_id, bigram, count(*) AS c FROM e GROUP BY 1, 2)
+        |SELECT bigram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY bigram
+        |ORDER BY sum(c) DESC, bigram LIMIT 30""".stripMargin,
+    "q79_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q75_line_dedup" ->
       """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
         |k AS (SELECT doc_id, len(ls) AS n_lines,

@@ -183,7 +183,8 @@ object Similarity {
       nLists: Int = 16,
       seed: Long = 42L,
       sampleCap: Int = 0,
-      maxIter: Int = 10): Seq[Double] = {
+      maxIter: Int = 10,
+      driverFlopsPerIter: Long = 10000000000L): Seq[Double] = {
     // default cap: 256/cell for small quantizers (unchanged published
     // layouts), but bounded at max(25k, 64/cell) once cells scale with the
     // corpus (cellsForOccupancy) — driver Lloyd's AND k-means++ seeding
@@ -194,6 +195,14 @@ object Similarity {
     val cap =
       if (sampleCap > 0) sampleCap
       else math.min(256 * nLists, math.max(25000, 64 * nLists))
+    // adaptive routing (the Components pattern): per-iteration driver work
+    // is cap x nLists x dim flops — beyond the threshold (~seconds of
+    // driver arithmetic even on the parallel Lloyd) the train moves to the
+    // cluster, where spark.ml KMeans amortizes its scheduler round-trips
+    // against real work. cellsForOccupancy at corpus scale is what gets
+    // here: ~100k cells over 50M docs is 4e13 flops/iter, driver-impossible
+    if (cap.toLong * nLists * dim > driverFlopsPerIter)
+      return trainIvfCentroidsDistributed(corpus, idCol, vecCol, dim, nLists, seed, cap, maxIter)
     // ONE distributed job collects the sample; Lloyd's on <= cap points is
     // driver-trivial (cap * nLists * dim flops per iteration) — spark.ml
     // KMeans here would cost a dozen scheduler round-trips to cluster a
@@ -223,6 +232,54 @@ object Similarity {
       (wcss(sample, c, dim), c)
     }.minBy(_._1)._2
     best.toSeq.padTo(nLists * dim, 0.0)
+  }
+
+  /** Cluster-side trainer for cell counts the driver can't afford: a
+    * seeded HASH-FILTER sample (map-side predicate — no global sort, no
+    * driver collect of vectors) feeds spark.ml KMeans (k-means||,
+    * distributed Lloyd). Same contract as the driver path: row-major
+    * `nLists x dim` centroids, vectors padded/truncated to `dim`.
+    *
+    * Not bit-identical to the driver Lloyd (different init, cluster-order
+    * float reduction) — callers that pin centroid-literal oracles capture
+    * whatever this returns per run, exactly like the driver path's
+    * captured constants. Within a run the result is computed once and
+    * reused, which is all cell assignment needs.
+    */
+  def trainIvfCentroidsDistributed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nLists: Int,
+      seed: Long,
+      cap: Int,
+      maxIter: Int): Seq[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = corpus.count()
+    require(n > 0, "cannot train IVF centroids on an empty corpus")
+    // keep ~cap rows: seeded xxhash64 per-mille-of-a-million filter; the
+    // sample size is approximate (binomial around cap), which k-means does
+    // not care about — what matters is that it's deterministic, seeded,
+    // and never materializes on the driver
+    val keepPerM = math.min(1000000L,
+      math.max(1L, math.round(cap.toDouble / n * 1000000L)))
+    val feats = corpus
+      .where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < lit(keepPerM))
+      .select(array_to_vector(
+        slice(concat(transform(col(vecCol), x => x.cast("double")),
+          array_repeat(lit(0.0), lit(dim))), 1, dim)).as("features"))
+      .cache()
+    try {
+      val m = feats.count()
+      require(m > 0, "hash-filter sample selected no rows")
+      val k = math.min(nLists.toLong, m).toInt
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(feats)
+      model.clusterCenters.flatMap(_.toArray).toSeq.padTo(nLists * dim, 0.0)
+    } finally feats.unpersist()
   }
 
   private def wcss(pts: Array[Array[Double]], centers: Array[Double], dim: Int): Double = {

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Keyword search over a document corpus — the retrieval primitive of a
   * data-curation UI ("show me every doc mentioning X and Y") and the
   * batch shape of an inverted index.
@@ -46,5 +48,71 @@ object Search {
       .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("n_hits"))
       .where(col("n_terms") === uniqueTerms.length)
       .select(col("doc_id"), col("n_hits"))
+  }
+
+  /** BM25-scored top-k retrieval (OR semantics, Robertson/Lucene idf
+    * `ln(1 + (N-df+0.5)/(df+0.5))` — always positive, so a matched term
+    * never subtracts). Output: (doc_id, n_terms, bm25) for the `k`
+    * best-scoring documents, ordered by (rounded score desc, doc_id).
+    *
+    * Plan — ONE corpus shuffle total:
+    *  - tokenize with the compiled [[TextFunctions.asciiTokens]] kernel
+    *    (identical semantics to `split(lower(text), "[^a-z0-9]+")`); the
+    *    document length `dl` is `size` of the SAME materialized array, so
+    *    length costs no second pass and — because dl is functionally
+    *    dependent on doc_id — RIDES THE GROUPING KEY instead of needing a
+    *    corpus-wide doc-length join after the posting aggregation.
+    *  - postings are filtered to the |Q| query terms BEFORE the exchange
+    *    (codegen'd isin on the generator output), so the shuffle carries
+    *    |matching postings|, not the corpus token stream.
+    *  - df-per-term is |Q| rows: broadcast back onto tf.
+    *  - N and avgdl are one map-side agg job (the only corpus-global
+    *    scalars); avgdl = sum(dl)/N over ALL docs including token-less
+    *    ones, embedded as a plan literal.
+    *  - global top-k = orderBy+limit = TakeOrderedAndProject: map-side
+    *    partial top-k per partition, k rows to the driver — no full sort.
+    *
+    * Ordering ties break on the ROUNDED (6-dp) score then doc_id so the
+    * cut is reproducible cross-engine.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one search term required")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "terms must be non-empty lowercase tokens")
+    require(k > 0, s"k must be positive, got $k")
+    val uniqueTerms = terms.distinct
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      sum(size(TextFunctions.asciiTokens(col(textCol))).cast("long")).as("sum_dl")).first()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopK needs a non-empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.asciiTokens(col(textCol)).as("toks"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(uniqueTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("contrib", idf * col("tf") * lit(k1 + 1.0) / denom)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 }

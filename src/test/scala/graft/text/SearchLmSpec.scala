@@ -40,6 +40,72 @@ class SearchLmSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: hand-computed scores, OR semantics, ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana banana"),
+      (3L, "cherry date egg fig")
+    ).toDF("id", "body")
+    val out = Search.bm25TopK(docs, "id", "body", Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // N=4, dl = 3,2,4,4 -> avgdl = 13/4; df(apple)=df(banana)=2
+    val avgdl = 13.0 / 4
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    def contrib(tf: Long, dl: Long): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      0L -> (2L, r6(contrib(2, 3) + contrib(1, 3))),
+      1L -> (1L, r6(contrib(1, 2))),
+      2L -> (1L, r6(contrib(4, 4))))
+    assert(out.map(_._1).toSet === Set(0L, 1L, 2L), "doc 3 matches no term")
+    out.foreach { case (id, nTerms, score) =>
+      assert(nTerms === want(id)._1)
+      assert(math.abs(score - want(id)._2) < 1e-9, s"doc $id: $score vs ${want(id)._2}")
+    }
+    // two-term doc 0 must outrank both single-term docs; output is ranked
+    assert(out.head._1 === 0L)
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    // top-k cut respects k
+    assert(Search.bm25TopK(docs, "id", "body", Seq("apple", "banana"), k = 2)
+      .count() === 2L)
+  }
+
+  test("bm25TopK: rare term outranks common term at equal tf") {
+    import spark.implicits._
+    // "zebra" in 1 of 12 docs, "the" in all 12; equal tf/dl -> idf decides
+    val docs = ((0 until 11).map(i => (i.toLong, "the filler words here")) :+
+      (11L, "zebra filler words here")).toDF("id", "body")
+    val out = Search.bm25TopK(docs, "id", "body", Seq("zebra", "the"), k = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(11L) > out(0L), "rare-term doc must score above common-term doc")
+  }
+
+  test("bm25TopK: term filter below the shuffle, top-k is TakeOrdered") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a a d")).toDF("id", "body")
+    val plan = Search.bm25TopK(docs, "id", "body", Seq("a"), k = 5)
+      .queryExecution.executedPlan
+    val exchanges = graft.tools.PlanWalk.collectDeep(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val hasFilter = graft.tools.PlanWalk.collectDeep(e.child) {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("term") => f
+      }.nonEmpty
+      assert(hasFilter, "query-term filter must be pushed below the shuffle")
+    }
+    val takeOrdered = graft.tools.PlanWalk.collectDeep(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, "global top-k must be TakeOrderedAndProject")
+  }
+
   test("unigram cross-entropy: hand-computed add-one smoothing") {
     import spark.implicits._
     // corpus: a a b -> T=3, V=2; p(a)=(2+1)/5=0.6, p(b)=(1+1)/5=0.4
