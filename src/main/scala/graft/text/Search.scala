@@ -93,7 +93,9 @@ object Search {
       sum(size(TextFunctions.asciiTokens(col(textCol))).cast("long")).as("sum_dl")).first()
     val n = stats.getLong(0)
     require(n > 0, "bm25TopK needs a non-empty corpus")
-    val avgdl = stats.getLong(1).toDouble / n
+    // sum is NULL when every document's text is NULL — score stream is
+    // empty then anyway, but the scalar fetch must not throw
+    val avgdl = (if (stats.isNullAt(1)) 0L else stats.getLong(1)).toDouble / n
     val toks = df.select(col(idCol).as("doc_id"),
       TextFunctions.asciiTokens(col(textCol)).as("toks"))
     val tf = toks

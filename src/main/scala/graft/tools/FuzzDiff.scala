@@ -835,6 +835,92 @@ object FuzzDiff {
            |        ELSE ${(k - 1).toDouble} * 1152921504606846976.0 / CAST(sk.sk[$k] AS DOUBLE) END, 4) AS est
            |FROM gall LEFT JOIN sk ON gall.grp IS NOT DISTINCT FROM sk.grp""".stripMargin
       (build, duck)
+    }),
+
+    // ---- round-5 additions: BM25, bigram stats, JSONL roundtrip ----
+
+    Template("fz_bm25", 8, { rng =>
+      // randomized k1/b/terms/k; alnum tokenization -> ASCII column `sa`.
+      // Constants flow into both engines via Double.toString (the q53
+      // pattern), so the replay is the same binary64 on both sides.
+      val pool = Seq("the", "a", "and", "of", "data", "fox", "x1", "12345",
+        "999", "hello", "world", "dup", "mixed", "case", "w1", "w7")
+      val nt = 1 + rng.nextInt(3)
+      val terms = Seq.fill(nt)(pool(rng.nextInt(pool.length))).distinct
+      val k1 = Seq(0.9, 1.2, 1.5, 2.0)(rng.nextInt(4))
+      val b = Seq(0.0, 0.4, 0.75, 1.0)(rng.nextInt(4))
+      val k = 5 + rng.nextInt(30)
+      def ds(d: Double) = s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+      val build: SparkSession => DataFrame = s =>
+        graft.text.Search.bm25TopK(
+          s.table("fuzz_docs").withColumnRenamed("sa", "body"),
+          "id", "body", terms, k = k, k1 = k1, b = b)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val duck =
+        s"""WITH dl AS (SELECT id,
+           |  len(list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), w -> w <> '')) AS dl
+           |  FROM fuzz_docs),
+           |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tok AS (SELECT id, t.term
+           |  FROM fuzz_docs, unnest(string_split_regex(lower(sa), '[^a-z0-9]+')) AS t(term)
+           |  WHERE t.term IN ($inList)),
+           |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (SELECT tf.id,
+           |    ln(1 + (st.n - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+           |      * tf.tf * ${ds(k1 + 1.0)}
+           |      / (tf.tf + ${ds(k1)}
+           |         * (CAST(1.0 AS DOUBLE) - ${ds(b)}
+           |            + ${ds(b)} * dl.dl / st.avgdl)) AS contrib
+           |  FROM tf JOIN f USING (term) JOIN dl USING (id) CROSS JOIN st)
+           |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |  round(sum(contrib), 6) AS bm25
+           |FROM scored GROUP BY id
+           |ORDER BY round(sum(contrib), 6) DESC, id LIMIT $k""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_bigrams", 6, { rng =>
+      val k = 10 + rng.nextInt(60)
+      val build: SparkSession => DataFrame = s =>
+        graft.text.NgramStats.topBigrams(
+          s.table("fuzz_docs").withColumnRenamed("sa", "body"), "id", "body", k = k)
+      val duck =
+        s"""WITH w AS (SELECT id,
+           |  list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM fuzz_docs),
+           |b AS (SELECT id,
+           |  [w[i] || ' ' || w[i + 1] for i in range(1, greatest(len(w), 1))] AS bgs
+           |  FROM w),
+           |e AS (SELECT id, unnest(bgs) AS bigram FROM b),
+           |d AS (SELECT id, bigram, count(*) AS c FROM e GROUP BY 1, 2)
+           |SELECT bigram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM d GROUP BY bigram
+           |ORDER BY sum(c) DESC, bigram LIMIT $k""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_jsonl", 5, { rng =>
+      // full edge-corpus JSONL roundtrip: exotic unicode, control chars,
+      // NULLs, Long extremes, denormal/huge doubles must all survive the
+      // boundary format byte-exactly (oracle = the source table itself)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_fz_jsonl_${rng.nextInt(1 << 30)}").getAbsolutePath
+      val build: SparkSession => DataFrame = s => {
+        val src = s.table("fuzz_docs")
+        graft.data.JsonLines.writeSharded(src, dir, partitionCols = Seq.empty,
+          orderCols = Seq(col("id")), maxRecordsPerFile = 64)
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("grp", StringType),
+          StructField("s", StringType), StructField("sa", StringType),
+          StructField("i", LongType), StructField("d", DoubleType)))
+        graft.data.JsonLines.read(s, dir, schema)
+          .where(col("_corrupt_line").isNull)
+          .select(col("id"), col("grp"), col("s"), col("sa"), col("i"), col("d"))
+      }
+      val duck = "SELECT id, grp, s, sa, i, d FROM fuzz_docs"
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------
