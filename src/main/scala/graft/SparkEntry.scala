@@ -1133,8 +1133,11 @@ object SparkEntry {
     // and escapes in text, and that no line was dropped or quarantined
     "q79_jsonl_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q79_jsonl").getAbsolutePath
+      // pid-suffixed staging dir: verify and bench can run concurrently
+      // against different sf dirs — a shared fixed path would let one
+      // run's overwrite race the other's lazy read-back
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q79_jsonl_${ProcessHandle.current().pid()}").getAbsolutePath
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
       graft.data.JsonLines.writeSharded(docs, out,

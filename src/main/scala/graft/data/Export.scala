@@ -43,24 +43,58 @@ object Export {
       shardsPerPartition: Int = 1,
       numWriters: Int = 0): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    ShardedWrite.run(df, path, partitionCols, orderCols, maxRecordsPerFile,
+      shardsPerPartition, numWriters, "parquet")
+  }
+}
+
+/** The ONE implementation of the sharded-layout contract (salted
+  * repartition-before-partitionBy, per-file order, bounded file sizes) —
+  * [[Export]] binds it to parquet, [[JsonLines]] to JSONL. Kept single so
+  * the subtle parts (salt never reaching the output schema, AQE-proof
+  * explicit writer counts, the empty-partitionCols parallelism rule)
+  * cannot drift between formats.
+  */
+private[data] object ShardedWrite {
+
+  def run(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      orderCols: Seq[Column],
+      maxRecordsPerFile: Int,
+      shardsPerPartition: Int,
+      numWriters: Int,
+      format: String): Unit = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     require(shardsPerPartition > 0, "shardsPerPartition must be positive")
-    val salt = "__graft_shard"
-    val salted = df.withColumn(salt,
-      pmod(xxhash64(orderCols: _*), lit(shardsPerPartition)))
-    // explicit numWriters pins the writer-task count (AQE coalescing would
-    // otherwise merge small shuffle partitions back together — right for
-    // queries, wrong when the goal IS parallel writers / bounded files)
+    // no partition columns AND no sharding requested: a salted repartition
+    // would be pmod(hash, 1) = one constant key = ONE writer task for the
+    // whole dataset — keep the upstream partitioning (or the caller's
+    // explicit writer count) instead; maxRecordsPerFile still bounds files
     val partitioned =
-      if (numWriters > 0) salted.repartition(numWriters, (partitionCols :+ salt).map(col): _*)
-      else salted.repartition((partitionCols :+ salt).map(col): _*)
-    partitioned
+      if (partitionCols.isEmpty && shardsPerPartition == 1) {
+        if (numWriters > 0) df.repartition(numWriters) else df
+      } else {
+        val salt = "__graft_shard"
+        val salted = df.withColumn(salt,
+          pmod(xxhash64(orderCols: _*), lit(shardsPerPartition)))
+        // explicit numWriters pins the writer-task count (AQE coalescing
+        // would otherwise merge small shuffle partitions back together —
+        // right for queries, wrong when the goal IS parallel writers /
+        // bounded files)
+        val keys = (partitionCols :+ salt).map(col)
+        (if (numWriters > 0) salted.repartition(numWriters, keys: _*)
+         else salted.repartition(keys: _*))
+      }
+    val writer = partitioned
       .sortWithinPartitions(partitionCols.map(col) ++ orderCols: _*)
-      .drop(salt)
+      .drop("__graft_shard")
       .write
-      .partitionBy(partitionCols: _*)
+      .format(format)
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .mode("overwrite")
-      .parquet(path)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .save(path)
   }
 }

@@ -63,10 +63,12 @@ object JsonLines {
 
   /** Write `df` under `path` as JSONL, partitioned by `partitionCols`
     * (optional), files rolled at `maxRecordsPerFile` rows, rows inside
-    * every file ordered by `orderCols`. Same sharding contract as
-    * [[Export.writeSharded]]; with no partition columns the repartition
-    * key is the shard salt alone, which still bounds files and spreads
-    * writers.
+    * every file ordered by `orderCols`. Shares [[ShardedWrite]] with
+    * [[Export.writeSharded]] — one implementation of the layout contract.
+    * With no partition columns and the default `shardsPerPartition = 1`
+    * the input partitioning is kept (a salted repartition would funnel
+    * everything through one writer); pass `shardsPerPartition > 1` or
+    * `numWriters` to pin an explicit shard/writer count.
     */
   def writeSharded(
       df: DataFrame,
@@ -75,23 +77,7 @@ object JsonLines {
       orderCols: Seq[Column],
       maxRecordsPerFile: Int,
       shardsPerPartition: Int = 1,
-      numWriters: Int = 0): Unit = {
-    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    require(shardsPerPartition > 0, "shardsPerPartition must be positive")
-    val salt = "__graft_shard"
-    val salted = df.withColumn(salt,
-      pmod(xxhash64(orderCols: _*), lit(shardsPerPartition)))
-    val keys = (partitionCols :+ salt).map(col)
-    val partitioned =
-      if (numWriters > 0) salted.repartition(numWriters, keys: _*)
-      else salted.repartition(keys: _*)
-    val writer = partitioned
-      .sortWithinPartitions(partitionCols.map(col) ++ orderCols: _*)
-      .drop(salt)
-      .write
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .json(path)
-  }
+      numWriters: Int = 0): Unit =
+    ShardedWrite.run(df, path, partitionCols, orderCols, maxRecordsPerFile,
+      shardsPerPartition, numWriters, "json")
 }

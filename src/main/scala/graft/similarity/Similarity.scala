@@ -259,14 +259,17 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val n = corpus.count()
     require(n > 0, "cannot train IVF centroids on an empty corpus")
-    // keep ~cap rows: seeded xxhash64 per-mille-of-a-million filter; the
-    // sample size is approximate (binomial around cap), which k-means does
-    // not care about — what matters is that it's deterministic, seeded,
-    // and never materializes on the driver
-    val keepPerM = math.min(1000000L,
-      math.max(1L, math.round(cap.toDouble / n * 1000000L)))
+    // keep ~cap rows: seeded xxhash64 rate filter; the sample size is
+    // approximate (binomial around cap), which k-means does not care
+    // about — what matters is that it's deterministic, seeded, and never
+    // materializes on the driver. Modulus 2^40, NOT 1e6: with a coarse
+    // modulus the floor-at-1 rate quantization overshoots cap without
+    // bound once n >> modulus x cap (n = 1e13, cap = 25k: a 1e6 modulus
+    // floors to keep-1-per-million = a 1e7-row sample, 400x the budget)
+    val mod = 1L << 40
+    val keep = math.min(mod, math.max(1L, math.round(cap.toDouble / n * mod)))
     val feats = corpus
-      .where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < lit(keepPerM))
+      .where(pmod(xxhash64(col(idCol), lit(seed)), lit(mod)) < lit(keep))
       .select(array_to_vector(
         slice(concat(transform(col(vecCol), x => x.cast("double")),
           array_repeat(lit(0.0), lit(dim))), 1, dim)).as("features"))

@@ -34,8 +34,10 @@ object Search {
       textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "at least one search term required")
-    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
-      "terms must be non-empty lowercase tokens")
+    // same contract as bm25TopK: a term outside [a-z0-9]+ can never equal
+    // a produced token, which would make the AND gate silently unmatchable
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be non-empty lowercase alnum tokens, got $terms")
     // the AND gate counts DISTINCT matched terms, so compare against the
     // distinct term count — a caller-assembled list with a repeated term
     // could otherwise never satisfy the gate and silently match nothing
@@ -84,8 +86,10 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "at least one search term required")
-    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
-      "terms must be non-empty lowercase tokens")
+    // a term outside [a-z0-9]+ can never equal an asciiTokens token — it
+    // would silently contribute nothing to the OR; fail loud instead
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be non-empty lowercase alnum tokens, got $terms")
     require(k > 0, s"k must be positive, got $k")
     val uniqueTerms = terms.distinct
     val stats = df.agg(

@@ -889,8 +889,7 @@ object FuzzDiff {
         s"""WITH w AS (SELECT id,
            |  list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), x -> x <> '') AS w
            |  FROM fuzz_docs),
-           |b AS (SELECT id,
-           |  [w[i] || ' ' || w[i + 1] for i in range(1, greatest(len(w), 1))] AS bgs
+           |b AS (SELECT id, ${duckNgrams("w", 2)} AS bgs
            |  FROM w),
            |e AS (SELECT id, unnest(bgs) AS bigram FROM b),
            |d AS (SELECT id, bigram, count(*) AS c FROM e GROUP BY 1, 2)

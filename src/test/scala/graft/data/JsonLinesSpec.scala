@@ -59,6 +59,17 @@ class JsonLinesSpec extends SparkSpec {
     finally back.unpersist()
   }
 
+  test("unpartitioned export keeps writer parallelism (no single-task funnel)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_jsonl_par").toString
+    val df = (0 until 90).map(i => (i.toLong, s"doc $i")).toDF("id", "body")
+    JsonLines.writeSharded(df, out, partitionCols = Seq.empty,
+      orderCols = Seq(col("id")), maxRecordsPerFile = 1000, numWriters = 3)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts.length === 3, s"expected 3 writer files, got ${parts.map(_.getName).toSeq}")
+  }
+
   test("malformed lines are quarantined in PERMISSIVE, fatal in strict") {
     val out = Files.createTempDirectory("graft_jsonl_bad").toString
     Files.write(Paths.get(out, "data.jsonl"),
