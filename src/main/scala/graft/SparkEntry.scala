@@ -1153,6 +1153,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q80: overlapping passage chunking (graft.text.Chunker, SURVEY+ L45)
+    // — the RAG/embedding-corpus splitter. Pure map stage: tokenize,
+    // arithmetic chunk count, explode+slice+join; zero shuffles before
+    // the output ordering. window=16/stride=12 gives ~4 chunks per
+    // fixture doc (~50 tokens), exercising the overlap and the short
+    // final chunk.
+    "q80_passage_chunks" -> ((s, dir) =>
+      graft.text.Chunker.chunkPassages(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        windowTokens = 16, strideTokens = 12)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // q81: SpaceSaving heavy-hitters sketch (graft.sketch.SpaceSaving,
+    // SURVEY+ L46) — per-source top-10 bigrams from a bounded-memory
+    // mergeable summary. Per-document bigram ARRAYS feed the aggregate
+    // (no corpus-token explode); capacity 4096 exceeds the fixture
+    // vocabulary at every sf, so counts are exact (err 0) and the oracle
+    // is the exact ranking — the eviction/merge-bound regime is
+    // spec-covered (SpaceSavingSpec).
+    "q81_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.sketch.SpaceSaving.summary(
+          TextFunctions.wordBigrams(col("text")), 4096).as("sk"))
+        .select(col("source"),
+          posexplode(graft.sketch.SpaceSaving.topK(col("sk"), 10)))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.term").as("bigram"), col("col.count").as("est_count"),
+          col("col.err").as("err"))
+        .orderBy(col("source"), col("rank"))),
+
+    // q82: DSIR importance weights (graft.text.Dsir, SURVEY+ L47) —
+    // hashed unigram+bigram log-likelihood-ratio scores of every doc
+    // against the lang='en' target distribution. Pass 1 ships only
+    // (bucket, bool) ints into a 1024-group agg; pass 2 is a pure map
+    // stage folding a 1024-double plan literal over each doc's own
+    // feature array. 6-dp rounding absorbs summation-order noise (the
+    // q77 precedent).
+    "q82_dsir_weights" -> ((s, dir) =>
+      graft.text.Dsir.importanceWeights(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        targetPred = col("lang") === "en", numBuckets = 1024)),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2315,6 +2358,61 @@ object SparkEntry {
     "q79_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunk replay: same `\s+`-run tokens, 1 + ceil((n-16)/12) chunks,
+    // inclusive list_slice mirrors Spark's slice(start, length=16)
+    "q80_passage_chunks" ->
+      """WITH tkn AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM tkn),
+        |c AS (SELECT doc_id, t, n,
+        |  CASE WHEN n = 0 THEN 0 WHEN n <= 16 THEN 1
+        |       ELSE 1 + CAST(ceil((n - 16) / 12.0) AS INT) END AS nc
+        |  FROM n),
+        |e AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(16, n - i * 12) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, i * 12 + 1, i * 12 + 16), ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // exact ranking replay of the no-eviction regime (capacity 4096 >>
+    // fixture vocabulary): same (count desc, bigram asc) tie-break
+    "q81_heavy_hitters" ->
+      """WITH w AS (SELECT source,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT source,
+        |  unnest([w[i] || ' ' || w[i + 1] for i in range(1, greatest(len(w), 1))]) AS bigram
+        |  FROM w),
+        |c AS (SELECT source, bigram, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (SELECT source, bigram, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, bigram) AS rank
+        |  FROM c)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, bigram,
+        |  CAST(cnt AS BIGINT) AS est_count, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    // DSIR replay: md5-60 buckets mod 1024, add-1 smoothed log ratio in
+    // the exact double-op order of Dsir.importanceWeights; round(6)
+    // absorbs summation-order noise (q77 precedent)
+    "q82_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  list_concat(t, [t[i] || ' ' || t[i + 1] for i in range(1, greatest(len(t), 1))]) AS fs
+        |  FROM tk),
+        |e AS (SELECT doc_id, lang = 'en' AS tgt,
+        |  CAST(concat('0x', substr(md5(u.feat), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM f, unnest(fs) AS u(feat)),
+        |g AS (SELECT b, count(*) AS rb,
+        |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tb FROM e GROUP BY 1),
+        |tot AS (SELECT sum(rb) AS r, sum(tb) AS t FROM g),
+        |ratio AS (SELECT b,
+        |  ln((CAST(tb + 1 AS DOUBLE) / (t + 1024)) / (CAST(rb + 1 AS DOUBLE) / (r + 1024))) AS lr
+        |  FROM g CROSS JOIN tot),
+        |d AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+        |  round(sum(c * lr), 6) AS dsir_logw
+        |FROM d JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q75_line_dedup" ->
       """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
         |k AS (SELECT doc_id, len(ls) AS n_lines,

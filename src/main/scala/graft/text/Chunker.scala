@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Overlapping passage chunking — the RAG / retrieval-corpus shape: split
+  * each document into token windows of `windowTokens` advancing by
+  * `strideTokens` (overlap = window - stride), rejoined with single
+  * spaces. Every embedding-index and context-window-bounded training
+  * pipeline needs exactly this operator between "clean corpus" and
+  * "embed/pack".
+  *
+  * Chunk layout (the LangChain/LlamaIndex-standard fixed-token splitter,
+  * made deterministic):
+  *  - tokens are the engine-wide `\s+`-run convention (same class as
+  *    [[graft.functions.TextFunctions.tokenCount]] and the q74 Gopher
+  *    kernel — Java `\s`, fuzz-proven to agree with DuckDB's
+  *    `string_split_regex('\s+')`);
+  *  - chunk `i` covers tokens `[i*stride, i*stride + window)`;
+  *  - the chunk count for an n-token doc is `1 + ceil((n-window)/stride)`
+  *    (1 when `0 < n <= window`, 0 when the doc has no tokens) — i.e.
+  *    generation stops with the first chunk that reaches the end of the
+  *    document, so no trailing chunk is a strict suffix-subset of its
+  *    predecessor;
+  *  - the final chunk may be shorter than `window` (its `n_tokens` says
+  *    so); joining with a single space canonicalizes intra-chunk
+  *    whitespace, which is what embedding tokenizers want anyway.
+  *
+  * Plan shape / 100 TB: a pure map stage — tokenize, compute the chunk
+  * count arithmetically, `posexplode` a `sequence`, `slice` + `array_join`
+  * per chunk. Zero shuffles, zero UDFs (all codegen'd `functions._`), and
+  * the scan prunes to (id, text). Output row count is ~n/stride per doc —
+  * the caller-chosen fan-out — and each output row carries only its own
+  * chunk text, so downstream exchanges never see the full document again.
+  * Cost is O(tokens * window/stride) per doc (each token is copied into
+  * window/stride chunks — the inherent overlap cost, not a plan artifact).
+  *
+  * Reference surface parity note: the reference engine has no chunking
+  * surface; this is part of the beyond-the-reference LLM-pipeline mandate
+  * (SURVEY §2.13).
+  */
+object Chunker {
+
+  /** (doc_id, chunk_idx, n_tokens, chunk_text) for every window; see
+    * object doc for the exact layout contract.
+    */
+  def chunkPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens], got $strideTokens")
+    val w = lit(windowTokens)
+    val st = lit(strideTokens)
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    // 1 + ceil((n-window)/stride); the double is exact (token counts are
+    // far below 2^53) and dodges Column./'s always-double semantics.
+    // sequence() is guarded because Spark's sequence(0, -1) would count
+    // DOWN, not be empty
+    val nChunks = when(n <= 0, lit(0))
+      .when(n <= w, lit(1))
+      .otherwise(lit(1) + ceil((n - w).cast("double") / strideTokens).cast("int"))
+    val starts = when(nChunks <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("__n"),
+        explode(starts).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(w, col("__n") - col("chunk_idx") * st).cast("long").as("n_tokens"),
+        array_join(
+          slice(col("__toks"), col("chunk_idx") * st + lit(1), w), " ")
+          .as("chunk_text"))
+  }
+}

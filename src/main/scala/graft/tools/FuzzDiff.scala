@@ -920,6 +920,96 @@ object FuzzDiff {
       }
       val duck = "SELECT id, grp, s, sa, i, d FROM fuzz_docs"
       (build, duck)
+    }),
+
+    Template("fz_chunker", 8, { rng =>
+      // random window/stride over the raw-unicode column (whitespace
+      // tokenization is in contract there); replays the exact chunk-count
+      // arithmetic and inclusive list_slice of the q80 oracle
+      val w = 2 + rng.nextInt(11)
+      val st = 1 + rng.nextInt(w)
+      val build: SparkSession => DataFrame = s =>
+        graft.text.Chunker.chunkPassages(
+          s.table("fuzz_docs"), "id", "s", windowTokens = w, strideTokens = st)
+      val duck =
+        s"""WITH tkn AS (SELECT id,
+           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS t
+           |  FROM fuzz_docs WHERE s IS NOT NULL),
+           |n AS (SELECT id, t, len(t) AS n FROM tkn),
+           |c AS (SELECT id, t, n,
+           |  CASE WHEN n = 0 THEN 0 WHEN n <= $w THEN 1
+           |       ELSE 1 + CAST(ceil((n - $w) / CAST($st AS DOUBLE)) AS INT) END AS nc
+           |  FROM n),
+           |e AS (SELECT id, t, n, unnest(range(0, nc)) AS i FROM c)
+           |SELECT id AS doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           |  CAST(least($w, n - i * $st) AS BIGINT) AS n_tokens,
+           |  array_to_string(list_slice(t, i * $st + 1, i * $st + $w), ' ') AS chunk_text
+           |FROM e""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_space_saving", 8, { rng =>
+      // exact (no-eviction) regime: capacity far above the fuzz corpus
+      // vocabulary, so the sketch must replay the exact per-group token
+      // ranking; the eviction/merge-bound regime is SpaceSavingSpec's job
+      // (approximation bounds aren't oracle-comparable by nature).
+      // alnum tokenization -> case folding -> ascii twin column.
+      val k = 3 + rng.nextInt(13)
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs")
+          .groupBy(col("grp"))
+          .agg(graft.sketch.SpaceSaving.summary(
+            TextFunctions.asciiTokens(col("sa")), 4096).as("sk"))
+          .select(col("grp"),
+            posexplode(graft.sketch.SpaceSaving.topK(col("sk"), k)))
+          .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.term").as("term"), col("col.count").as("est_count"),
+            col("col.err").as("err"))
+      val duck =
+        s"""WITH tok AS (SELECT grp,
+           |  unnest(list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), x -> x <> '')) AS term
+           |  FROM fuzz_docs WHERE sa IS NOT NULL),
+           |c AS (SELECT grp, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+           |r AS (SELECT grp, term, cnt,
+           |  row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, term) AS rank
+           |  FROM c)
+           |SELECT grp, CAST(rank AS BIGINT) AS rank, term,
+           |  CAST(cnt AS BIGINT) AS est_count, CAST(0 AS BIGINT) AS err
+           |FROM r WHERE rank <= $k""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_dsir", 6, { rng =>
+      // random bucket count and target group over the ascii twin (alnum
+      // tokenization folds case); NULL grp docs are raw-only on both
+      // engines (grp = 'gX' is NULL -> counted as non-target)
+      val b = Seq(64, 256, 1024)(rng.nextInt(3))
+      val tgt = Seq("g0", "g1", "g2")(rng.nextInt(3))
+      val build: SparkSession => DataFrame = s =>
+        graft.text.Dsir.importanceWeights(
+          s.table("fuzz_docs"), "id", "sa",
+          targetPred = col("grp") === tgt, numBuckets = b)
+      val duck =
+        s"""WITH tk AS (SELECT id, grp,
+           |  list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), x -> x <> '') AS t
+           |  FROM fuzz_docs WHERE sa IS NOT NULL),
+           |f AS (SELECT id, grp,
+           |  list_concat(t, [t[i] || ' ' || t[i + 1] for i in range(1, greatest(len(t), 1))]) AS fs
+           |  FROM tk),
+           |e AS (SELECT id, grp = '$tgt' AS tgt,
+           |  CAST(concat('0x', substr(md5(u.feat), 1, 15)) AS BIGINT) % $b AS bkt
+           |  FROM f, unnest(fs) AS u(feat)),
+           |g AS (SELECT bkt, count(*) AS rb,
+           |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tb FROM e GROUP BY 1),
+           |tot AS (SELECT sum(rb) AS r, sum(tb) AS t FROM g),
+           |ratio AS (SELECT bkt,
+           |  ln((CAST(tb + 1 AS DOUBLE) / (t + $b)) / (CAST(rb + 1 AS DOUBLE) / (r + $b))) AS lr
+           |  FROM g CROSS JOIN tot),
+           |d AS (SELECT id, bkt, count(*) AS c FROM e GROUP BY 1, 2)
+           |SELECT id AS doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+           |  round(sum(c * lr), 6) AS dsir_logw
+           |FROM d JOIN ratio USING (bkt) GROUP BY id""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------
