@@ -603,6 +603,77 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** Overlapping passage chunks in one compiled pass: windows of
+    * `window` whitespace tokens advancing by `stride`, single-space
+    * rejoined, as array<struct<n_tokens, chunk_text>> in chunk order
+    * (the array index IS the chunk index under posexplode). Chunk-count
+    * arithmetic (`1 + ceil((n-window)/stride)`, 1 when 0 < n <= window)
+    * and tokenization ([[wsTokens]]) are bit-identical to the
+    * split/filter/sequence/slice/array_join Column chain it replaces,
+    * whose HOF filter and per-chunk slice re-walked the token array
+    * interpreted, once per chunk.
+    */
+  def passageChunks(s: UTF8String, window: Int, stride: Int): ArrayData = {
+    val toks = wsTokens(s.toString)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val nChunks = if (n <= window) 1 else 1 + ((n - window + stride - 1) / stride)
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val start = i * stride
+      val end = math.min(start + window, n)
+      val sb = new java.lang.StringBuilder(16 * (end - start))
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        (end - start).toLong, UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** DSIR hashed feature-bucket stream: md5-60 mod `numBuckets` over the
+    * unigrams then the consecutive bigrams of the alnum tokenization —
+    * ONE tokenization and one MessageDigest per document, replacing the
+    * interpreted `transform(concat(asciiTokens, wordBigrams), md5…)`
+    * higher-order chain (CodegenFallback) with a single compiled pass.
+    * Element order (unigrams first, then bigrams) and the md5-60 value
+    * (first 15 hex digits = first-8-bytes >>> 4, [[md5Shingle60]]) are
+    * bit-identical to the Column chain it replaces, so q82's oracle is
+    * untouched.
+    */
+  def dsirBuckets(s: UTF8String, numBuckets: Int): ArrayData = {
+    val toks = asciiTokenize(s.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length
+    val out = new Array[Long](if (n < 2) n else 2 * n - 1)
+    var j = 0
+    while (j < n) { out(j) = md5Shingle60(md, toks(j)) % numBuckets; j += 1 }
+    var k = 0
+    while (k < n - 1) {
+      out(n + k) = md5Shingle60(md, toks(k) + " " + toks(k + 1)) % numBuckets
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Left-to-right fold of `ratios(bucket)` over a bucket array — the
+    * compiled scoring half of DSIR (same accumulation order as the
+    * `aggregate` HOF it replaces, so results are bit-identical).
+    */
+  def dsirScore(arr: ArrayData, ratios: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { acc += ratios(arr.getLong(i).toInt); i += 1 }
+    acc
+  }
+
   /** Count of lowercased whitespace tokens that are members of `set`, and
     * the total token count — the fused kernel behind stopwordRatio.
     * Returns (matches, tokens) packed in a long (matches << 32 | tokens).

@@ -293,6 +293,75 @@ case class WordBigramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Overlapping passage chunks as array<struct<n_tokens, chunk_text>> in
+  * chunk order — one compiled pass per document; see
+  * [[TextAlgo.passageChunks]].
+  */
+case class PassageChunksExpr(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window > 0, s"window must be positive, got $window")
+  require(stride > 0 && stride <= window,
+    s"stride must be in [1, window], got $stride")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "passage_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.passageChunks(input.asInstanceOf[UTF8String], window, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextAlgo.passageChunks($c, $window, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): PassageChunksExpr =
+    copy(child = newChild)
+}
+
+/** DSIR hashed feature-bucket stream (md5-60 mod numBuckets over unigrams
+  * then bigrams) — one compiled pass per document; see
+  * [[TextAlgo.dsirBuckets]].
+  */
+case class DsirBucketsExpr(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.dsirBuckets(input.asInstanceOf[UTF8String], numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.dsirBuckets($c, $numBuckets)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Compiled left-to-right fold of `ratios(bucket)` over a bucket array —
+  * the DSIR scoring pass with the ratio table shipped as a reference
+  * object instead of a numBuckets-element array literal.
+  */
+case class DsirScoreExpr(child: Expression, ratios: Seq[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> column, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_score"
+  @transient private lazy val ratioArr: Array[Double] = ratios.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.dsirScore(input.asInstanceOf[ArrayData], ratioArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirRatios", ratioArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.dsirScore($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
+    copy(child = newChild)
+}
+
 /** Packed (matches << 32 | tokens) counts of lowercased whitespace tokens
   * that belong to a fixed word set — the fused kernel behind stopwordRatio.
   */

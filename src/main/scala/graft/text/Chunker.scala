@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    so); joining with a single space canonicalizes intra-chunk
   *    whitespace, which is what embedding tokenizers want anyway.
   *
-  * Plan shape / 100 TB: a pure map stage — tokenize, compute the chunk
-  * count arithmetically, `posexplode` a `sequence`, `slice` + `array_join`
-  * per chunk. Zero shuffles, zero UDFs (all codegen'd `functions._`), and
-  * the scan prunes to (id, text). Output row count is ~n/stride per doc —
+  * Plan shape / 100 TB: a pure map stage — ONE compiled pass per document
+  * ([[graft.functions.PassageChunksExpr]]: tokenize, arithmetic chunk
+  * count, build every chunk) followed by a `posexplode`. Zero shuffles,
+  * zero UDFs, no interpreted higher-order functions, and the scan prunes
+  * to (id, text). Output row count is ~n/stride per doc —
   * the caller-chosen fan-out — and each output row carries only its own
   * chunk text, so downstream exchanges never see the full document again.
   * Cost is O(tokens * window/stride) per doc (each token is copied into
@@ -53,27 +54,18 @@ object Chunker {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     require(strideTokens > 0 && strideTokens <= windowTokens,
       s"strideTokens must be in [1, windowTokens], got $strideTokens")
-    val w = lit(windowTokens)
-    val st = lit(strideTokens)
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
-    val n = size(toks)
-    // 1 + ceil((n-window)/stride); the double is exact (token counts are
-    // far below 2^53) and dodges Column./'s always-double semantics.
-    // sequence() is guarded because Spark's sequence(0, -1) would count
-    // DOWN, not be empty
-    val nChunks = when(n <= 0, lit(0))
-      .when(n <= w, lit(1))
-      .otherwise(lit(1) + ceil((n - w).cast("double") / strideTokens).cast("int"))
-    val starts = when(nChunks <= 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), nChunks - 1))
-    df.select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("__n"),
-        explode(starts).as("chunk_idx"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    // one compiled pass per document (PassageChunksExpr); posexplode's
+    // position IS the chunk index, so the kernel carries no redundant
+    // index field. Null/token-less docs yield null/empty arrays -> no rows.
+    val chunks = toCol(graft.functions.PassageChunksExpr(
+      toExpr(col(textCol)), windowTokens, strideTokens))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
-        least(w, col("__n") - col("chunk_idx") * st).cast("long").as("n_tokens"),
-        array_join(
-          slice(col("__toks"), col("chunk_idx") * st + lit(1), w), " ")
-          .as("chunk_text"))
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
   }
 }

@@ -53,9 +53,16 @@ object Dsir {
   def features(text: Column): Column =
     concat(TextFunctions.asciiTokens(text), TextFunctions.wordBigrams(text))
 
-  /** Portable hash bucket per feature: md5-60 mod numBuckets (array<long>). */
-  def featureBuckets(text: Column, numBuckets: Int): Column =
-    transform(features(text), f => graft.sketch.Kmv.hash60(f) % numBuckets)
+  /** Portable hash bucket per feature: md5-60 mod numBuckets (array<long>),
+    * unigrams first then bigrams — ONE compiled pass
+    * ([[graft.functions.DsirBucketsExpr]]); bit-identical to
+    * `transform(features, Kmv.hash60(_) % numBuckets)` which as an
+    * interpreted HOF chain cost 2.3x the wall time at sf0.1.
+    */
+  def featureBuckets(text: Column, numBuckets: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.functions.DsirBucketsExpr(toExpr(text), numBuckets))
+  }
 
   /** (doc_id, n_features, dsir_logw) for every document with at least one
     * feature, deterministic 6-dp weights; see object doc for semantics.
@@ -99,18 +106,17 @@ object Dsir {
       ratios(b) = math.log(((tb + 1).toDouble / (tgtTotal + numBuckets)) /
         ((rb + 1).toDouble / (rawTotal + numBuckets)))
     }
-    val ratioLit = array(ratios.toIndexedSeq.map(lit): _*)
-
-    // pass 2: pure map stage — fold ratio[bucket] over the document's own
-    // feature array; no join, no exchange
+    // pass 2: pure map stage — compiled fold of ratio[bucket] over the
+    // document's own feature array; no join, no exchange. The ratio table
+    // ships as a codegen reference object, not a numBuckets-wide literal.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val buckets = featureBuckets(col(textCol), numBuckets)
     df.select(col(idCol).as("doc_id"), buckets.as("__bs"))
       .where(size(col("__bs")) > 0)
       .select(col("doc_id"),
         size(col("__bs")).cast("long").as("n_features"),
         round(
-          aggregate(col("__bs"), lit(0.0),
-            (acc, b) => acc + element_at(ratioLit, b.cast("int") + 1)),
+          toCol(graft.functions.DsirScoreExpr(toExpr(col("__bs")), ratios.toIndexedSeq)),
           6).as("dsir_logw"))
       .orderBy(col("doc_id"))
   }
