@@ -1196,6 +1196,39 @@ object SparkEntry {
         t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
         targetPred = col("lang") === "en", numBuckets = 1024)),
 
+    // q83: group-centroid embedding pooling (graft.similarity.Pooling,
+    // SURVEY+ L48) — per-label mean centroid over x1000-quantized
+    // vectors. The TypedImperativeAggregate ships ONE dim-length double
+    // array per (group x map-partition) instead of an n x dim posexplode
+    // shuffle; integral quantized inputs make the sums exact in any merge
+    // order, so the oracle is a bit-exact replay with no rounding. The
+    // final posexplode runs over the 10-group AGGREGATED result (the
+    // driver gate has no array-column precedent), not the data.
+    "q83_label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000, 0)).as("qv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.similarity.Pooling.meanPool(col("qv")).as("centroid"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("label"), col("n_vecs"),
+          col("dim").cast("long").as("dim"), col("c"))
+        .orderBy(col("label"), col("dim"))),
+
+    // q84: cross-doc duplicated-span detection (graft.dedup.SpanDedup,
+    // SURVEY+ L49) — Lee-et-al-style exact-substring spans via word-8-gram
+    // anchors (md5-60 portable hash for the oracle; xxhash64 default in
+    // production): positions whose gram occurs in >=2 distinct docs,
+    // merged per doc into maximal overlap-or-abut token runs.
+    "q84_duplicated_spans" -> ((s, dir) =>
+      graft.dedup.SpanDedup.duplicatedSpans(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        n = 8, minDocs = 2, hash = graft.dedup.SpanDedup.portableHash60)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2420,7 +2453,42 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars_after
-        |FROM k ORDER BY doc_id""".stripMargin
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // pooled-centroid replay: x1000 quantization makes every element
+    // integral, so sum/count is exact in any accumulation order on both
+    // engines — a bit-exact double compare, no rounding cap needed
+    "q83_label_centroids" ->
+      """WITH q AS (SELECT label,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS qv
+        |  FROM embeddings),
+        |u AS (SELECT label, unnest(qv) AS v, unnest(range(0, len(qv))) AS i FROM q),
+        |m AS (SELECT label, i AS dim, sum(v) / count(v) AS c FROM u GROUP BY label, i),
+        |n AS (SELECT label, count(*) AS n_vecs FROM q GROUP BY label)
+        |SELECT m.label, n.n_vecs, CAST(m.dim AS BIGINT) AS dim, m.c
+        |FROM m JOIN n ON m.label IS NOT DISTINCT FROM n.label
+        |ORDER BY m.label, m.dim""".stripMargin,
+    // duplicated-span replay: same \s+ word convention (q80), md5-60 gram
+    // hashes, df>=2 over DISTINCT docs, gaps-and-islands merge with the
+    // same ">n breaks" rule (abutting windows merge)
+    "q84_duplicated_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |gr AS (SELECT doc_id, i - 1 AS pos,
+        |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM w) s),
+        |d AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr) t
+        |  GROUP BY g HAVING count(*) >= 2),
+        |p AS (SELECT gr.doc_id, gr.pos FROM gr JOIN d USING (g)),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |       THEN 1 ELSE 0 END AS brk FROM p),
+        |i AS (SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

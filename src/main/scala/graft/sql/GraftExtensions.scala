@@ -64,6 +64,13 @@ object GraftFunctions {
         s"$fn: argument ${pos + 1} must be an integer literal, got $other")
     }
 
+  private def strLit(fn: String, args: Seq[Expression], pos: Int): String =
+    args(pos) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a string literal, got $other")
+    }
+
   private def fd(name: String, clazz: Class[_], arity: Int)(
       builder: Seq[Expression] => Expression): FunctionDescription =
     (FunctionIdentifier(name),
@@ -122,7 +129,10 @@ object GraftFunctions {
     fd("graft_kmv_distinct_estimate", classOf[KmvSketchAgg], 2)(a =>
       kmvDistinctEstimateExpr(a(0), intLit("graft_kmv_distinct_estimate", a, 1))),
     fd("graft_kmv_jaccard_estimate", classOf[KmvSketchAgg], 3)(a =>
-      kmvJaccardEstimateExpr(a(0), a(1), intLit("graft_kmv_jaccard_estimate", a, 2))))
+      kmvJaccardEstimateExpr(a(0), a(1), intLit("graft_kmv_jaccard_estimate", a, 2))),
+    fd("graft_vec_pool", classOf[graft.similarity.VecPoolAgg], 2)(a =>
+      graft.similarity.VecPoolAgg(a(0),
+        graft.similarity.VecPoolAgg.modeOf(strLit("graft_vec_pool", a, 1)))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

@@ -1010,6 +1010,70 @@ object FuzzDiff {
            |  round(sum(c * lr), 6) AS dsir_logw
            |FROM d JOIN ratio USING (bkt) GROUP BY id""".stripMargin
       (build, duck)
+    }),
+
+    Template("fz_vec_pool", 8, { rng =>
+      // mean over clamp-rounded (integral) elements is exact in any
+      // accumulation order; max/min over the RAW edge doubles (1e150,
+      // denormals, zero vectors) are order-independent bit-exact
+      val k = 2 + rng.nextInt(4)
+      val build: SparkSession => DataFrame = s => {
+        val q = transform(col("v"),
+          x => round(least(greatest(x, lit(-1e6)), lit(1e6)), 0))
+        s.table("fuzz_vecs")
+          .select((col("id") % k).as("g"), col("v"), q.as("qv"))
+          .groupBy("g")
+          .agg(count(col("v")).as("n"),
+            graft.similarity.Pooling.meanPool(col("qv")).as("mean_q"),
+            graft.similarity.Pooling.maxPool(col("v")).as("mx"),
+            graft.similarity.Pooling.minPool(col("v")).as("mn"))
+      }
+      val duck =
+        s"""WITH base AS (SELECT id % $k AS g, v,
+           |  list_transform(v, x -> round(least(greatest(x, -1000000.0), 1000000.0), 0)) AS qv
+           |  FROM fuzz_vecs),
+           |u AS (SELECT g, unnest(qv) AS q, unnest(v) AS raw,
+           |  unnest(range(1, len(v) + 1)) AS i FROM base WHERE v IS NOT NULL),
+           |a AS (SELECT g, i, sum(q) / count(q) AS mq, max(raw) AS mxe, min(raw) AS mne
+           |  FROM u GROUP BY g, i),
+           |c AS (SELECT g, count(v) AS n FROM base GROUP BY g)
+           |SELECT c.g, c.n,
+           |  (SELECT list(mq ORDER BY i) FROM a WHERE a.g = c.g) AS mean_q,
+           |  (SELECT list(mxe ORDER BY i) FROM a WHERE a.g = c.g) AS mx,
+           |  (SELECT list(mne ORDER BY i) FROM a WHERE a.g = c.g) AS mn
+           |FROM c""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_dup_spans", 8, { rng =>
+      // cross-doc duplicated spans over the edge corpus (NULLs, empties,
+      // exotic whitespace): small n so the limited fuzz vocabulary
+      // actually collides; md5-60 portable hash replays in DuckDB
+      val n = 2 + rng.nextInt(3)
+      val minDocs = 2 + rng.nextInt(2)
+      val build: SparkSession => DataFrame = s =>
+        graft.dedup.SpanDedup.duplicatedSpans(
+          s.table("fuzz_docs"), "id", "s", n = n, minDocs = minDocs,
+          hash = graft.dedup.SpanDedup.portableHash60)
+      val duck =
+        s"""WITH w AS (SELECT id,
+           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS w
+           |  FROM fuzz_docs),
+           |gr AS (SELECT id, i - 1 AS pos,
+           |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + ${n - 1}), ' ')), 1, 15)) AS BIGINT) AS g
+           |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - ${n - 2}, 1))) AS i FROM w) sq),
+           |d AS (SELECT g FROM (SELECT DISTINCT g, id FROM gr) t
+           |  GROUP BY g HAVING count(*) >= $minDocs),
+           |p AS (SELECT gr.id, gr.pos FROM gr JOIN d USING (g)),
+           |m AS (SELECT id, pos,
+           |  CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > $n
+           |       THEN 1 ELSE 0 END AS brk FROM p),
+           |isl AS (SELECT id, pos,
+           |  sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island FROM m)
+           |SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) + $n AS BIGINT) AS span_end
+           |FROM isl GROUP BY id, island""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------

@@ -55,6 +55,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows(1).getAs[scala.collection.Seq[Long]]("sk") === Seq(9L))
   }
 
+  test("vec_pool aggregate works in SQL GROUP BY and matches the Column API") {
+    import sql.implicits._
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(5.0, 6.0)))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("pool_in")
+    val rows = sql.sql(
+      """SELECT g, graft_vec_pool(v, 'mean') AS m, graft_vec_pool(v, 'max') AS x
+        |FROM pool_in GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("m") === Seq(2.0, 3.0))
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("x") === Seq(3.0, 4.0))
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("m") === Seq(5.0, 6.0))
+    import org.apache.spark.sql.functions._
+    val viaCol = df.groupBy("g")
+      .agg(graft.similarity.Pooling.meanPool(col("v")).as("m"))
+      .orderBy("g").collect()(0).getAs[scala.collection.Seq[Double]]("m")
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("m") === viaCol)
+    val bad = intercept[Exception] {
+      sql.sql("SELECT graft_vec_pool(v, 'median') FROM pool_in").collect()
+    }
+    assert(bad.getMessage.contains("sum|mean|max|min") ||
+      Option(bad.getCause).exists(_.getMessage.contains("sum|mean|max|min")))
+  }
+
   test("kmv estimators expand as SQL macros over sketch arrays") {
     val r = sql.sql(
       """SELECT
