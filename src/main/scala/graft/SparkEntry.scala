@@ -1229,6 +1229,22 @@ object SparkEntry {
         n = 8, minDocs = 2, hash = graft.dedup.SpanDedup.portableHash60)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // q85: span removal — the cleaning half of L49: q84's spans cut out
+    // of every document by the compiled single-pass RemoveSpansExpr
+    // kernel (spans pack into one small array per affected doc; plain
+    // equi-join; no corpus explode, no window). Output is the full
+    // cleaned text, so the oracle is a byte-exact string compare.
+    "q85_strip_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = graft.dedup.SpanDedup.duplicatedSpans(
+        docs, idCol = "doc_id", textCol = "text", n = 8, minDocs = 2,
+        hash = graft.dedup.SpanDedup.portableHash60)
+      graft.dedup.SpanDedup.stripSpans(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text", spans)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2488,7 +2504,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 8 AS BIGINT) AS span_end
         |FROM i GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // span-removal replay: q84's span pipeline + keep tokens not covered
+    // by any [s,e) span, rejoined with single spaces (the kernel's
+    // whitespace normalization) — byte-exact string compare
+    "q85_strip_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |gr AS (SELECT doc_id, i - 1 AS pos,
+        |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i FROM w) s),
+        |d AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr) t
+        |  GROUP BY g HAVING count(*) >= 2),
+        |p AS (SELECT gr.doc_id, gr.pos FROM gr JOIN d USING (g)),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |       THEN 1 ELSE 0 END AS brk FROM p),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m),
+        |spn AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |sl AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spn GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN w.w IS NULL THEN NULL
+        |       -- array_to_string([]) is NULL in DuckDB; a fully-covered
+        |       -- doc must compare as '' like the kernel emits
+        |       ELSE coalesce(array_to_string([w.w[i] for i in range(1, len(w.w) + 1)
+        |         if sl.sp IS NULL OR len(list_filter(sl.sp, r -> r.s <= i - 1 AND i - 1 < r.e)) = 0],
+        |         ' '), '') END AS clean_text
+        |FROM w LEFT JOIN sl USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -98,6 +98,35 @@ object SpanDedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Cut the given spans out of each document — the cleaning half of
+    * exact-substring dedup. `spans` is a `duplicatedSpans`-shaped frame
+    * (idCol, span_start, span_end); the caller chooses the removal POLICY
+    * by filtering it first (e.g. anti-join the per-cluster canonical doc
+    * to keep one occurrence, Lee et al. style). Returns `df` plus a
+    * `clean_text` column; documents with no spans keep all tokens.
+    *
+    * Shape: spans aggregate to one small array per affected doc (far
+    * fewer rows than the corpus), the join is a plain equi-join on the id,
+    * and the cut itself is the compiled single-pass
+    * [[graft.functions.TextFunctions.removeSpans]] kernel — no explode of
+    * the corpus, no window. NOTE `clean_text` is whitespace-normalized
+    * (any `\s+` run becomes one space) even where nothing was removed.
+    */
+  def stripSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
+    val packed = spans.groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__graft_spans"))
+    df.join(packed, Seq(idCol), "left")
+      .withColumn("clean_text",
+        graft.functions.TextFunctions.removeSpans(col(textCol),
+          coalesce(col("__graft_spans"),
+            array().cast("array<struct<span_start:bigint,span_end:bigint>>"))))
+      .drop("__graft_spans")
+  }
+
   /** Per-document duplication profile over the spans: span count, total
     * duplicated tokens, and the duplicated-token fraction — the
     * drop-or-keep signal a curation pipeline thresholds on. Documents

@@ -978,6 +978,47 @@ object TextAlgo {
     UTF8String.fromString(String.join("\n", seen))
   }
 
+  /** Remove the tokens covered by `spans` ([start,end) token-index pairs,
+    * the `SpanDedup.duplicatedSpans` output shape) and rejoin the kept
+    * tokens with single spaces — the cleaning half of exact-substring
+    * dedup. Tokens are the engine-wide `\s+`-run convention ([[wsTokens]]),
+    * so indices line up with `SpanDedup.positionalGramHashes` exactly.
+    * Spans may overlap or arrive unsorted (coverage is a per-token mark,
+    * not a sweep); out-of-range positions are clamped; null span elements
+    * or null bounds are skipped. NOTE the output is whitespace-NORMALIZED
+    * (any `\s+` run becomes one space) even where no span matched — the
+    * same normalization either side of a cut would force anyway.
+    */
+  def removeSpans(text: UTF8String, spans: ArrayData): UTF8String = {
+    val toks = wsTokens(text.toString)
+    val covered = new Array[Boolean](toks.length)
+    val n = spans.numElements()
+    var i = 0
+    while (i < n) {
+      if (!spans.isNullAt(i)) {
+        val r = spans.getStruct(i, 2)
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          var p = math.max(r.getLong(0), 0L).toInt
+          val e = math.min(r.getLong(1), toks.length.toLong).toInt
+          while (p < e) { covered(p) = true; p += 1 }
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var j = 0
+    var first = true
+    while (j < toks.length) {
+      if (!covered(j)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

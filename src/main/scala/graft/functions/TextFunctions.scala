@@ -206,6 +206,17 @@ object TextFunctions {
     toColL(DedupLinesExpr(toExprL(c)))
   }
 
+  /** Remove `[start,end)` token-index spans from the text and rejoin the
+    * kept tokens with single spaces ([[RemoveSpansExpr]], compiled, zero
+    * shuffle) — the cleaning half of `dedup/SpanDedup`. `spans` is an
+    * `array<struct<bigint,bigint>>` column; the output is whitespace-
+    * normalized (see the kernel scaladoc).
+    */
+  def removeSpans(text: Column, spans: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColL, expression => toExprL}
+    toColL(RemoveSpansExpr(toExprL(text), toExprL(spans)))
+  }
+
   // --- PII scrubbing -------------------------------------------------------
   // Patterns deliberately restricted to regex syntax shared by Java's
   // engine and RE2 (character classes, bounded repeats, \b; no lookarounds)

@@ -142,6 +142,31 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Token-span removal: drop the `[start,end)` token-index ranges of
+  * `spans` from the text and rejoin with single spaces (whitespace-
+  * normalizing) — the compiled cleaning kernel behind
+  * `SpanDedup.stripSpans`. Single-pass per row; spans may overlap.
+  */
+case class RemoveSpansExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, ArrayType(st: StructType, _))
+        if st.fields.length == 2 && st.fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, array<struct<bigint,bigint>>) inputs, got ($l, $r)")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_spans"
+  override protected def nullSafeEval(t: Any, sp: Any): Any =
+    TextAlgo.removeSpans(t.asInstanceOf[UTF8String], sp.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, sp) => s"graft.functions.TextAlgo.removeSpans($t, $sp)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveSpansExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of a string column (whitespace tokens, bit voting). */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {

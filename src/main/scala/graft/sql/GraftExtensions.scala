@@ -132,7 +132,9 @@ object GraftFunctions {
       kmvJaccardEstimateExpr(a(0), a(1), intLit("graft_kmv_jaccard_estimate", a, 2))),
     fd("graft_vec_pool", classOf[graft.similarity.VecPoolAgg], 2)(a =>
       graft.similarity.VecPoolAgg(a(0),
-        graft.similarity.VecPoolAgg.modeOf(strLit("graft_vec_pool", a, 1)))))
+        graft.similarity.VecPoolAgg.modeOf(strLit("graft_vec_pool", a, 1)))),
+    fd("graft_remove_spans", classOf[RemoveSpansExpr], 2)(a =>
+      RemoveSpansExpr(a(0), a(1))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

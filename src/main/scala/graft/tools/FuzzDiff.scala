@@ -1074,6 +1074,46 @@ object FuzzDiff {
            |  CAST(max(pos) + $n AS BIGINT) AS span_end
            |FROM isl GROUP BY id, island""".stripMargin
       (build, duck)
+    }),
+
+    Template("fz_strip_spans", 6, { rng =>
+      // end-to-end span removal: duplicated spans cut out and the kept
+      // tokens rejoined — byte-exact string compare on the edge corpus
+      val n = 2 + rng.nextInt(3)
+      val build: SparkSession => DataFrame = s => {
+        val docs = s.table("fuzz_docs")
+        val spans = graft.dedup.SpanDedup.duplicatedSpans(
+          docs, "id", "s", n = n, minDocs = 2,
+          hash = graft.dedup.SpanDedup.portableHash60)
+        graft.dedup.SpanDedup.stripSpans(
+            docs.select(col("id"), col("s")), "id", "s", spans)
+          .select(col("id"), col("clean_text"))
+      }
+      val duck =
+        s"""WITH w AS (SELECT id,
+           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS w
+           |  FROM fuzz_docs),
+           |gr AS (SELECT id, i - 1 AS pos,
+           |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + ${n - 1}), ' ')), 1, 15)) AS BIGINT) AS g
+           |  FROM (SELECT id, w, unnest(range(1, greatest(len(w) - ${n - 2}, 1))) AS i FROM w) sq),
+           |d AS (SELECT g FROM (SELECT DISTINCT g, id FROM gr) t
+           |  GROUP BY g HAVING count(*) >= 2),
+           |p AS (SELECT gr.id, gr.pos FROM gr JOIN d USING (g)),
+           |m AS (SELECT id, pos,
+           |  CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > $n
+           |       THEN 1 ELSE 0 END AS brk FROM p),
+           |isl AS (SELECT id, pos,
+           |  sum(brk) OVER (PARTITION BY id ORDER BY pos) AS island FROM m),
+           |spn AS (SELECT id, min(pos) AS st, max(pos) + $n AS e
+           |  FROM isl GROUP BY id, island),
+           |sl AS (SELECT id, list({'s': st, 'e': e}) AS sp FROM spn GROUP BY id)
+           |SELECT w.id,
+           |  CASE WHEN w.w IS NULL THEN NULL
+           |       ELSE coalesce(array_to_string([w.w[i] for i in range(1, len(w.w) + 1)
+           |         if sl.sp IS NULL OR len(list_filter(sl.sp, r -> r.s <= i - 1 AND i - 1 < r.e)) = 0],
+           |         ' '), '') END AS clean_text
+           |FROM w LEFT JOIN sl USING (id)""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------

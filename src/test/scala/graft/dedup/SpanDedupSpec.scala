@@ -88,6 +88,43 @@ class SpanDedupSpec extends SparkSpec {
     assert(viaXx === viaMd5)
   }
 
+  test("stripSpans cuts exactly the spanned tokens; no-span docs keep all tokens") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f g h x y"),
+      (3L, "an untouched document"))
+    val df = docs.toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(df, "doc_id", "text", n = 4)
+    val out = SpanDedup.stripSpans(df, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).toSeq
+    // doc 1 loses tokens [2,8), doc 2 loses [0,6), doc 3 untouched
+    assert(out === Seq((1L, "a b"), (2L, "x y"), (3L, "an untouched document")))
+  }
+
+  test("stripSpans policy hook: filtering the spans frame protects a canonical doc") {
+    val docs = Seq((1L, "k1 k2 k3 k4"), (2L, "k1 k2 k3 k4")).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .where(col("doc_id") =!= 1L) // keep doc 1's occurrence (Lee-style)
+    val out = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean_text")).toSeq
+    assert(out === Seq("k1 k2 k3 k4", ""))
+  }
+
+  test("removeSpans kernel: overlaps, out-of-range clamps, whitespace normalization") {
+    val df = Seq(("a  b\tc d   e", Seq((1L, 3L), (2L, 4L), (-5L, 1L), (4L, 99L))))
+      .toDF("t", "sp")
+      .select(graft.functions.TextFunctions.removeSpans(
+        col("t"), col("sp").cast("array<struct<s:bigint,e:bigint>>")).as("c"))
+    // tokens a b c d e; covered: [-5,1)->{0}, [1,3)->{1,2}, [2,4)->{2,3}, [4,99)->{4}
+    assert(df.collect()(0).getString(0) === "")
+    val df2 = Seq(("  x   y  z ", Seq((1L, 2L))))
+      .toDF("t", "sp")
+      .select(graft.functions.TextFunctions.removeSpans(
+        col("t"), col("sp").cast("array<struct<s:bigint,e:bigint>>")).as("c"))
+    assert(df2.collect()(0).getString(0) === "x z")
+  }
+
   test("spanStats: counts, token totals and fraction; zero rows for clean docs") {
     val docs = Seq(
       (1L, "s1a s1b s1c s1d m1 m2 m3 m4 m5 e1 e2 e3 e4"),

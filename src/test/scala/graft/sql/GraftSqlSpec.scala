@@ -28,12 +28,14 @@ class GraftSqlSpec extends SparkSpec {
         |  graft_simhash64('the quick brown fox') AS sh,
         |  graft_lang_guess('the cat and the hat is you') AS lang,
         |  graft_word_ngrams('a b c d', 3) AS ng,
-        |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac
+        |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+        |  graft_remove_spans('a  b c d', array(named_struct('s', 1L, 'e', 3L))) AS rs
         |""".stripMargin).collect()(0)
     assert(r.getAs[Double]("cos_same") === 1.0)
     assert(r.getAs[Double]("dot") === 11.0)
     assert(r.getAs[Double]("d2") === 25.0)
     assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[String]("rs") === "a d")
     assert(r.getAs[scala.collection.Seq[String]]("ng") === Seq("a b c", "b c d"))
     assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-12)
     // parity with the Column API on the same input
