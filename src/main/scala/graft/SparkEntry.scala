@@ -1206,6 +1206,12 @@ object SparkEntry {
     // driver gate has no array-column precedent), not the data.
     "q83_label_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
+        // the aggregate skips NULL rows and rows containing a null
+        // element; filter them HERE too so n_vecs always equals the
+        // mean denominator (fixture has neither, but a regenerated
+        // scale-up must not be able to diverge the oracle)
+        .where(col("embedding").isNotNull &&
+          !exists(col("embedding"), x => x.isNull))
         .select(col("label"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1000, 0)).as("qv"))
@@ -2476,7 +2482,9 @@ object SparkEntry {
     "q83_label_centroids" ->
       """WITH q AS (SELECT label,
         |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS qv
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |u AS (SELECT label, unnest(qv) AS v, unnest(range(0, len(qv))) AS i FROM q),
         |m AS (SELECT label, i AS dim, sum(v) / count(v) AS c FROM u GROUP BY label, i),
         |n AS (SELECT label, count(*) AS n_vecs FROM q GROUP BY label)

@@ -41,9 +41,11 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** The repo-wide portable 60-bit gram hash (q59/KMV convention). */
-  def portableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** The repo-wide portable 60-bit gram hash (q59/KMV convention) —
+    * delegates to [[graft.sketch.Kmv.hash60]] so the convention cannot
+    * drift between the sketch and span surfaces.
+    */
+  def portableHash60(c: Column): Column = graft.sketch.Kmv.hash60(c)
 
   /** (id, pos, gram-hash) for every word-n-gram start position; `pos` is
     * the 0-based TOKEN index. Tokens are whitespace-split, empties
@@ -66,10 +68,14 @@ object SpanDedup {
   }
 
   /** Maximal duplicated token spans: one row per (document, merged run),
-    * as `(idCol, span_start, span_end)` with `span_end` exclusive —
-    * tokens [span_start, span_end) also occur, verbatim and in order, in
-    * at least `minDocs - 1` OTHER documents (per n-gram-anchor evidence).
-    * Overlapping or exactly-abutting windows merge into one span.
+    * as `(idCol, span_start, span_end)` with `span_end` exclusive.
+    * Every n-token WINDOW anchoring the span occurs in at least
+    * `minDocs - 1` OTHER documents; overlapping or exactly-abutting
+    * windows merge into one span. NOTE the merged run as a whole need
+    * not occur verbatim in any single other document — adjacent anchors
+    * may be witnessed by different docs (n-gram-anchor evidence, the
+    * standard approximation of the suffix-array pass; choose n as the
+    * minimum run length worth acting on).
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -144,7 +150,12 @@ object SpanDedup {
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("span_end") - col("span_start")).as("dup_tokens"))
     val toks = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+    // coalesce: a NULL-text doc reports n_tokens 0 (the documented
+    // "zeros" contract), not a NULL that silently escapes threshold
+    // filters downstream
+    df.select(col(idCol),
+        // greatest also guards the legacy size(NULL) = -1 session config
+        greatest(coalesce(size(toks).cast("long"), lit(0L)), lit(0L)).as("n_tokens"))
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),

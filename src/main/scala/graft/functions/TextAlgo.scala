@@ -998,8 +998,11 @@ object TextAlgo {
       if (!spans.isNullAt(i)) {
         val r = spans.getStruct(i, 2)
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          var p = math.max(r.getLong(0), 0L).toInt
-          val e = math.min(r.getLong(1), toks.length.toLong).toInt
+          // clamp IN Long space before narrowing — a start above
+          // Int.MaxValue must clamp to the token count, not wrap
+          val nToks = toks.length.toLong
+          var p = math.min(math.max(r.getLong(0), 0L), nToks).toInt
+          val e = math.min(math.max(r.getLong(1), 0L), nToks).toInt
           while (p < e) { covered(p) = true; p += 1 }
         }
       }

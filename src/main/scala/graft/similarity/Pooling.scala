@@ -38,7 +38,11 @@ import org.apache.spark.sql.types._
   *  - `max`/`min` are exactly order-independent; `sum`/`mean` are exact
   *    up to floating addition order (bit-identical when the inputs are
   *    integral-valued, e.g. quantized vectors — the q83 oracle exploits
-  *    this; on raw floats the noise is ULP-scale).
+  *    this; on raw floats the noise is ULP-scale);
+  *  - NaN follows Spark's sort semantics (NaN is greater than any
+  *    non-NaN): `max` of a dim containing NaN is NaN, `min` is NaN only
+  *    when every value in that dim is NaN; `sum`/`mean` propagate NaN
+  *    like plain double addition.
   *
   * Reference surface parity note: the reference engine (pandas fairness
   * library) has no vector surface; this is part of the
@@ -62,38 +66,44 @@ object Pooling {
     toCol(VecPoolAgg(toExpr(vec), mode).toAggregateExpression())
 }
 
-/** Mutable pooling buffer: lazily sized on the first vector; `n` counts
-  * the vectors folded in (the mean denominator).
+/** Mutable pooling buffer: lazily sized from (a copy of) the first
+  * vector — no ±Infinity init sentinels can ever leak into a result —
+  * and combined element-wise after that; `n` counts the vectors folded
+  * in (the mean denominator).
   */
 final class VecPoolBuffer(val mode: Int) {
   private[similarity] var acc: Array[Double] = null
   private[similarity] var n: Long = 0L
 
-  /** Folds one dense vector in; `get(i)` must be total on [0, dim). */
-  def add(dim: Int, get: Int => Double): Unit = {
-    if (acc == null) {
-      acc = new Array[Double](dim)
-      if (mode == VecPoolAgg.Max) java.util.Arrays.fill(acc, Double.NegativeInfinity)
-      else if (mode == VecPoolAgg.Min) java.util.Arrays.fill(acc, Double.PositiveInfinity)
-    } else require(acc.length == dim,
-      s"vec_pool: dimension mismatch — group has dim ${acc.length}, row has dim $dim")
-    var i = 0
-    while (i < dim) {
-      val v = get(i)
+  /** Claims `values` (ownership transfers — callers pass a fresh array). */
+  def add(values: Array[Double]): Unit = {
+    if (acc == null) acc = values
+    else {
+      val dim = values.length
+      require(acc.length == dim,
+        s"vec_pool: dimension mismatch — group has dim ${acc.length}, row has dim $dim")
+      var i = 0
       (mode: @annotation.switch) match {
-        case VecPoolAgg.Max => if (v > acc(i)) acc(i) = v
-        case VecPoolAgg.Min => if (v < acc(i)) acc(i) = v
-        case _ => acc(i) += v
+        case VecPoolAgg.Max =>
+          // Math.max: NaN wins — Spark's "NaN greater than any non-NaN"
+          while (i < dim) { acc(i) = math.max(acc(i), values(i)); i += 1 }
+        case VecPoolAgg.Min =>
+          // NaN loses to any real value; stays only if every value is NaN
+          while (i < dim) {
+            val v = values(i)
+            if (v < acc(i) || acc(i).isNaN) acc(i) = v
+            i += 1
+          }
+        case _ =>
+          while (i < dim) { acc(i) += values(i); i += 1 }
       }
-      i += 1
     }
     n += 1
   }
 
   def mergeIn(o: VecPoolBuffer): Unit = {
     if (o.acc != null) {
-      val dim = o.acc.length
-      add(dim, o.acc(_))
+      add(o.acc) // merge combine == row combine for all four modes
       n += o.n - 1 // add() counted the merged buffer as one vector
     }
   }
@@ -133,13 +143,22 @@ case class VecPoolAgg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val dim = arr.numElements()
+      // one direct pass: copy out + null-element detection, no closures
+      val values = new Array[Double](dim)
       var anyNull = false
       var i = 0
-      while (i < dim && !anyNull) { anyNull = arr.isNullAt(i); i += 1 }
-      if (!anyNull) {
-        if (floatInput) buffer.add(dim, j => arr.getFloat(j).toDouble)
-        else buffer.add(dim, arr.getDouble(_))
+      if (floatInput) {
+        while (i < dim && !anyNull) {
+          if (arr.isNullAt(i)) anyNull = true
+          else { values(i) = arr.getFloat(i).toDouble; i += 1 }
+        }
+      } else {
+        while (i < dim && !anyNull) {
+          if (arr.isNullAt(i)) anyNull = true
+          else { values(i) = arr.getDouble(i); i += 1 }
+        }
       }
+      if (!anyNull) buffer.add(values)
     }
     buffer
   }

@@ -111,6 +111,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out === Seq("k1 k2 k3 k4", ""))
   }
 
+  test("spanStats reports zeros (not NULLs) for null-text documents") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out(1) === ((2L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("removeSpans clamps Long span bounds beyond Int range instead of wrapping") {
+    val df = Seq(("a b c", Seq((3000000000L, 3000000001L), (-9L, 1L))))
+      .toDF("t", "sp")
+      .select(graft.functions.TextFunctions.removeSpans(
+        col("t"), col("sp").cast("array<struct<s:bigint,e:bigint>>")).as("c"))
+    // the >Int.MaxValue span clamps to the token count (no effect);
+    // [-9,1) covers token 0 only
+    assert(df.collect()(0).getString(0) === "b c")
+  }
+
   test("removeSpans kernel: overlaps, out-of-range clamps, whitespace normalization") {
     val df = Seq(("a  b\tc d   e", Seq((1L, 3L), (2L, 4L), (-5L, 1L), (4L, 99L))))
       .toDF("t", "sp")

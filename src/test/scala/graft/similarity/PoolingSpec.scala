@@ -84,6 +84,22 @@ class PoolingSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("NaN follows Spark sort semantics: max -> NaN wins, min -> NaN loses") {
+    val df = Seq(
+      (1, Seq(Double.NaN, 5.0, Double.NaN)),
+      (1, Seq(2.0, Double.NaN, Double.NaN))).toDF("k", "v")
+    val r = df.groupBy("k").agg(
+      Pooling.maxPool(col("v")).as("mx"), Pooling.minPool(col("v")).as("mn"))
+      .collect()(0)
+    val mx = r.getAs[scala.collection.Seq[Double]]("mx")
+    val mn = r.getAs[scala.collection.Seq[Double]]("mn")
+    assert(mx(0).isNaN && mx(1).isNaN && mx(2).isNaN) // any NaN -> NaN
+    assert(mn(0) === 2.0 && mn(1) === 5.0)            // NaN loses to a real
+    assert(mn(2).isNaN)                               // all-NaN dim stays NaN
+    // no ±Infinity sentinel can appear in any result
+    assert(!mx.exists(_.isInfinite) && !mn.exists(_.isInfinite))
+  }
+
   test("integral-valued mean is bit-exact regardless of partitioning") {
     // the q83 oracle contract: quantized (integral) vectors -> exact sums
     val rnd = new scala.util.Random(11)
