@@ -1251,6 +1251,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q86: BPE tokenizer training (graft.text.Bpe, SURVEY+ L50) — the
+    // first 6 learned merge rules over the documents corpus. The only
+    // distributed work is ONE word-frequency agg (BPE training is a pure
+    // function of the word-count table); the driver merge loop is
+    // replayed in DuckDB as 6 generated CTE rounds (argmax with the
+    // (count DESC, left, right) code-point tie-break + boundary-wrapped
+    // replace, which is exactly left-to-right non-overlapping like the
+    // trainer). maxVocabWords is far above the fixture vocabulary, so
+    // the cap provably does not bite.
+    "q86_bpe_merges" -> ((s, dir) => {
+      val merges = graft.text.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 6,
+        minCount = 1L, maxVocabWords = 100000)
+      graft.text.Bpe.mergesTable(s, merges).orderBy(col("rank"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1268,6 +1284,44 @@ object SparkEntry {
         .toDF("user_id", "n_closed_sessions")
         .orderBy(col("user_id"))
     }))
+
+  /** Generated DuckDB replay of the BPE merge loop (q86): round r takes
+    * the symbol strings of round r-1, zip-unnests adjacent pairs, picks
+    * the argmax under `(count DESC, left, right)` binary collation (==
+    * the trainer's code-point tie-break), and applies the merge with a
+    * boundary-wrapped `replace` — `|`-wrapped symbols make the pattern
+    * start AND end on symbol boundaries, so DuckDB's left-to-right
+    * non-overlapping replace is exactly the trainer's single in-place
+    * pass ('a a a a' -> 'aa aa', never 'aa a a'). Assumes no `|` inside
+    * corpus words (true for every fixture; a violation would FAIL the
+    * gate, never silently pass).
+    */
+  private def bpeMergesOracleSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      s"""p$r AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+         |  unnest(list_slice(l, 2, len(l))) AS b, c
+         |  FROM (SELECT string_split(ss, ' ') AS l, c FROM s${r - 1}) q$r),
+         |b$r AS (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
+         |  ORDER BY pc DESC, a, b LIMIT 1),
+         |s$r AS (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
+         |  FROM (SELECT replace('|' || replace(s${r - 1}.ss, ' ', '||') || '|',
+         |                       '|' || b$r.a || '||' || b$r.b || '|',
+         |                       '|' || b$r.a || b$r.b || '|') AS rep, c
+         |        FROM s${r - 1} CROSS JOIN b$r) t$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to numMerges).map(r =>
+      s"SELECT CAST(${r - 1} AS INTEGER) AS rank, a AS \"left\", b AS \"right\" FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT tok AS word, count(*) AS c
+       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |        FROM documents) tt
+       |  GROUP BY tok),
+       |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
+       |  FROM w),
+       |$rounds
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
 
   /** q39's hyperplanes are PURE seed output (no data dependence), so the
     * oracle can embed them as literals: same `Random(42)` Box-Muller
@@ -2542,7 +2596,9 @@ object SparkEntry {
         |         if sl.sp IS NULL OR len(list_filter(sl.sp, r -> r.s <= i - 1 AND i - 1 < r.e)) = 0],
         |         ' '), '') END AS clean_text
         |FROM w LEFT JOIN sl USING (doc_id)
-        |ORDER BY w.doc_id""".stripMargin
+        |ORDER BY w.doc_id""".stripMargin,
+    // BPE trainer replay: 6 generated CTE rounds (see bpeMergesOracleSql)
+    "q86_bpe_merges" -> bpeMergesOracleSql(6)
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

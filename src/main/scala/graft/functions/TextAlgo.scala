@@ -1022,6 +1022,66 @@ object TextAlgo {
     UTF8String.fromString(sb.toString)
   }
 
+  /** BPE-encode the text against a learned merge table (key `"left right"` -> rank): each `\s+`-run word starts as its code-point
+    * symbols, then the LOWEST-rank adjacent pair present is merged (all
+    * its occurrences in the word) until no mergeable pair remains — the
+    * standard greedy-by-rank application every BPE runtime uses, so a
+    * vocabulary trained anywhere with the same ranks tokenizes
+    * identically. Map-side, zero shuffle; the merge table rides the plan
+    * as a codegen reference object.
+    */
+  def bpeEncode(s: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = wsTokens(s.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](words.length * 2)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      // code-point symbols (surrogate-pair safe)
+      var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        syms += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      var done = syms.length < 2
+      while (!done) {
+        // find the lowest-rank adjacent pair
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          // merge every occurrence of the best pair, left to right
+          val merged = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && {
+              val r = ranks.get(syms(i) + " " + syms(i + 1))
+              r != null && r == best
+            }) {
+              merged += syms(i) + syms(i + 1)
+              i += 2
+            } else {
+              merged += syms(i)
+              i += 1
+            }
+          }
+          syms = merged
+          done = syms.length < 2
+        }
+      }
+      var j = 0
+      while (j < syms.length) { out += UTF8String.fromString(syms(j)); j += 1 }
+      w += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

@@ -167,6 +167,33 @@ case class RemoveSpansExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** BPE tokenization against a trained merge table — greedy lowest-rank
+  * pair merging per `\s+`-run word ([[graft.text.Bpe]]); the rank map
+  * rides the plan as a codegen reference object, so encoding stays a
+  * zero-shuffle map stage inside whole-stage codegen.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.bpeEncode(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.bpeEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a string column (whitespace tokens, bit voting). */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {

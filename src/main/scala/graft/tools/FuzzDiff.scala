@@ -1114,6 +1114,44 @@ object FuzzDiff {
            |         ' '), '') END AS clean_text
            |FROM w LEFT JOIN sl USING (id)""".stripMargin
       (build, duck)
+    }),
+
+    Template("fz_bpe_merges", 6, { rng =>
+      // BPE trainer replay over the edge corpus (unicode, emoji, NBSP
+      // words, zero-width chars): k generated CTE rounds, binary-collation
+      // tie-break == the trainer's code-point compare
+      val k = 2 + rng.nextInt(5)
+      val build: SparkSession => DataFrame = s => {
+        val merges = graft.text.Bpe.train(
+          s.table("fuzz_docs"), "s", numMerges = k,
+          minCount = 1L, maxVocabWords = 100000)
+        graft.text.Bpe.mergesTable(s, merges)
+      }
+      val rounds = (1 to k).map { r =>
+        s"""p$r AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+           |  unnest(list_slice(l, 2, len(l))) AS b, c
+           |  FROM (SELECT string_split(ss, ' ') AS l, c FROM s${r - 1}) q$r),
+           |b$r AS (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
+           |  ORDER BY pc DESC, a, b LIMIT 1),
+           |s$r AS (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
+           |  FROM (SELECT replace('|' || replace(s${r - 1}.ss, ' ', '||') || '|',
+           |                       '|' || b$r.a || '||' || b$r.b || '|',
+           |                       '|' || b$r.a || b$r.b || '|') AS rep, c
+           |        FROM s${r - 1} CROSS JOIN b$r) t$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to k).map(r =>
+        s"""SELECT CAST(${r - 1} AS INTEGER) AS rank, a AS "left", b AS "right" FROM b$r""")
+        .mkString("\nUNION ALL ")
+      val duck =
+        s"""WITH w AS (SELECT tok AS word, count(*) AS c
+           |  FROM (SELECT unnest(list_filter(string_split_regex(s, '\\s+'), x -> x <> '')) AS tok
+           |        FROM fuzz_docs) tt
+           |  GROUP BY tok),
+           |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
+           |  FROM w),
+           |$rounds
+           |$unions""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------
