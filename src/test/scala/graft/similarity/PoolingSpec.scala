@@ -100,6 +100,27 @@ class PoolingSpec extends SparkSpec {
     assert(!mx.exists(_.isInfinite) && !mn.exists(_.isInfinite))
   }
 
+  test("streaming: pooling state carries across micro-batches (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, Seq[Double])]
+    val agg = in.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(Pooling.meanPool(col("v")).as("m"))
+    val q = agg.writeStream.format("memory").queryName("pool_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((1, Seq(1.0, 2.0)), (2, Seq(10.0, 20.0)))
+      q.processAllAvailable()
+      in.addData((1, Seq(3.0, 4.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, m FROM pool_stream ORDER BY k").collect()
+      // mean over BOTH micro-batches: state (sums, n) survived the store
+      assert(rows(0).getAs[scala.collection.Seq[Double]]("m") === Seq(2.0, 3.0))
+      assert(rows(1).getAs[scala.collection.Seq[Double]]("m") === Seq(10.0, 20.0))
+    } finally q.stop()
+  }
+
   test("integral-valued mean is bit-exact regardless of partitioning") {
     // the q83 oracle contract: quantized (integral) vectors -> exact sums
     val rnd = new scala.util.Random(11)
