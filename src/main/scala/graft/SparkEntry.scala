@@ -1267,6 +1267,17 @@ object SparkEntry {
       graft.text.Bpe.mergesTable(s, merges).orderBy(col("rank"))
     }),
 
+    // q87: greedy k-center coreset (graft.similarity.Similarity
+    // .kCenterSelect, SURVEY+ L51) — 8 maximally-diverse embeddings by
+    // farthest-point-first selection. Each round is one map stage over
+    // the cached corpus against a plan-literal center + a TakeOrdered(1);
+    // the oracle replays all 8 rounds as generated CTEs (exact dist2
+    // replay, (d DESC, id) argmax).
+    "q87_kcenter_coreset" -> ((s, dir) =>
+      graft.similarity.Similarity.kCenterSelect(
+        t(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding",
+        k = 8)),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1318,6 +1329,35 @@ object SparkEntry {
        |  GROUP BY tok),
        |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
        |  FROM w),
+       |$rounds
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Generated DuckDB replay of greedy k-center (q87): round r updates
+    * every point's min-distance against round r-1's pick (`least`, exact
+    * ascending-index dist2 — the same accumulation order as the compiled
+    * kernel) and takes the `(d DESC, id ASC)` argmax, exactly the
+    * operator's deterministic contract.
+    */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(v: String, c: String): String =
+      s"list_sum([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in range(1, len($v) + 1)])"
+    val rounds = (1 until k).map { r =>
+      val prev = if (r == 1) "m0" else s"m${r - 1}"
+      s"""c$r AS (SELECT id, v, d FROM $prev ORDER BY d DESC, id LIMIT 1),
+         |m$r AS (SELECT $prev.id, $prev.v, least($prev.d, ${d2(s"$prev.v", s"c$r.v")}) AS d
+         |  FROM $prev CROSS JOIN c$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (
+      "SELECT CAST(0 AS INTEGER) AS rank, c0.id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0" +:
+        (1 until k).map(r =>
+          s"SELECT CAST($r AS INTEGER) AS rank, c$r.id AS vec_id, round(sqrt(c$r.d), 6) AS radius FROM c$r")
+      ).mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+       |m0 AS (SELECT e.id, e.v, ${d2("e.v", "c0.v")} AS d FROM e CROSS JOIN c0),
        |$rounds
        |$unions
        |ORDER BY rank""".stripMargin
@@ -2598,7 +2638,9 @@ object SparkEntry {
         |FROM w LEFT JOIN sl USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
     // BPE trainer replay: 6 generated CTE rounds (see bpeMergesOracleSql)
-    "q86_bpe_merges" -> bpeMergesOracleSql(6)
+    "q86_bpe_merges" -> bpeMergesOracleSql(6),
+    // k-center replay: 8 generated rounds (see kCenterOracleSql)
+    "q87_kcenter_coreset" -> kCenterOracleSql(8)
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -692,6 +692,82 @@ object Similarity {
     while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Greedy k-center (farthest-point-first) coreset selection — the
+    * classic 2-approximation for max-min diversity sampling (Gonzalez
+    * 1985), the "pick k maximally-different examples" primitive of data
+    * curation (seed sets, eval panels, active-learning batches).
+    *
+    * Deterministic contract (what the q87 oracle replays round by
+    * round): the seed is the minimum id; each round adds the point with
+    * the LARGEST distance to its nearest selected center, ties broken by
+    * ascending id. Degenerate inputs stay deterministic: once every
+    * remaining point coincides with a center (max min-distance 0) the
+    * argmax keeps re-selecting the minimum id at radius 0 rather than
+    * stopping early, so a fixed k always yields exactly k rows.
+    *
+    * Shape at scale: selected centers are driver state (k x dim doubles
+    * — bounded by construction); each round is ONE map stage over the
+    * cached corpus updating `minD = least(minD, dist2(v, newest))`
+    * against a plan-literal center (the compiled [[dist2]] kernel, so
+    * total work is k*n*dim flops — incremental, NOT k^2*n*dim) plus a
+    * `TakeOrderedAndProject(1)`. No shuffle ever carries vectors.
+    *
+    * @return (rank, vec_id, radius) — radius = sqrt of the point's
+    *         min-distance at selection time, rounded to 6 dp; NULL for
+    *         the rank-0 seed.
+    */
+  def kCenterSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+    val seed = base.orderBy(col("id").asc).limit(1)
+      .collect().headOption
+    seed match {
+      case None =>
+        Seq.empty[(Int, Long, Option[Double])]
+          .toDF("rank", "vec_id", "radius")
+          .select(col("rank"), col("vec_id"), col("radius").cast("double"))
+      case Some(s0) =>
+        val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+          (0, s0.getLong(0), None))
+        def distToLit(c: Array[Double]): Column =
+          dist2(col("v"), typedLit(c.toSeq))
+        var cur = base
+          .withColumn("d", distToLit(s0.getAs[scala.collection.Seq[Double]]("v").toArray))
+          .persist()
+        // the previous round's cache is freed only AFTER the next round's
+        // argmax has materialized its child — unpersisting earlier would
+        // force a from-scratch recompute of the whole least(...) chain
+        var toFree: DataFrame = null
+        var r = 1
+        while (r < k) {
+          val top = cur.orderBy(col("d").desc, col("id").asc).limit(1).collect()(0)
+          if (toFree != null) { toFree.unpersist(false); toFree = null }
+          val vec = top.getAs[scala.collection.Seq[Double]]("v").toArray
+          picked += ((r, top.getLong(0), Some(top.getDouble(2))))
+          if (r + 1 < k) {
+            val next = cur
+              .withColumn("d", least(col("d"), distToLit(vec)))
+              .persist()
+            toFree = cur
+            cur = next
+          }
+          r += 1
+        }
+        cur.unpersist(false)
+        picked.toSeq.toDF("rank", "vec_id", "radius")
+          .select(col("rank"), col("vec_id"),
+            round(sqrt(col("radius")), 6).as("radius"))
+    }
+  }
 }
 
 /** One (id, vector, event-time ms) resident in a sign-sketch bucket. */

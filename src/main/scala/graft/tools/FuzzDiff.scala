@@ -1152,6 +1152,36 @@ object FuzzDiff {
            |$rounds
            |$unions""".stripMargin
       (build, duck)
+    }),
+
+    Template("fz_kcenter", 6, { rng =>
+      // greedy k-center over the edge vectors (zero, 1e150, denormal,
+      // NULL, duplicates): replays every selection round; ties at d=0
+      // and the huge-magnitude distances must stay deterministic
+      val k = 2 + rng.nextInt(5)
+      val build: SparkSession => DataFrame = s =>
+        graft.similarity.Similarity.kCenterSelect(
+          s.table("fuzz_vecs"), "id", "v", k)
+      def d2(v: String, c: String): String =
+        s"list_sum([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in range(1, len($v) + 1)])"
+      val rounds = (1 until k).map { r =>
+        val prev = if (r == 1) "m0" else s"m${r - 1}"
+        s"""c$r AS (SELECT id, v, d FROM $prev ORDER BY d DESC, id LIMIT 1),
+           |m$r AS (SELECT $prev.id, $prev.v, least($prev.d, ${d2(s"$prev.v", s"c$r.v")}) AS d
+           |  FROM $prev CROSS JOIN c$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (
+        "SELECT CAST(0 AS INTEGER) AS rank, c0.id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0" +:
+          (1 until k).map(r =>
+            s"SELECT CAST($r AS INTEGER) AS rank, c$r.id AS vec_id, round(sqrt(c$r.d), 6) AS radius FROM c$r")
+        ).mkString("\nUNION ALL ")
+      val duck =
+        s"""WITH e AS (SELECT id, v FROM fuzz_vecs WHERE v IS NOT NULL),
+           |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+           |m0 AS (SELECT e.id, e.v, ${d2("e.v", "c0.v")} AS d FROM e CROSS JOIN c0),
+           |$rounds
+           |$unions""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------
