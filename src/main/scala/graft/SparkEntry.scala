@@ -1278,6 +1278,24 @@ object SparkEntry {
         t(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding",
         k = 8)),
 
+    // q88: HTML -> text extraction (TextFunctions.htmlToText, SURVEY+
+    // L52) — each document wrapped into a full HTML page (head/style,
+    // h1, comment, p, trailing script) and extracted back: block
+    // removal, tag->space, entity decode, collapse. The whole operator
+    // is a codegen'd regexp/replace chain over shared Java/RE2 syntax,
+    // so the oracle replays extraction byte-for-byte.
+    "q88_html_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><style>p { color: red }</style></head><body><h1>"),
+            col("source"), lit("</h1><!-- id --><p>"), col("text"),
+            lit("</p><script>var x = 1 &amp;&amp; 2;</script></body></html>"))
+            .as("html"))
+        .select(col("doc_id"),
+          TextFunctions.htmlToText(col("html")).as("text_clean"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2640,7 +2658,29 @@ object SparkEntry {
     // BPE trainer replay: 6 generated CTE rounds (see bpeMergesOracleSql)
     "q86_bpe_merges" -> bpeMergesOracleSql(6),
     // k-center replay: 8 generated rounds (see kCenterOracleSql)
-    "q87_kcenter_coreset" -> kCenterOracleSql(8)
+    "q87_kcenter_coreset" -> kCenterOracleSql(8),
+    // HTML extraction replay: same regexp/replace chain (RE2-shared
+    // syntax; 'g' flag = Spark's replace-all default; || = Spark concat
+    // null semantics)
+    "q88_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p { color: red }</style></head><body><h1>' || source ||
+        |  '</h1><!-- id --><p>' || text ||
+        |  '</p><script>var x = 1 &amp;&amp; 2;</script></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS text_clean
+        |FROM s3 ORDER BY doc_id""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -217,6 +217,43 @@ object TextFunctions {
     toColL(RemoveSpansExpr(toExprL(text), toExprL(spans)))
   }
 
+  // --- HTML extraction -----------------------------------------------------
+  // Like the PII patterns below: regex syntax restricted to what Java's
+  // engine and RE2 share ((?is) flags, lazy .*?, explicit whitespace
+  // classes — NOT \s, whose class differs between the engines on \x0B),
+  // so an engine-independent oracle replays extraction byte-for-byte.
+
+  /** Plain text from an HTML fragment — the web-corpus ingestion step
+    * (the simple-and-deterministic tier of trafilatura-style extraction):
+    * script/style/comment blocks removed whole, every remaining tag
+    * becomes a space (so adjacent text runs never fuse), the five core
+    * entities plus `&nbsp;` decoded (`&amp;` LAST, the standard order
+    * that never double-decodes), whitespace collapsed and trimmed. A
+    * codegen'd regexp/replace chain — no UDF, no custom kernel needed.
+    * Unterminated `<` stays literal (matches both engines' `<[^>]*>`).
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded =
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(
+                replace(noTags, lit("&nbsp;"), lit(" ")),
+                lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
+  }
+
   // --- PII scrubbing -------------------------------------------------------
   // Patterns deliberately restricted to regex syntax shared by Java's
   // engine and RE2 (character classes, bounded repeats, \b; no lookarounds)

@@ -1182,6 +1182,38 @@ object FuzzDiff {
            |$rounds
            |$unions""".stripMargin
       (build, duck)
+    }),
+
+    Template("fz_html_text", 6, { rng =>
+      // HTML extraction over the edge corpus — raw strings (entity and
+      // collapse paths, unicode, unterminated '<') or wrapped into a
+      // page (block removal, tag->space)
+      val wrap = rng.nextBoolean()
+      val build: SparkSession => DataFrame = s => {
+        val in =
+          if (wrap) concat(lit("<div id=\"x\"> <b>"), col("s"),
+            lit("</b></div><script>var a = '&amp;';</script>"))
+          else col("s")
+        s.table("fuzz_docs").select(col("id"),
+          graft.functions.TextFunctions.htmlToText(in).as("txt"))
+      }
+      val inSql =
+        if (wrap) """'<div id="x"> <b>' || s || '</b></div><script>var a = ''&amp;'';</script>'"""
+        else "s"
+      val duck =
+        s"""WITH s1 AS (SELECT id,
+           |  regexp_replace(regexp_replace(regexp_replace($inSql,
+           |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM fuzz_docs),
+           |s2 AS (SELECT id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT id,
+           |  replace(replace(replace(replace(replace(replace(t,
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
+           |SELECT id, trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS txt
+           |FROM s3""".stripMargin
+      (build, duck)
     }))
 
   // ---- harness ------------------------------------------------------------

@@ -294,4 +294,28 @@ class TextFunctionsSpec extends SparkSpec {
     // empty string stays empty
     assert(one(TextFunctions.dedupLines(col("t")), "") === "")
   }
+
+  test("htmlToText: tags, blocks, comments, entities, collapse") {
+    def h(s: String): Any = one(TextFunctions.htmlToText(col("t")), s)
+    assert(h("<p>Hello <b>world</b></p>") === "Hello world")
+    // script/style blocks go whole, any case, with attributes
+    assert(h("a<SCRIPT type='x'>var q=1;</SCRIPT>b<style>p{c:red}</style>c") === "a b c")
+    assert(h("a<!-- hidden\nmultiline -->b") === "a b")
+    // entity decode AFTER tag strip; &amp; last -> no double decode
+    assert(h("x &lt;tag&gt; &quot;q&quot; &#39;a&#39; &nbsp; &amp;amp; y")
+      === "x <tag> \"q\" 'a' &amp; y")
+    // unterminated < stays literal; a < b > c loses the "< b >" span
+    assert(h("a <tag") === "a <tag")
+    assert(h("a < b > c") === "a c")
+    // adjacent text runs never fuse across a tag
+    assert(h("one<br>two") === "one two")
+    // whitespace collapse is the explicit shared class (no \x0B)
+    assert(h("  a \t\n b  ") === "a b")
+    assert(h("a\u000Bb") === "a\u000Bb")
+    // NBSP (U+00A0) is NOT whitespace to either engine: kept, even at
+    // the string edges (DuckDB's one-arg trim strips it -- the oracle
+    // pins trim(x, ' ') for exactly this reason; fz_html_text found it)
+    assert(h("\u00a0the start") === "\u00a0the start")
+    assert(one(TextFunctions.htmlToText(col("t")), null) === null)
+  }
 }
