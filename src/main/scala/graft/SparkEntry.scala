@@ -1314,72 +1314,16 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }))
 
-  /** Generated DuckDB replay of the BPE merge loop (q86): round r takes
-    * the symbol strings of round r-1, zip-unnests adjacent pairs, picks
-    * the argmax under `(count DESC, left, right)` binary collation (==
-    * the trainer's code-point tie-break), and applies the merge with a
-    * boundary-wrapped `replace` — `|`-wrapped symbols make the pattern
-    * start AND end on symbol boundaries, so DuckDB's left-to-right
-    * non-overlapping replace is exactly the trainer's single in-place
-    * pass ('a a a a' -> 'aa aa', never 'aa a a'). Assumes no `|` inside
-    * corpus words (true for every fixture; a violation would FAIL the
-    * gate, never silently pass).
+  /** Iterative-algorithm replays (BPE merge loop, k-center rounds) come
+    * from the SHARED generators in [[graft.tools.ReplaySql]] — the same
+    * SQL the differential fuzz harness runs, so the q-gate and the fuzz
+    * gate can never drift onto different replay semantics.
     */
-  private def bpeMergesOracleSql(numMerges: Int): String = {
-    val rounds = (1 to numMerges).map { r =>
-      s"""p$r AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
-         |  unnest(list_slice(l, 2, len(l))) AS b, c
-         |  FROM (SELECT string_split(ss, ' ') AS l, c FROM s${r - 1}) q$r),
-         |b$r AS (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
-         |  ORDER BY pc DESC, a, b LIMIT 1),
-         |s$r AS (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
-         |  FROM (SELECT replace('|' || replace(s${r - 1}.ss, ' ', '||') || '|',
-         |                       '|' || b$r.a || '||' || b$r.b || '|',
-         |                       '|' || b$r.a || b$r.b || '|') AS rep, c
-         |        FROM s${r - 1} CROSS JOIN b$r) t$r)""".stripMargin
-    }.mkString(",\n")
-    val unions = (1 to numMerges).map(r =>
-      s"SELECT CAST(${r - 1} AS INTEGER) AS rank, a AS \"left\", b AS \"right\" FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT tok AS word, count(*) AS c
-       |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
-       |        FROM documents) tt
-       |  GROUP BY tok),
-       |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
-       |  FROM w),
-       |$rounds
-       |$unions
-       |ORDER BY rank""".stripMargin
-  }
+  private def bpeMergesOracleSql(numMerges: Int): String =
+    graft.tools.ReplaySql.bpeMerges("documents", "text", numMerges) + "\nORDER BY rank"
 
-  /** Generated DuckDB replay of greedy k-center (q87): round r updates
-    * every point's min-distance against round r-1's pick (`least`, exact
-    * ascending-index dist2 — the same accumulation order as the compiled
-    * kernel) and takes the `(d DESC, id ASC)` argmax, exactly the
-    * operator's deterministic contract.
-    */
-  private def kCenterOracleSql(k: Int): String = {
-    def d2(v: String, c: String): String =
-      s"list_sum([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in range(1, len($v) + 1)])"
-    val rounds = (1 until k).map { r =>
-      val prev = if (r == 1) "m0" else s"m${r - 1}"
-      s"""c$r AS (SELECT id, v, d FROM $prev ORDER BY d DESC, id LIMIT 1),
-         |m$r AS (SELECT $prev.id, $prev.v, least($prev.d, ${d2(s"$prev.v", s"c$r.v")}) AS d
-         |  FROM $prev CROSS JOIN c$r)""".stripMargin
-    }.mkString(",\n")
-    val unions = (
-      "SELECT CAST(0 AS INTEGER) AS rank, c0.id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0" +:
-        (1 until k).map(r =>
-          s"SELECT CAST($r AS INTEGER) AS rank, c$r.id AS vec_id, round(sqrt(c$r.d), 6) AS radius FROM c$r")
-      ).mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL),
-       |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
-       |m0 AS (SELECT e.id, e.v, ${d2("e.v", "c0.v")} AS d FROM e CROSS JOIN c0),
-       |$rounds
-       |$unions
-       |ORDER BY rank""".stripMargin
-  }
+  private def kCenterOracleSql(k: Int): String =
+    graft.tools.ReplaySql.kCenter("embeddings", "vec_id", "embedding", k) + "\nORDER BY rank"
 
   /** q39's hyperplanes are PURE seed output (no data dependence), so the
     * oracle can embed them as literals: same `Random(42)` Box-Muller
@@ -1788,21 +1732,21 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q20_text_stats" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens,
+        |  len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) AS n_tokens,
         |  length(text) AS n_chars_computed,
         |  round(CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
-        |  round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  round(CASE WHEN len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END, 6) AS stopword_ratio
+        |      / len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) END, 6) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_lang_confusion" ->
       """WITH g AS (SELECT lang,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
         |  FROM documents),
         |c AS (SELECT lang, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
@@ -1812,13 +1756,13 @@ object SparkEntry {
         |SELECT lang, guess, count(*) AS n FROM c GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
     "q22_quality_scores" ->
       """WITH s AS (SELECT source,
-        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok,
+        |  len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) AS n_tok,
         |  CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
-        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  CASE WHEN len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END AS stop_r
+        |      / len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) END AS stop_r
         |  FROM documents)
         |SELECT source,
         |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
@@ -1867,17 +1811,17 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q36_corpus_clean" ->
       """WITH f AS (SELECT source, doc_id, lang, text,
-        |  len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok,
+        |  len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) AS n_tok,
         |  CASE WHEN length(text) = 0 THEN 0
         |    ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END AS punct,
-        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  CASE WHEN len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END AS stop_r,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+        |      / len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) END AS stop_r,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
         |  FROM documents),
         |scored AS (SELECT *,
         |  round(CAST((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
@@ -1958,7 +1902,7 @@ object SparkEntry {
         |FROM s GROUP BY user_id HAVING max(session_id) > 1 ORDER BY user_id""".stripMargin,
     "q40_repetition" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
         |  FROM documents),
         |g AS (SELECT doc_id,
         |  len(w) - 2 AS t3,
@@ -1974,7 +1918,7 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     "q41_jaccard_pairs" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -2015,7 +1959,7 @@ object SparkEntry {
     "q60_simhash_portable" ->
       """WITH tok AS (
         |  SELECT doc_id, t.term
-        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+        |  FROM documents, unnest(string_split_regex(lower(text), '[\s\x0b]+')) AS t(term)
         |  WHERE t.term <> ''),
         |th AS (SELECT doc_id,
         |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -2197,13 +2141,13 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms
         |ORDER BY c.user_id, c.ts_ms, c.click_value""".stripMargin,
     "q42_top_tokens" ->
-      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '[\s\x0b]+')) AS token FROM documents),
         |c AS (SELECT lang, token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY 1, 2),
         |r AS (SELECT lang, token, n,
         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank FROM c)
         |SELECT lang, rank, token, n FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q43_lexical_diversity" ->
-      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '[\s\x0b]+')) AS token FROM documents)
         |SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_types,
         |  round(CAST(count(DISTINCT token) AS DOUBLE) / count(*), 6) AS type_token_ratio
         |FROM t WHERE length(token) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
@@ -2233,7 +2177,7 @@ object SparkEntry {
   private def staticLlmOracles: Map[String, String] = Map(
     "q61_decontaminate" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -2256,7 +2200,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q63_chunk_dedup" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
         |  FROM documents),
         |c AS (SELECT doc_id,
         |  [array_to_string(list_slice(w, i, i + 9), ' ')
@@ -2275,17 +2219,17 @@ object SparkEntry {
         |FROM c LEFT JOIN agg USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     "q64_token_budget" ->
       """WITH s AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |  round(CAST(
-        |    (CASE WHEN (len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) BETWEEN 10 AND 100000
+        |    (CASE WHEN (len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> ''))) BETWEEN 10 AND 100000
         |          THEN 0.4 ELSE 0.0 END)
         |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
         |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
         |          THEN 0.3 ELSE 0.0 END)
-        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END) > 0.01
+        |      / len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) END) > 0.01
         |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
         |  FROM documents),
         |r AS (SELECT doc_id, quality, n_tokens,
@@ -2298,7 +2242,7 @@ object SparkEntry {
     "q69_canonical_docs" ->
       """WITH RECURSIVE
         |w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
         |  FROM documents),
         |n AS (SELECT doc_id,
         |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
@@ -2323,15 +2267,15 @@ object SparkEntry {
         |comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id),
         |q AS (SELECT doc_id,
         |  round(CAST(
-        |    (CASE WHEN (len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) BETWEEN 10 AND 100000
+        |    (CASE WHEN (len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> ''))) BETWEEN 10 AND 100000
         |          THEN 0.4 ELSE 0.0 END)
         |    + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0
         |           ELSE (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text) END) < 0.2
         |          THEN 0.3 ELSE 0.0 END)
-        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0 THEN 0
-        |    ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    + (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+        |    ELSE len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'),
         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-        |      / len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) END) > 0.01
+        |      / len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) END) > 0.01
         |          THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS quality
         |  FROM documents),
         |j AS (SELECT comp.component, comp.doc_id, q.quality,
@@ -2362,7 +2306,7 @@ object SparkEntry {
         |GROUP BY tf2.doc_id ORDER BY tf2.doc_id""".stripMargin,
     "q67_token_mix" ->
       """WITH s AS (SELECT doc_id, lang,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
         |  FROM documents),
         |t AS (SELECT sum(n_tokens) AS total FROM s),
@@ -2445,7 +2389,7 @@ object SparkEntry {
     // line trims, non-overlapping "..." runs, distinct-stopword presence
     "q74_gopher_rules" ->
       """WITH c AS (SELECT source,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS toks,
         |  list_filter(string_split(text, chr(10)), l -> trim(l, ' ') <> '') AS nls,
         |  length(text) - length(replace(text, '#', '')) AS n_hash,
         |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell3,
@@ -2529,7 +2473,7 @@ object SparkEntry {
     // inclusive list_slice mirrors Spark's slice(start, length=16)
     "q80_passage_chunks" ->
       """WITH tkn AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS t
         |  FROM documents),
         |n AS (SELECT doc_id, t, len(t) AS n FROM tkn),
         |c AS (SELECT doc_id, t, n,
@@ -2608,7 +2552,7 @@ object SparkEntry {
     // same ">n breaks" rule (abutting windows merge)
     "q84_duplicated_spans" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS w
         |  FROM documents),
         |gr AS (SELECT doc_id, i - 1 AS pos,
         |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS g
@@ -2630,7 +2574,7 @@ object SparkEntry {
     // whitespace normalization) — byte-exact string compare
     "q85_strip_spans" ->
       """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS w
         |  FROM documents),
         |gr AS (SELECT doc_id, i - 1 AS pos,
         |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS g
@@ -2670,8 +2614,8 @@ object SparkEntry {
         |  FROM documents),
         |s1 AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+        |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
         |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
         |s3 AS (SELECT doc_id,

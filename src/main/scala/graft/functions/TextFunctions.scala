@@ -219,9 +219,12 @@ object TextFunctions {
 
   // --- HTML extraction -----------------------------------------------------
   // Like the PII patterns below: regex syntax restricted to what Java's
-  // engine and RE2 share ((?is) flags, lazy .*?, explicit whitespace
-  // classes — NOT \s, whose class differs between the engines on \x0B),
-  // so an engine-independent oracle replays extraction byte-for-byte.
+  // engine and RE2 share (lazy .*?, the (?s) flag, explicit classes —
+  // NOT \s, whose class differs between the engines on \x0B, and NOT
+  // (?i), which RE2 applies with Unicode simple case folding (U+017F
+  // 'long s' folds to 's') while Java's is ASCII-only: tag names use
+  // explicit [sS]-style classes instead), so an engine-independent
+  // oracle replays extraction byte-for-byte.
 
   /** Plain text from an HTML fragment — the web-corpus ingestion step
     * (the simple-and-deterministic tier of trafilatura-style extraction):
@@ -235,8 +238,9 @@ object TextFunctions {
   def htmlToText(c: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(
-        regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
-        "(?is)<style[^>]*>.*?</style>", " "),
+        regexp_replace(c,
+          "(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>", " "),
+        "(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>", " "),
       "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
     val decoded =

@@ -725,9 +725,15 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // ids must be UNIQUE per row (the (d DESC, id ASC) argmax needs a
+    // total order — duplicate ids would make tie resolution partition-
+    // dependent, like any dedup operator fed duplicate doc_ids); NULL
+    // ids (including non-numeric ids nulled by the cast) are excluded
+    // like NULL vectors — they cannot participate in the id tie-break
     val base = df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
+      .where(col("id").isNotNull)
     val seed = base.orderBy(col("id").asc).limit(1)
       .collect().headOption
     seed match {

@@ -39,7 +39,10 @@ import scala.util.Random
   *    q58 scaladoc), while DuckDB `lower()` is unicode-aware (İ→i,
   *    ẞ→ß), so non-ASCII folding is out of the parity contract.
   *  - Whitespace-tokenization kernels run on the raw unicode `s` —
-  *    exotic whitespace IS in contract there (both engines split \s+).
+  *    exotic whitespace IS in contract there. The oracles split on the
+  *    explicit `[\s\x0b]` class, NOT bare `\s`: RE2's `\s` omits \x0B
+  *    (vertical tab) while Java's includes it, and the corpus carries
+  *    VT-bearing rows precisely to keep that divergence covered.
   *  - No NaN in the corpus (NaN breaks cell equality in any checker);
   *    ±Infinity appears only where no arithmetic can produce NaN.
   */
@@ -66,6 +69,9 @@ object FuzzDiff {
     "it's \"quoted\" and \\escaped\\ text",
     "contact bob@example.com at 10.0.0.7 call 555-123-4567",
     "x" * 500,
+    // vertical tab IS whitespace to Java's \s but NOT to RE2's — the
+    // oracles pin the explicit [\s\x0b] class; these rows exercise it
+    "vt\u000Bsep words", "a\u000Bb c a\u000Bb",
     (0 until 150).map(i => s"w$i").mkString(" "))
 
   private val vocab: Seq[String] = Seq(
@@ -170,8 +176,12 @@ object FuzzDiff {
   /** q40/q41's whitespace word array (unicode column): \s-run tokens —
     * the same contract as the kernels' shared scanner (TextAlgo.wsTokens).
     */
+  /** Java-`\s`-class word split: RE2's `\s` omits `\x0b` (vertical tab),
+    * Java's includes it — the explicit union class replays Spark's
+    * `split(text, "\\s+")` byte-for-byte even on VT-bearing input.
+    */
   private def duckWords(col: String): String =
-    s"list_filter(string_split_regex($col, '\\s+'), fw -> fw <> '')"
+    s"list_filter(string_split_regex($col, '[\\s\\x0b]+'), fw -> fw <> '')"
 
   /** q41-style raw (non-distinct) word n-gram list. */
   private def duckNgrams(w: String, n: Int): String =
@@ -443,14 +453,14 @@ object FuzzDiff {
           .where(col("s").isNotNull)
       val duck =
         """SELECT id,
-          |  len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) AS n_tokens,
+          |  len(list_filter(string_split_regex(s, '[\s\x0b]+'), w -> w <> '')) AS n_tokens,
           |  length(s) AS n_chars,
           |  round(CASE WHEN length(s) = 0 THEN 0
           |    ELSE (length(s) - length(regexp_replace(s, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(s) END, 6) AS punct_ratio,
-          |  round(CASE WHEN len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) = 0 THEN 0
-          |    ELSE len(list_filter(string_split_regex(lower(s), '\s+'),
+          |  round(CASE WHEN len(list_filter(string_split_regex(s, '[\s\x0b]+'), w -> w <> '')) = 0 THEN 0
+          |    ELSE len(list_filter(string_split_regex(lower(s), '[\s\x0b]+'),
           |      t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) * 1.0
-          |      / len(list_filter(string_split_regex(s, '\s+'), w -> w <> '')) END, 6) AS stopword_ratio
+          |      / len(list_filter(string_split_regex(s, '[\s\x0b]+'), w -> w <> '')) END, 6) AS stopword_ratio
           |FROM fuzz_docs WHERE s IS NOT NULL""".stripMargin
       (build, duck)
     }),
@@ -470,7 +480,7 @@ object FuzzDiff {
             col("f.fail_alpha"), col("f.fail_stopword"), col("f.pass"))
       val duck =
         s"""WITH c AS (SELECT id,
-           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS toks,
+           |  list_filter(string_split_regex(s, '[\\s\\x0b]+'), x -> x <> '') AS toks,
            |  list_filter(string_split(s, chr(10)), l -> trim(l, ' ') <> '') AS nls,
            |  length(s) - length(replace(s, '#', '')) AS n_hash,
            |  (length(s) - length(replace(s, '...', ''))) // 3 AS n_ell3,
@@ -567,10 +577,10 @@ object FuzzDiff {
           TextFunctions.langGuess(col("s")).as("guess")).where(col("s").isNotNull)
       val duck =
         """WITH g AS (SELECT id,
-          |  len(list_filter(string_split_regex(lower(s), '\s+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
-          |  len(list_filter(string_split_regex(lower(s), '\s+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
-          |  len(list_filter(string_split_regex(lower(s), '\s+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
-          |  len(list_filter(string_split_regex(lower(s), '\s+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
+          |  len(list_filter(string_split_regex(lower(s), '[\s\x0b]+'), t -> t IN ('the','and','of','to','is','you','that','it'))) AS en,
+          |  len(list_filter(string_split_regex(lower(s), '[\s\x0b]+'), t -> t IN ('der','die','das','und','ist','nicht','ein','ich'))) AS de,
+          |  len(list_filter(string_split_regex(lower(s), '[\s\x0b]+'), t -> t IN ('le','la','les','et','est','vous','que','pas'))) AS fr,
+          |  len(list_filter(string_split_regex(lower(s), '[\s\x0b]+'), t -> t IN ('el','los','las','es','y','que','por','una'))) AS es
           |  FROM fuzz_docs WHERE s IS NOT NULL)
           |SELECT id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
           |  WHEN en = greatest(en, de, fr, es) THEN 'en'
@@ -619,7 +629,7 @@ object FuzzDiff {
       val duck =
         """WITH tok AS (
           |  SELECT id, t.term
-          |  FROM fuzz_docs, unnest(string_split_regex(lower(sa), '\s+')) AS t(term)
+          |  FROM fuzz_docs, unnest(string_split_regex(lower(sa), '[\s\x0b]+')) AS t(term)
           |  WHERE sa IS NOT NULL AND t.term <> ''),
           |th AS (SELECT id, CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tok),
           |bits AS (SELECT id, b.b,
@@ -933,7 +943,7 @@ object FuzzDiff {
           s.table("fuzz_docs"), "id", "s", windowTokens = w, strideTokens = st)
       val duck =
         s"""WITH tkn AS (SELECT id,
-           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS t
+           |  list_filter(string_split_regex(s, '[\\s\\x0b]+'), x -> x <> '') AS t
            |  FROM fuzz_docs WHERE s IS NOT NULL),
            |n AS (SELECT id, t, len(t) AS n FROM tkn),
            |c AS (SELECT id, t, n,
@@ -1057,7 +1067,7 @@ object FuzzDiff {
           hash = graft.dedup.SpanDedup.portableHash60)
       val duck =
         s"""WITH w AS (SELECT id,
-           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS w
+           |  list_filter(string_split_regex(s, '[\\s\\x0b]+'), x -> x <> '') AS w
            |  FROM fuzz_docs),
            |gr AS (SELECT id, i - 1 AS pos,
            |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + ${n - 1}), ' ')), 1, 15)) AS BIGINT) AS g
@@ -1091,7 +1101,7 @@ object FuzzDiff {
       }
       val duck =
         s"""WITH w AS (SELECT id,
-           |  list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS w
+           |  list_filter(string_split_regex(s, '[\\s\\x0b]+'), x -> x <> '') AS w
            |  FROM fuzz_docs),
            |gr AS (SELECT id, i - 1 AS pos,
            |  CAST(concat('0x', substr(md5(array_to_string(list_slice(w, i, i + ${n - 1}), ' ')), 1, 15)) AS BIGINT) AS g
@@ -1118,8 +1128,8 @@ object FuzzDiff {
 
     Template("fz_bpe_merges", 6, { rng =>
       // BPE trainer replay over the edge corpus (unicode, emoji, NBSP
-      // words, zero-width chars): k generated CTE rounds, binary-collation
-      // tie-break == the trainer's code-point compare
+      // words, VT separators): the SAME generated rounds as the q86
+      // oracle (ReplaySql.bpeMerges — one load-bearing copy)
       val k = 2 + rng.nextInt(5)
       val build: SparkSession => DataFrame = s => {
         val merges = graft.text.Bpe.train(
@@ -1127,61 +1137,18 @@ object FuzzDiff {
           minCount = 1L, maxVocabWords = 100000)
         graft.text.Bpe.mergesTable(s, merges)
       }
-      val rounds = (1 to k).map { r =>
-        s"""p$r AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
-           |  unnest(list_slice(l, 2, len(l))) AS b, c
-           |  FROM (SELECT string_split(ss, ' ') AS l, c FROM s${r - 1}) q$r),
-           |b$r AS (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
-           |  ORDER BY pc DESC, a, b LIMIT 1),
-           |s$r AS (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
-           |  FROM (SELECT replace('|' || replace(s${r - 1}.ss, ' ', '||') || '|',
-           |                       '|' || b$r.a || '||' || b$r.b || '|',
-           |                       '|' || b$r.a || b$r.b || '|') AS rep, c
-           |        FROM s${r - 1} CROSS JOIN b$r) t$r)""".stripMargin
-      }.mkString(",\n")
-      val unions = (1 to k).map(r =>
-        s"""SELECT CAST(${r - 1} AS INTEGER) AS rank, a AS "left", b AS "right" FROM b$r""")
-        .mkString("\nUNION ALL ")
-      val duck =
-        s"""WITH w AS (SELECT tok AS word, count(*) AS c
-           |  FROM (SELECT unnest(list_filter(string_split_regex(s, '\\s+'), x -> x <> '')) AS tok
-           |        FROM fuzz_docs) tt
-           |  GROUP BY tok),
-           |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
-           |  FROM w),
-           |$rounds
-           |$unions""".stripMargin
-      (build, duck)
+      (build, ReplaySql.bpeMerges("fuzz_docs", "s", k))
     }),
 
     Template("fz_kcenter", 6, { rng =>
       // greedy k-center over the edge vectors (zero, 1e150, denormal,
-      // NULL, duplicates): replays every selection round; ties at d=0
-      // and the huge-magnitude distances must stay deterministic
+      // NULL, duplicates): the SAME generated rounds as the q87 oracle
+      // (ReplaySql.kCenter); ties at d=0 stay deterministic via id
       val k = 2 + rng.nextInt(5)
       val build: SparkSession => DataFrame = s =>
         graft.similarity.Similarity.kCenterSelect(
           s.table("fuzz_vecs"), "id", "v", k)
-      def d2(v: String, c: String): String =
-        s"list_sum([($v[i] - $c[i]) * ($v[i] - $c[i]) for i in range(1, len($v) + 1)])"
-      val rounds = (1 until k).map { r =>
-        val prev = if (r == 1) "m0" else s"m${r - 1}"
-        s"""c$r AS (SELECT id, v, d FROM $prev ORDER BY d DESC, id LIMIT 1),
-           |m$r AS (SELECT $prev.id, $prev.v, least($prev.d, ${d2(s"$prev.v", s"c$r.v")}) AS d
-           |  FROM $prev CROSS JOIN c$r)""".stripMargin
-      }.mkString(",\n")
-      val unions = (
-        "SELECT CAST(0 AS INTEGER) AS rank, c0.id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0" +:
-          (1 until k).map(r =>
-            s"SELECT CAST($r AS INTEGER) AS rank, c$r.id AS vec_id, round(sqrt(c$r.d), 6) AS radius FROM c$r")
-        ).mkString("\nUNION ALL ")
-      val duck =
-        s"""WITH e AS (SELECT id, v FROM fuzz_vecs WHERE v IS NOT NULL),
-           |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
-           |m0 AS (SELECT e.id, e.v, ${d2("e.v", "c0.v")} AS d FROM e CROSS JOIN c0),
-           |$rounds
-           |$unions""".stripMargin
-      (build, duck)
+      (build, ReplaySql.kCenter("fuzz_vecs", "id", "v", k))
     }),
 
     Template("fz_html_text", 6, { rng =>
@@ -1203,8 +1170,8 @@ object FuzzDiff {
       val duck =
         s"""WITH s1 AS (SELECT id,
            |  regexp_replace(regexp_replace(regexp_replace($inSql,
-           |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-           |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+           |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
            |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM fuzz_docs),
            |s2 AS (SELECT id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
            |s3 AS (SELECT id,

@@ -300,6 +300,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(h("<p>Hello <b>world</b></p>") === "Hello world")
     // script/style blocks go whole, any case, with attributes
     assert(h("a<SCRIPT type='x'>var q=1;</SCRIPT>b<style>p{c:red}</style>c") === "a b c")
+    // tag-name matching is ASCII-case only: U+017F 'long s' is NOT an
+    // 's' (RE2's (?i) would Unicode-fold it, Java's would not — the
+    // explicit [sS] classes pin BOTH engines to the ASCII behavior),
+    // so <ſcript> is just an unknown tag: stripped, its body kept
+    assert(h("<ſcript>x</ſcript>y") === "x y")
     assert(h("a<!-- hidden\nmultiline -->b") === "a b")
     // entity decode AFTER tag strip; &amp; last -> no double decode
     assert(h("x &lt;tag&gt; &quot;q&quot; &#39;a&#39; &nbsp; &amp;amp; y")

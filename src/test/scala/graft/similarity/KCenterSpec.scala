@@ -67,6 +67,14 @@ class KCenterSpec extends SparkSpec {
     val out = Similarity.kCenterSelect(df, "vec_id", "embedding", 2)
       .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(out === Seq((0, 2L), (1, 3L)))
+    // NULL ids are excluded too (they cannot join the id tie-break) —
+    // previously a null-id row sorted NULLS FIRST into the seed and NPE'd
+    val withNullId = Seq((java.lang.Long.valueOf(5L), Seq(2.0)),
+      (null.asInstanceOf[java.lang.Long], Seq(9.0)))
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.kCenterSelect(withNullId, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out2 === Seq((0, 5L)))
     val empty = Similarity.kCenterSelect(
       Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"),
       "vec_id", "embedding", 3)
