@@ -1296,6 +1296,32 @@ object SparkEntry {
           TextFunctions.htmlToText(col("html")).as("text_clean"))
         .orderBy(col("doc_id"))),
 
+    // q89: WARC record parsing (graft.data.Warc, SURVEY+ L53) — each
+    // document synthesized into a two-record WARC cell (response +
+    // metadata, byte-accurate Content-Length via octet_length) and
+    // parsed back by the compiled kernel; the oracle is the identity
+    // derivation straight off the documents table, so any framing or
+    // byte-slicing error in the parser breaks the hash.
+    "q89_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        col("doc_id"),
+        lit("\r\nContent-Length: "), octet_length(col("text")),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://example.org/meta/"),
+        col("doc_id"),
+        lit("\r\nContent-Length: "), octet_length(col("source")),
+        lit("\r\n\r\n"), col("source"), lit("\r\n\r\n"))
+      docs.select(col("doc_id"),
+          posexplode(graft.data.Warc.parseRecords(blob)).as(Seq("idx", "r")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("r.warc_type"), col("r.target_uri"),
+          col("r.content_length"), col("r.payload"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2624,7 +2650,22 @@ object SparkEntry {
         |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2)
         |SELECT doc_id,
         |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS text_clean
-        |FROM s3 ORDER BY doc_id""".stripMargin
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    // WARC roundtrip: the parsed records must equal the identity
+    // derivation off the source table (same synthesized fields)
+    "q89_warc_roundtrip" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS idx, 'response' AS warc_type,
+        |  'https://example.org/doc/' || doc_id AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length, text AS payload
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), 'metadata',
+        |  'https://example.org/meta/' || doc_id,
+        |  CAST(strlen(source) AS BIGINT), source
+        |FROM base
+        |ORDER BY doc_id, idx""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

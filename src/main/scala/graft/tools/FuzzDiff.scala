@@ -1151,6 +1151,28 @@ object FuzzDiff {
       (build, ReplaySql.kCenter("fuzz_vecs", "id", "v", k))
     }),
 
+    Template("fz_warc", 5, { _ =>
+      // WARC synth+parse roundtrip over the edge corpus: payloads with
+      // emoji/multi-byte chars (octet Content-Length), embedded CRLF
+      // blank lines, 500-char runs — the oracle is the identity
+      val build: SparkSession => DataFrame = s => {
+        val blob = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/f/"),
+          col("id"), lit("\r\nContent-Length: "), octet_length(col("s")),
+          lit("\r\n\r\n"), col("s"), lit("\r\n\r\n"))
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            explode(graft.data.Warc.parseRecords(blob)).as("r"))
+          .select(col("id"), col("r.target_uri"),
+            col("r.content_length"), col("r.payload"))
+      }
+      val duck =
+        """SELECT id, 'https://example.org/f/' || id AS target_uri,
+          |  CAST(strlen(s) AS BIGINT) AS content_length, s AS payload
+          |FROM fuzz_docs WHERE s IS NOT NULL""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_html_text", 6, { rng =>
       // HTML extraction over the edge corpus — raw strings (entity and
       // collapse paths, unicode, unterminated '<') or wrapped into a

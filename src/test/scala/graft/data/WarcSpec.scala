@@ -1,0 +1,88 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(blob: String): Seq[(String, String, Long, String)] = {
+    Seq(blob).toDF("b")
+      .select(explode(Warc.parseRecords(col("b"))).as("r"))
+      .select("r.warc_type", "r.target_uri", "r.content_length", "r.payload")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+  }
+
+  private def rec(typ: String, uri: String, payload: String): String = {
+    val len = payload.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\nContent-Length: $len\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("multi-record blob parses in order with exact payloads") {
+    val blob = rec("response", "https://example.org/a", "hello world") +
+      rec("metadata", "https://example.org/b", "meta body")
+    assert(parse(blob) === Seq(
+      ("response", "https://example.org/a", 11L, "hello world"),
+      ("metadata", "https://example.org/b", 9L, "meta body")))
+  }
+
+  test("Content-Length counts OCTETS: multi-byte payloads slice correctly") {
+    // "héllo😀" = 1+2+3*1+4 = 10 bytes, 6 code points
+    val p = "héllo😀"
+    assert(p.getBytes("UTF-8").length === 10)
+    val blob = rec("response", "u", p) + rec("response", "v", "next")
+    assert(parse(blob) === Seq(
+      ("response", "u", 10L, p), ("response", "v", 4L, "next")))
+  }
+
+  test("payload containing CRLF blank lines does not break record framing") {
+    val tricky = "line1\r\n\r\nWARC/1.0 fake\r\n"
+    val blob = rec("response", "u", tricky) + rec("metadata", "v", "x")
+    assert(parse(blob) === Seq(
+      ("response", "u", tricky.getBytes("UTF-8").length.toLong, tricky),
+      ("metadata", "v", 1L, "x")))
+  }
+
+  test("strict-prefix: corrupt tail yields the valid prefix, never wrong records") {
+    val good = rec("response", "u", "ok")
+    // truncated payload
+    assert(parse(good + "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
+      .map(_._4) === Seq("ok"))
+    // garbage where a version line was expected
+    assert(parse(good + "NOT-A-RECORD").map(_._4) === Seq("ok"))
+    // missing Content-Length
+    assert(parse(good + "WARC/1.0\r\nWARC-Type: x\r\n\r\nbody").map(_._4) === Seq("ok"))
+    // unparseable Content-Length
+    assert(parse(good + "WARC/1.0\r\nContent-Length: abc\r\n\r\nbody").map(_._4) === Seq("ok"))
+  }
+
+  test("missing optional headers are NULL; unknown headers ignored; keys case-insensitive") {
+    val blob = "WARC/1.0\r\ncontent-length: 3\r\nX-Custom: ignored\r\n\r\nabc\r\n\r\n"
+    val rows = Seq(blob).toDF("b")
+      .select(explode(Warc.parseRecords(col("b"))).as("r"))
+      .select("r.warc_type", "r.target_uri", "r.content_length", "r.payload")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(0).getLong(2) === 3L && rows(0).getString(3) === "abc")
+  }
+
+  test("empty payload, empty blob, NULL input") {
+    assert(parse(rec("response", "u", "")) === Seq(("response", "u", 0L, "")))
+    assert(parse("") === Seq.empty)
+    val r = Seq((1, null.asInstanceOf[String])).toDF("id", "b")
+      .select(Warc.parseRecords(col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("binary input parses identically to string input") {
+    val blob = rec("response", "https://example.org/a", "payload bytes")
+    val viaBin = Seq(blob.getBytes("UTF-8")).toDF("b")
+      .select(explode(Warc.parseRecords(col("b"))).as("r"))
+      .select("r.payload").collect().map(_.getString(0)).toSeq
+    assert(viaBin === Seq("payload bytes"))
+  }
+}
