@@ -1322,6 +1322,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // q90: composed web-ingestion capstone — WARC parse -> HTML->text
+    // extraction -> min-token quality gate -> per-source corpus stats,
+    // all in one plan. The oracle rebuilds the page and REPLAYS
+    // extraction+filter+agg but trusts no parser: if the WARC kernel
+    // returned one wrong payload byte, extraction output diverges and
+    // the hash breaks (q89 proves parse identity; this proves the
+    // chain composes).
+    "q90_ingest_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+      val page = concat(
+        lit("<html><head><style>p { color: red }</style></head><body><h1>"),
+        col("source"), lit("</h1><!-- id --><p>"), col("text"),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script></body></html>"))
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        col("doc_id"), lit("\r\nContent-Length: "), octet_length(page),
+        lit("\r\n\r\n"), page, lit("\r\n\r\n"))
+      docs.select(col("doc_id"), col("source"),
+          explode(graft.data.Warc.parseRecords(blob)).as("r"))
+        .where(col("r.warc_type") === "response")
+        .select(col("source"),
+          TextFunctions.htmlToText(col("r.payload")).as("clean"))
+        .where(TextFunctions.tokenCount(col("clean")) >= 50)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("clean"))).as("n_tokens"),
+          sum(length(col("clean")).cast("long")).as("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2665,7 +2696,35 @@ object SparkEntry {
         |  'https://example.org/meta/' || doc_id,
         |  CAST(strlen(source) AS BIGINT), source
         |FROM base
-        |ORDER BY doc_id, idx""".stripMargin
+        |ORDER BY doc_id, idx""".stripMargin,
+    // ingestion-chain replay: rebuild the page, replay extraction +
+    // token gate + agg — parse correctness is implied by equality
+    "q90_ingest_chain" ->
+      """WITH h AS (SELECT source,
+        |  '<html><head><style>p { color: red }</style></head><body><h1>' || source ||
+        |  '</h1><!-- id --><p>' || text ||
+        |  '</p><script>var x = 1 &amp;&amp; 2;</script></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |s1 AS (SELECT source,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+        |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT source, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT source,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
+        |c AS (SELECT source,
+        |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS clean FROM s3),
+        |w AS (SELECT source, clean,
+        |  len(list_filter(string_split_regex(clean, '[\s\x0b]+'), x -> x <> '')) AS n_tok
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(clean)) AS BIGINT) AS n_chars
+        |FROM w WHERE n_tok >= 50
+        |GROUP BY source ORDER BY source""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified
