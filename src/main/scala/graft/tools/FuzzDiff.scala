@@ -1140,6 +1140,22 @@ object FuzzDiff {
       (build, ReplaySql.bpeMerges("fuzz_docs", "s", k))
     }),
 
+    Template("fz_bpe_merges_deep", 2, { rng =>
+      // DEEP BPE replay: 50+ merge rounds over the edge corpus — the
+      // incremental trainer's pair-count delta updates and lazy-deletion
+      // heap must track the full-rescan semantics across long merge
+      // chains (stale heap entries, re-created pairs, exhaustion: both
+      // sides emit the same prefix when pairs run out before k rounds)
+      val k = 50 + rng.nextInt(11)
+      val build: SparkSession => DataFrame = s => {
+        val merges = graft.text.Bpe.train(
+          s.table("fuzz_docs"), "s", numMerges = k,
+          minCount = 1L, maxVocabWords = 100000)
+        graft.text.Bpe.mergesTable(s, merges)
+      }
+      (build, ReplaySql.bpeMerges("fuzz_docs", "s", k))
+    }),
+
     Template("fz_kcenter", 6, { rng =>
       // greedy k-center over the edge vectors (zero, 1e150, denormal,
       // NULL, duplicates): the SAME generated rounds as the q87 oracle

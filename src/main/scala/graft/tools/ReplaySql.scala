@@ -25,17 +25,23 @@ object ReplaySql {
     * and applies the merge with a boundary-wrapped `replace`
     * ('|'-wrapped symbols make DuckDB's left-to-right non-overlapping
     * replace identical to the trainer's single in-place pass). Emits
-    * (rank, "left", "right"). Assumes no '|' inside corpus words (a
-    * violation FAILS the gate, never silently passes).
+    * (rank, "left", "right"). Assumes no '|' inside corpus words — the
+    * `w` CTE GUARDS this with a pointed `error()` so a fixture or fuzz
+    * vocab that ever grows a '|' reds the gate with an explanation
+    * instead of a confusing hash mismatch.
     */
   def bpeMerges(table: String, textCol: String, numMerges: Int): String = {
+    // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // s_r references s_{r-1} several times, so an inlined chain explodes
+    // to ~2^rounds base-table scans — fatal past ~20 rounds (the deep
+    // fuzz template runs 50+). Materialization makes the replay linear.
     val rounds = (1 to numMerges).map { r =>
-      s"""p$r AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
+      s"""p$r AS MATERIALIZED (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS a,
          |  unnest(list_slice(l, 2, len(l))) AS b, c
          |  FROM (SELECT string_split(ss, ' ') AS l, c FROM s${r - 1}) q$r),
-         |b$r AS (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
+         |b$r AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, sum(c) AS pc FROM p$r GROUP BY a, b)
          |  ORDER BY pc DESC, a, b LIMIT 1),
-         |s$r AS (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
+         |s$r AS MATERIALIZED (SELECT replace(substr(rep, 2, length(rep) - 2), '||', ' ') AS ss, c
          |  FROM (SELECT replace('|' || replace(s${r - 1}.ss, ' ', '||') || '|',
          |                       '|' || b$r.a || '||' || b$r.b || '|',
          |                       '|' || b$r.a || b$r.b || '|') AS rep, c
@@ -44,10 +50,12 @@ object ReplaySql {
     val unions = (1 to numMerges).map(r =>
       s"""SELECT CAST(${r - 1} AS INTEGER) AS rank, a AS "left", b AS "right" FROM b$r""")
       .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT tok AS word, count(*) AS c
+    s"""WITH w AS MATERIALIZED (SELECT CASE WHEN contains(tok, '|')
+       |    THEN error('bpe replay: corpus word contains the | boundary sentinel; extend ReplaySql.bpeMerges escaping')
+       |    ELSE tok END AS word, count(*) AS c
        |  FROM (SELECT unnest(${words(textCol)}) AS tok FROM $table) tt
        |  GROUP BY tok),
-       |s0 AS (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
+       |s0 AS MATERIALIZED (SELECT array_to_string([word[i] for i in range(1, length(word) + 1)], ' ') AS ss, c
        |  FROM w),
        |$rounds
        |$unions""".stripMargin

@@ -78,6 +78,112 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  // naive full-rescan reference (the pre-incremental algorithm) — the
+  // incremental trainer must be bit-identical to it on every input
+  private def naiveTrain(words: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    def cmpCp(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    val syms = words.map { case (w, _) =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      b
+    }
+    val counts = words.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pair = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for (w <- syms.indices; i <- 0 until syms(w).length - 1)
+        pair((syms(w)(i), syms(w)(i + 1))) =
+          pair.getOrElse((syms(w)(i), syms(w)(i + 1)), 0L) + counts(w)
+      if (pair.isEmpty) done = true
+      else {
+        val best = pair.toSeq.minBy(identity)(Ordering.fromLessThan[((String, String), Long)] {
+          case (((l1, r1), c1), ((l2, r2), c2)) =>
+            c1 > c2 || (c1 == c2 && {
+              val l = cmpCp(l1, l2); l < 0 || (l == 0 && cmpCp(r1, r2) < 0)
+            })
+        })._1
+        out += best
+        for (w <- syms.indices) {
+          val s = syms(w); var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == best._1 && s(i + 1) == best._2) { s(i) = best._1 + best._2; s.remove(i + 1) }
+            i += 1
+          }
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("incremental trainer is bit-identical to the full-rescan reference (randomized)") {
+    val rng = new scala.util.Random(20260814L)
+    val alphabet = "abcdefgh"
+    for (trial <- 0 until 20) {
+      val nWords = 5 + rng.nextInt(60)
+      val words = (0 until nWords).map { _ =>
+        val len = 1 + rng.nextInt(10)
+        (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }.distinct.map(w => (w, 1L + rng.nextInt(50).toLong)).toArray
+      val k = 1 + rng.nextInt(40)
+      val inc = Bpe.trainOnWordCounts(words.map(identity), k)
+      val ref = naiveTrain(words.map { case (w, c) => (w, c) }, k)
+      assert(inc === ref, s"trial=$trial k=$k words=${words.toSeq}")
+    }
+  }
+
+  test("sf0.1 word table trains to exhaustion, identical to the reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val words = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // k far beyond exhaustion: every word collapses to one symbol
+    val inc = Bpe.trainOnWordCounts(words.map(identity), 100000)
+    val ref = naiveTrain(words.map(identity), 100000)
+    assert(inc === ref)
+    // exhaustion bound: at most (total symbols - words) merges possible
+    assert(inc.length <= words.map(_._1.length).sum - words.length)
+    assert(inc.nonEmpty)
+  }
+
+  test("1000+ merges on a production-sized word table inside a seconds budget") {
+    // the sf0.1 synthetic corpus has only 31 distinct words (~130 merges
+    // to exhaustion), so the production-vocab wall-time claim is proven
+    // on a synthesized 50k-word Zipf table instead — the regime the
+    // incremental loop exists for (the full-rescan loop took minutes
+    // here; the incremental one takes seconds)
+    val rng = new scala.util.Random(42L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until 50000).map { i =>
+      val len = 4 + rng.nextInt(12)
+      val w = (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      (w + i, (50000L / (i + 1)) + 1L) // suffix guarantees distinctness; Zipf counts
+    }.toArray
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainOnWordCounts(words, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 1000)
+    info(f"1000 merges over 50k words in $secs%.2f s")
+    assert(secs < 60.0, f"incremental BPE took $secs%.1f s for 1000 merges — regression")
+  }
+
   test("mergesTable round-trips the vocabulary artifact") {
     val t = Bpe.mergesTable(spark, golden)
     assert(t.columns.toSeq === Seq("rank", "left", "right"))
