@@ -46,18 +46,21 @@ object Warc {
   /** Parsed record array of a string/binary WARC cell. */
   def parseRecords(c: Column): Column = toCol(WarcParseExpr(toExpr(c)))
 
+  // hoisted record-boundary magic: allocated once, not per record
+  private val WarcMagic: Array[Byte] =
+    "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   /** The kernel: byte-walk over the raw cell. Called from generated code. */
   def parse(bytes: Array[Byte]): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var pos = 0
     val n = bytes.length
 
-    def startsWith(p: Int, s: String): Boolean = {
-      val sb = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      if (p + sb.length > n) return false
+    def startsWithMagic(p: Int): Boolean = {
+      if (p + WarcMagic.length > n) return false
       var i = 0
-      while (i < sb.length) {
-        if (bytes(p + i) != sb(i)) return false
+      while (i < WarcMagic.length) {
+        if (bytes(p + i) != WarcMagic(i)) return false
         i += 1
       }
       true
@@ -76,7 +79,7 @@ object Warc {
     while (!done) {
       // skip inter-record CRLF runs
       while (pos + 1 < n && bytes(pos) == '\r' && bytes(pos + 1) == '\n') pos += 2
-      if (pos >= n || !startsWith(pos, "WARC/")) done = true
+      if (pos >= n || !startsWithMagic(pos)) done = true
       else {
         val verEnd = lineEnd(pos)
         if (verEnd < 0) done = true

@@ -707,11 +707,23 @@ object Similarity {
     * stopping early, so a fixed k always yields exactly k rows.
     *
     * Shape at scale: selected centers are driver state (k x dim doubles
-    * — bounded by construction); each round is ONE map stage over the
-    * cached corpus updating `minD = least(minD, dist2(v, newest))`
-    * against a plan-literal center (the compiled [[dist2]] kernel, so
-    * total work is k*n*dim flops — incremental, NOT k^2*n*dim) plus a
-    * `TakeOrderedAndProject(1)`. No shuffle ever carries vectors.
+    * — bounded by construction); distributed work is one map stage per
+    * BATCH over the cached corpus updating `minD = least(minD,
+    * dist2(v, c1), dist2(v, c2), …)` against plan-literal centers (the
+    * compiled [[dist2]] kernel — total work stays k*n*dim flops, NOT
+    * k^2*n*dim) plus a `TakeOrderedAndProject(batchFetch)`. Batching
+    * (the round-trip killer at large k): each job fetches the top
+    * `batchFetch` candidates by `(d DESC, id ASC)`; the driver then
+    * accepts greedily, re-verifying each candidate's exact min-distance
+    * against the centers accepted earlier in the same batch (the SAME
+    * ascending-index dist2 accumulation as the compiled kernel, so the
+    * doubles are bit-identical) and stopping the moment a candidate's
+    * updated distance no longer strictly beats the fetch boundary (an
+    * unfetched point could then win the (d, id) tie-break). k=10k
+    * becomes tens of jobs instead of 10k. Every `checkpointEvery`
+    * batches the frame is `localCheckpoint`ed so the `least` chain's
+    * plan depth stays bounded regardless of k. No shuffle ever carries
+    * vectors.
     *
     * @return (rank, vec_id, radius) — radius = sqrt of the point's
     *         min-distance at selection time, rounded to 6 dp; NULL for
@@ -721,21 +733,42 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      batchFetch: Int = 64,
+      checkpointEvery: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(batchFetch >= 1, s"batchFetch must be >= 1, got $batchFetch")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // ids must be integral: the (d DESC, id ASC) argmax needs the id
+    // tie-break, and a silent cast("long") would NULL-and-drop string
+    // ids (diverging from the oracle replay, which does not cast)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"kCenterSelect requires an integral id column for the (d DESC, id ASC) " +
+          s"tie-break; '$idCol' is $other — derive a long id upstream (e.g. hash or zipWithIndex)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
-    // ids must be UNIQUE per row (the (d DESC, id ASC) argmax needs a
-    // total order — duplicate ids would make tie resolution partition-
-    // dependent, like any dedup operator fed duplicate doc_ids); NULL
-    // ids (including non-numeric ids nulled by the cast) are excluded
-    // like NULL vectors — they cannot participate in the id tie-break
+    // ids must be UNIQUE per row (duplicate ids would make tie
+    // resolution partition-dependent, like any dedup operator fed
+    // duplicate doc_ids); NULL ids are excluded like NULL vectors —
+    // they cannot participate in the id tie-break
     val base = df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .where(col("id").isNotNull)
     val seed = base.orderBy(col("id").asc).limit(1)
       .collect().headOption
+    // the compiled kernel's exact accumulation order (ascending index,
+    // min length) — driver re-verification must produce the same double
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
     seed match {
       case None =>
         Seq.empty[(Int, Long, Option[Double])]
@@ -749,24 +782,70 @@ object Similarity {
         var cur = base
           .withColumn("d", distToLit(s0.getAs[scala.collection.Seq[Double]]("v").toArray))
           .persist()
-        // the previous round's cache is freed only AFTER the next round's
-        // argmax has materialized its child — unpersisting earlier would
-        // force a from-scratch recompute of the whole least(...) chain
+        // the previous batch's cache is freed only AFTER the next
+        // batch's fetch has materialized its child — unpersisting
+        // earlier would recompute the whole least(...) chain
         var toFree: DataFrame = null
-        var r = 1
-        while (r < k) {
-          val top = cur.orderBy(col("d").desc, col("id").asc).limit(1).collect()(0)
+        var batches = 0
+        final class Cand(val id: Long, val vec: Array[Double], var d: Double)
+        while (picked.length < k) {
+          val top = cur.orderBy(col("d").desc, col("id").asc)
+            .limit(batchFetch).collect()
           if (toFree != null) { toFree.unpersist(false); toFree = null }
-          val vec = top.getAs[scala.collection.Seq[Double]]("v").toArray
-          picked += ((r, top.getLong(0), Some(top.getDouble(2))))
-          if (r + 1 < k) {
-            val next = cur
-              .withColumn("d", least(col("d"), distToLit(vec)))
-              .persist()
-            toFree = cur
-            cur = next
+          // a short fetch saw EVERY point: no unfetched candidate exists
+          // and the whole remaining selection resolves on the driver
+          val complete = top.length < batchFetch
+          val cands = top.map(r => new Cand(r.getLong(0),
+            r.getAs[scala.collection.Seq[Double]]("v").toArray, r.getDouble(2)))
+          val fetchBound = if (complete) Double.NegativeInfinity else cands.last.d
+          val acceptedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+          var safe = cands.nonEmpty
+          while (safe && picked.length < k) {
+            // exact argmax among fetched candidates (their d is exact —
+            // re-verified against every center accepted this batch);
+            // accepted candidates STAY in the pool at d=0, preserving
+            // the degenerate re-select-min-id-at-radius-0 contract
+            var best: Cand = null
+            var ci = 0
+            while (ci < cands.length) {
+              val c = cands(ci)
+              if (best == null || c.d > best.d || (c.d == best.d && c.id < best.id))
+                best = c
+              ci += 1
+            }
+            // the first accept is the fetch head == the global argmax;
+            // later accepts are safe only if they STRICTLY beat the
+            // fetch boundary (an unfetched point's d is <= fetchBound
+            // and can only have decreased — ties are unresolvable)
+            if (acceptedVecs.nonEmpty && !(best.d > fetchBound)) safe = false
+            else {
+              picked += ((picked.length, best.id, Some(best.d)))
+              acceptedVecs += best.vec
+              ci = 0
+              while (ci < cands.length) {
+                val c = cands(ci)
+                val nd = d2(c.vec, best.vec)
+                if (nd < c.d) c.d = nd
+                ci += 1
+              }
+            }
           }
-          r += 1
+          if (picked.length < k) {
+            val withNew = cur.withColumn("d",
+              least((col("d") +: acceptedVecs.toSeq.map(distToLit)): _*))
+            batches += 1
+            if (batches % checkpointEvery == 0) {
+              // bound the least(...) chain's plan depth: materialize and
+              // cut lineage, then the parent cache is immediately free
+              val cp = withNew.localCheckpoint(true)
+              cur.unpersist(false)
+              cur = cp
+            } else {
+              val next = withNew.persist()
+              toFree = cur
+              cur = next
+            }
+          }
         }
         cur.unpersist(false)
         picked.toSeq.toDF("rank", "vec_id", "radius")

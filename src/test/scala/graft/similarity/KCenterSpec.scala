@@ -61,6 +61,45 @@ class KCenterSpec extends SparkSpec {
     assert(select(pts, k).map(t => (t._1, t._2)) === exp.toSeq)
   }
 
+  test("batched acceptance is bit-identical to one-at-a-time fetches") {
+    val rnd = new scala.util.Random(29)
+    // clustered data (batching accepts several per fetch) + duplicate
+    // points (the degenerate radius-0 re-select tail)
+    val pts = (1L to 300L).map { i =>
+      val center = (i % 5L).toDouble * 100.0
+      i -> Seq.fill(6)(center + rnd.nextGaussian())
+    } ++ Seq(301L -> Seq.fill(6)(0.0), 302L -> Seq.fill(6)(0.0))
+    val df = pts.toDF("vec_id", "embedding").repartition(7)
+    val ref = Similarity.kCenterSelect(df, "vec_id", "embedding", 40, batchFetch = 1)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    for (bf <- Seq(2, 7, 64, 1024)) {
+      val got = Similarity.kCenterSelect(df, "vec_id", "embedding", 40, batchFetch = bf)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(got === ref, s"batchFetch=$bf")
+    }
+  }
+
+  test("localCheckpoint plan-depth bounding does not change the output") {
+    val rnd = new scala.util.Random(31)
+    val pts = (1L to 120L).map(i => i -> Seq.fill(4)(rnd.nextGaussian() * 10))
+    val df = pts.toDF("vec_id", "embedding")
+    val ref = Similarity.kCenterSelect(df, "vec_id", "embedding", 30, batchFetch = 1)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    // checkpointEvery=2 with batchFetch=1 forces many checkpoint cuts
+    val got = Similarity.kCenterSelect(df, "vec_id", "embedding", 30,
+      batchFetch = 1, checkpointEvery = 2)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got === ref)
+  }
+
+  test("non-integral id column fails fast instead of silently dropping rows") {
+    val df = Seq(("a", Seq(1.0)), ("b", Seq(2.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kCenterSelect(df, "vec_id", "embedding", 2)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("null vectors are excluded; empty input yields an empty frame") {
     val df = Seq((1L, null.asInstanceOf[Seq[Double]]), (2L, Seq(1.0)), (3L, Seq(5.0)))
       .toDF("vec_id", "embedding")
