@@ -39,9 +39,13 @@ object GoldenOracles {
   def forScale(scale: String): Map[String, String] =
     queries.flatMap(q => load(scale, q).map(q -> _)).toMap
 
-  /** Golden oracle SQL selected by the data directory's basename. */
+  /** Golden oracle SQL selected by the data directory's basename. The
+    * in-repo scale-up dirs are named `testdata-sf1`/`testdata-sf10`
+    * (the driver's are plain `sf0.01`/`sf0.1`); the prefix is stripped
+    * so both naming schemes key the same `golden/<scale>/` resources.
+    */
   def forDir(sfDir: String): Map[String, String] =
-    forScale(new java.io.File(sfDir).getName)
+    forScale(new java.io.File(sfDir).getName.stripPrefix("testdata-"))
 
   /** The driver's correctness gate runs at sf0.01 — this is its set. */
   val sql: Map[String, String] = forScale("sf0.01")

@@ -1168,15 +1168,18 @@ object SparkEntry {
     // q81: SpaceSaving heavy-hitters sketch (graft.sketch.SpaceSaving,
     // SURVEY+ L46) — per-source top-10 bigrams from a bounded-memory
     // mergeable summary. Per-document bigram ARRAYS feed the aggregate
-    // (no corpus-token explode); capacity 4096 exceeds the fixture
-    // vocabulary at every sf, so counts are exact (err 0) and the oracle
-    // is the exact ranking — the eviction/merge-bound regime is
-    // spec-covered (SpaceSavingSpec).
+    // (no corpus-token explode); capacity 131072 exceeds the fixture
+    // bigram vocabulary at every gate scale THROUGH sf10 (the scaled-up
+    // corpora's decorrelation mutations grow it to ~91k/source at sf10;
+    // 4096 left the exact regime at sf1), so counts are exact (err 0)
+    // and the oracle is the exact ranking. Buffers allocate lazily —
+    // memory tracks distinct-seen, not capacity — and the
+    // eviction/merge-bound regime is spec-covered (SpaceSavingSpec).
     "q81_heavy_hitters" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(graft.sketch.SpaceSaving.summary(
-          TextFunctions.wordBigrams(col("text")), 4096).as("sk"))
+          TextFunctions.wordBigrams(col("text")), 131072).as("sk"))
         .select(col("source"),
           posexplode(graft.sketch.SpaceSaving.topK(col("sk"), 10)))
         .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
@@ -1350,6 +1353,42 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("clean"))).as("n_tokens"),
           sum(length(col("clean")).cast("long")).as("n_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // q91: the ingestion chain as the REUSABLE streaming transform
+    // (graft.streaming.IngestPipeline.warcToCleanDocs, SURVEY+ L54) —
+    // WARC parse -> HTML extraction -> full Gopher gate in one stateless
+    // map pipeline, run here in batch and aggregated per source. The
+    // gate is kept as a struct (requirePass=false) because the synthetic
+    // corpus fails the stopword rule corpus-wide — the per-rule counts
+    // carry the signal. The same transform over readStream is proven by
+    // StreamingIngestSpec (restart recovery + replay idempotence).
+    "q91_ingest_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+      val page = concat(
+        lit("<html><head><style>p { color: red }</style></head><body><h1>"),
+        col("source"), lit("</h1><!-- id --><p>"), col("text"),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script></body></html>"))
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        col("doc_id"), lit("\r\nContent-Length: "), octet_length(page),
+        lit("\r\n\r\n"), page, lit("\r\n\r\n"))
+      graft.streaming.IngestPipeline.warcToCleanDocs(
+          docs.select(col("source"), blob.as("blob")), "blob",
+          minWords = 50L, requirePass = false)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          sum(col("gate.fail_words").cast("long")).as("n_fail_words"),
+          sum(col("gate.fail_word_len").cast("long")).as("n_fail_word_len"),
+          sum(col("gate.fail_symbol").cast("long")).as("n_fail_symbol"),
+          sum(col("gate.fail_bullet").cast("long")).as("n_fail_bullet"),
+          sum(col("gate.fail_ellipsis").cast("long")).as("n_fail_ellipsis"),
+          sum(col("gate.fail_alpha").cast("long")).as("n_fail_alpha"),
+          sum(col("gate.fail_stopword").cast("long")).as("n_fail_stopword"),
+          sum(col("gate.pass").cast("long")).as("n_pass"))
         .orderBy(col("source"))
     }),
 
@@ -2724,7 +2763,67 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(clean)) AS BIGINT) AS n_chars
         |FROM w WHERE n_tok >= 50
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q91 replay: the q90 extraction CTEs composed with the q74 Gopher
+    // gate CTEs, applied to the CLEANED text (the WARC roundtrip is
+    // identity, oracle-verified by q89)
+    "q91_ingest_gate" ->
+      """WITH h AS (SELECT source,
+        |  '<html><head><style>p { color: red }</style></head><body><h1>' || source ||
+        |  '</h1><!-- id --><p>' || text ||
+        |  '</p><script>var x = 1 &amp;&amp; 2;</script></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |s1 AS (SELECT source,
+        |  regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+        |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT source, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT source,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
+        |c AS (SELECT source,
+        |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS clean FROM s3),
+        |cc AS (SELECT source,
+        |  list_filter(string_split_regex(clean, '[\s\x0b]+'), x -> x <> '') AS toks,
+        |  list_filter(string_split(clean, chr(10)), l -> trim(l, ' ') <> '') AS nls,
+        |  length(clean) - length(replace(clean, '#', '')) AS n_hash,
+        |  (length(clean) - length(replace(clean, '...', ''))) // 3 AS n_ell3,
+        |  length(clean) - length(replace(clean, '…', '')) AS n_ellu
+        |  FROM c),
+        |g AS (SELECT source,
+        |  len(toks) AS n_w,
+        |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |  n_hash + n_ell3 + n_ellu AS n_sym,
+        |  len(nls) AS n_lines,
+        |  len(list_filter(nls, l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+        |  len(list_filter(nls, l -> ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…'))) AS n_ellend,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
+        |  FROM cc),
+        |f AS (SELECT source, n_w,
+        |  (n_w < 50 OR n_w > 100000) AS f_words,
+        |  (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0) AS f_wlen,
+        |  (n_w > 0 AND n_sym * 1.0 / n_w > 0.1) AS f_sym,
+        |  (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9) AS f_bul,
+        |  (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3) AS f_ell,
+        |  (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8) AS f_alpha,
+        |  (n_stop < 2) AS f_stop
+        |  FROM g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_w) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+        |  CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+        |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+        |  CAST(sum(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
+        |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
+        |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+        |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+        |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified
