@@ -1392,6 +1392,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q92: BATCH BM25 retrieval (Search.bm25TopKBatch, SURVEY+ L41) —
+    // three queries scored against the corpus in ONE plan: postings
+    // filtered by a broadcast semi-join on the union of query terms,
+    // query-independent tf/df aggregation, broadcast query fan-out,
+    // per-query top-10 via a map-side WindowGroupLimit. The oracle
+    // generalizes the q77 double-arithmetic replay with a VALUES query
+    // table.
+    "q92_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        ("qa", "dup"), ("qa", "window"),
+        ("qb", "stream"), ("qb", "spark"), ("qb", "merge"),
+        ("qc", "line")).toDF("query_id", "term")
+      graft.text.Search.bm25TopKBatch(
+          t(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "term", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2823,7 +2842,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
         |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM f GROUP BY source ORDER BY source""".stripMargin
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // batch-BM25 replay: q77's arithmetic with a VALUES query table;
+    // same double-casting discipline and 6-dp rounding before the
+    // per-query rank cut
+    "q92_bm25_batch" ->
+      """WITH q AS (SELECT * FROM (VALUES
+        |    ('qa', 'dup'), ('qa', 'window'),
+        |    ('qb', 'stream'), ('qb', 'spark'), ('qb', 'merge'),
+        |    ('qc', 'line')) AS t(query_id, term)),
+        |dl AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS dl
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term IN (SELECT DISTINCT term FROM q)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    ln(1 + (s.n - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * tf.tf * CAST(2.2 AS DOUBLE)
+        |      / (tf.tf + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)) AS contrib
+        |  FROM tf JOIN f USING (term) JOIN dl USING (doc_id) CROSS JOIN s),
+        |aggq AS (SELECT q.query_id, scored.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_terms,
+        |    round(sum(contrib), 6) AS bm25
+        |  FROM scored JOIN q USING (term)
+        |  GROUP BY q.query_id, scored.doc_id),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM aggq)
+        |SELECT query_id, doc_id, n_terms, bm25, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
   *  2. document frequency per gram WITHOUT `countDistinct`: two-level
   *     hash-agg ((gram,id) -> gram), both map-side combined — the L43
   *     pattern;
-  *  3. equi-join positions against the df>=minDocs gram set (both sides
-  *     hash-partitioned on the gram; no pair explosion exists in this
-  *     operator — output is bounded by token positions, not df^2, so no
-  *     hot-gram cap is needed);
+  *  3. equi-join positions against the df>=minDocs gram set — SALTED
+  *     (`gramSaltBuckets`, the L20 machinery): a power-law gram
+  *     distribution (one viral boilerplate line in 30% of docs) would
+  *     otherwise concentrate that gram's positions in ONE join task when
+  *     the dup-gram set is too large to broadcast. The dup-gram side is
+  *     one row per gram, so replication costs `|dupGrams| x buckets`
+  *     small rows while the position side spreads uniformly
+  *     (skew bound measured in `SkewInjectionSpec`). No pair explosion
+  *     exists in this operator — output is bounded by token positions,
+  *     not df^2, so no hot-gram cap is needed;
   *  4. per-document gaps-and-islands merge: windows partitioned by doc id
   *     (thousands of rows each at worst — no single-partition window).
   *
@@ -83,15 +89,24 @@ object SpanDedup {
       textCol: String,
       n: Int = 8,
       minDocs: Int = 2,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
+      hash: Column => Column = xxhash64(_),
+      gramSaltBuckets: Int = 8): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(gramSaltBuckets >= 1, s"gramSaltBuckets must be >= 1, got $gramSaltBuckets")
     val pos = positionalGramHashes(df, idCol, textCol, n, hash)
-    // document frequency >= minDocs, no countDistinct: (g, id) -> g
+    // document frequency >= minDocs, no countDistinct: (g, id) -> g.
+    // (both aggs are skew-safe: the distinct shuffles by the TWO-part
+    // (g, id) key, and the per-gram count combines map-side)
     val dupGrams = pos.select(col("g"), col(idCol)).distinct()
       .groupBy("g").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDocs)
       .select("g")
-    val dupPos = pos.join(dupGrams, "g").select(col(idCol), col("pos"))
+    // viral-gram-safe join: salt the position side, replicate the one-
+    // row-per-gram side (identical output, measured spread bound)
+    val dupPos = (if (gramSaltBuckets > 1)
+        graft.etl.SkewJoin.saltedEquiJoin(pos, dupGrams, Seq("g"), gramSaltBuckets)
+      else pos.join(dupGrams, "g"))
+      .select(col(idCol), col("pos"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     dupPos
       // windows [p, p+n) and [q, q+n), q > p, overlap or abut iff q-p <= n
@@ -144,8 +159,9 @@ object SpanDedup {
       textCol: String,
       n: Int = 8,
       minDocs: Int = 2,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
-    val spans = duplicatedSpans(df, idCol, textCol, n, minDocs, hash)
+      hash: Column => Column = xxhash64(_),
+      gramSaltBuckets: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n, minDocs, hash, gramSaltBuckets)
       .groupBy(idCol)
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("span_end") - col("span_start")).as("dup_tokens"))

@@ -121,4 +121,83 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCH BM25: score THOUSANDS of queries against the corpus in one
+    * plan — the retrieval-pipeline shape (eval suites, hard-negative
+    * mining, RAG batch scoring) where running [[bm25TopK]] per query
+    * would re-scan the corpus |Q| times.
+    *
+    * `queries` is a small (query_id, term) table — one row per query
+    * term, duplicates ignored. Same arithmetic, idf and rounding as
+    * [[bm25TopK]] (the q77 oracle generalizes directly; q92 checks it).
+    *
+    * Plan — the corpus is still scanned ONCE:
+    *  - postings are filtered by a BROADCAST semi-join against the
+    *    distinct term set of ALL queries (replacing the single-query
+    *    isin) before the exchange;
+    *  - per-(doc, term) tf and per-term df aggregate exactly as in the
+    *    single-query path — both are query-independent;
+    *  - the broadcast (query_id, term) table fans each scored posting
+    *    out to the queries containing its term (map-side, no shuffle);
+    *  - per-query top-k = row_number over (query_id) ranked by
+    *    (rounded score DESC, doc_id), filtered to <= k — Spark plans
+    *    the rank filter as a map-side WindowGroupLimit, so each
+    *    partition forwards at most k rows per query to the final sort.
+    *
+    * Output: (query_id, doc_id, n_terms, bm25, rank), rank 1..k per
+    * query; queries whose terms match nothing yield no rows (OR
+    * semantics, like the single-query path).
+    */
+  def bm25TopKBatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+      .distinct()
+    // same fail-loud contract as bm25TopK: a term outside [a-z0-9]+ can
+    // never equal an asciiTokens token and would silently contribute
+    // nothing. The queries table is broadcast-small by contract, so the
+    // validation peek costs one tiny job.
+    val bad = q.where(!coalesce(col("term").rlike("^[a-z0-9]+$"), lit(false)))
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"query terms must be non-empty lowercase alnum tokens, got e.g. ${bad.mkString(", ")}")
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      sum(size(TextFunctions.asciiTokens(col(textCol))).cast("long")).as("sum_dl")).first()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopKBatch needs a non-empty corpus")
+    val avgdl = (if (stats.isNullAt(1)) 0L else stats.getLong(1)).toDouble / n
+    val terms = q.select(col("term")).distinct()
+    val tf = df.select(col(idCol).as("doc_id"),
+        TextFunctions.asciiTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("contrib", idf * col("tf") * lit(k1 + 1.0) / denom)
+      .join(broadcast(q), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("contrib")), 6).as("bm25"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

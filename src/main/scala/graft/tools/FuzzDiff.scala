@@ -1189,6 +1189,77 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_warc_corrupt", 6, { rng =>
+      // adversarial WARC mutation: two VALID records followed by a
+      // corrupt region; the strict-prefix fail-stop contract says the
+      // parser emits exactly the valid prefix and never resyncs or
+      // invents records. The oracle reconstructs that expected prefix
+      // independently. The corrupt tail is built from `sa` (the ascii
+      // twin: printable-ASCII only — control chars become '_'), so no
+      // corpus value can smuggle a CRLF or a header line into the
+      // mutated region and change which prefix is valid.
+      val mutation = rng.nextInt(5)
+      def rec(path: String, payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+        lit(s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/$path/"),
+        col("id"), lit("\r\nContent-Length: "), octet_length(payload),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val decoyTail = "\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz"
+      val corrupt: org.apache.spark.sql.Column = mutation match {
+        case 0 => // truncated payload: Content-Length overshoots the bytes left
+          concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/c/"),
+            col("id"), lit("\r\nContent-Length: "), octet_length(col("sa")) + lit(100),
+            lit("\r\n\r\n"), col("sa"))
+        case 1 => // off-by-one: CL swallows one byte of the record separator;
+                  // the record IS emitted (CL is authoritative) with that
+                  // byte, then parsing fail-stops on the broken separator
+          concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/c/"),
+            col("id"), lit("\r\nContent-Length: "), octet_length(col("sa")) + lit(1),
+            lit("\r\n\r\n"), col("sa"), lit("\r\n\r\n"))
+        case 2 => // LF-only line endings: no CRLF anywhere in the record —
+                  // the version line never terminates, nothing emits
+          concat(lit("WARC/1.0\nWARC-Type: response\nContent-Length: "),
+            octet_length(col("sa")), lit("\n\n"), col("sa"))
+        case 3 => // garbage between records: a fully VALID record follows the
+                  // noise, but strict-prefix means no resync — it is lost
+          concat(lit("x55aa "), col("sa"), lit("\r\n"), rec("c", col("sa")))
+        case _ => // a complete fake record EMBEDDED in a declared payload:
+                  // CL consumes it whole; the parser must not resync inside
+          rec("c", concat(col("sa"), lit(decoyTail)))
+      }
+      val blob = concat(rec("a", col("s")), rec("b", col("sa")), corrupt)
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull && col("sa").isNotNull)
+          .select(col("id"), posexplode(graft.data.Warc.parseRecords(blob)))
+          .select(col("id"), (col("pos") + 1).cast("long").as("rec"),
+            col("col.target_uri"), col("col.content_length"), col("col.payload"))
+      val base =
+        """SELECT id, CAST(1 AS BIGINT) AS rec,
+          |  'https://example.org/a/' || id AS target_uri,
+          |  CAST(strlen(s) AS BIGINT) AS content_length, s AS payload
+          |FROM fuzz_docs WHERE s IS NOT NULL AND sa IS NOT NULL
+          |UNION ALL
+          |SELECT id, CAST(2 AS BIGINT), 'https://example.org/b/' || id,
+          |  CAST(strlen(sa) AS BIGINT), sa
+          |FROM fuzz_docs WHERE s IS NOT NULL AND sa IS NOT NULL""".stripMargin
+      val third = mutation match {
+        case 1 =>
+          """
+            |UNION ALL
+            |SELECT id, CAST(3 AS BIGINT), 'https://example.org/c/' || id,
+            |  CAST(strlen(sa) + 1 AS BIGINT), sa || chr(13)
+            |FROM fuzz_docs WHERE s IS NOT NULL AND sa IS NOT NULL""".stripMargin
+        case 4 =>
+          """
+            |UNION ALL
+            |SELECT id, CAST(3 AS BIGINT), 'https://example.org/c/' || id,
+            |  CAST(strlen(sa || e'\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz') AS BIGINT),
+            |  sa || e'\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz'
+            |FROM fuzz_docs WHERE s IS NOT NULL AND sa IS NOT NULL""".stripMargin
+        case _ => ""
+      }
+      (build, base + third)
+    }),
+
     Template("fz_html_text", 6, { rng =>
       // HTML extraction over the edge corpus — raw strings (entity and
       // collapse paths, unicode, unterminated '<') or wrapped into a

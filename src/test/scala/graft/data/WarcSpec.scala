@@ -59,6 +59,26 @@ class WarcSpec extends SparkSpec {
     assert(parse(good + "WARC/1.0\r\nContent-Length: abc\r\n\r\nbody").map(_._4) === Seq("ok"))
   }
 
+  test("the five adversarial mutation classes (fz_warc_corrupt's pool, pinned)") {
+    val good = rec("response", "u", "ok")
+    // 1. truncated payload: CL overshoots the remaining bytes — no record
+    assert(parse(good + "WARC/1.0\r\nContent-Length: 12\r\n\r\npayload")
+      .map(_._4) === Seq("ok"))
+    // 2. off-by-one CL: the record IS emitted (CL is authoritative) with
+    //    one swallowed separator byte, then parsing fail-stops
+    assert(parse(good + "WARC/1.0\r\nContent-Length: 8\r\n\r\npayload\r\n\r\n" + good)
+      .map(_._4) === Seq("ok", "payload\r"))
+    // 3. LF-only line endings: the version line never terminates — nothing
+    assert(parse(good + "WARC/1.0\nContent-Length: 2\n\nhi").map(_._4) === Seq("ok"))
+    // 4. garbage between records: a fully VALID record follows the noise,
+    //    but strict-prefix means no resync — it is lost
+    assert(parse(good + "x55aa noise\r\n" + good).map(_._4) === Seq("ok"))
+    // 5. a complete fake record EMBEDDED in a declared payload: consumed
+    //    whole, never re-parsed as a record
+    val decoy = "A\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz"
+    assert(parse(good + rec("response", "u2", decoy)).map(_._4) === Seq("ok", decoy))
+  }
+
   test("missing optional headers are NULL; unknown headers ignored; keys case-insensitive") {
     val blob = "WARC/1.0\r\ncontent-length: 3\r\nX-Custom: ignored\r\n\r\nabc\r\n\r\n"
     val rows = Seq(blob).toDF("b")

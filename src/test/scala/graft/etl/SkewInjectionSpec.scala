@@ -195,4 +195,74 @@ class SkewInjectionSpec extends SparkSpec {
     assert(recs.sum <= 200000L,
       s"shuffle ${recs.sum} rows — map-side WindowGroupLimit not applied")
   }
+
+  // one viral boilerplate line shared by EVERY doc: its 8-gram is a single
+  // hot key holding ~half of all positional gram rows (each doc contributes
+  // one unique-prefix gram + one viral gram)
+  private def viralCorpus(s: org.apache.spark.sql.SparkSession, nDocs: Long): DataFrame =
+    s.range(0, nDocs).select(col("id"),
+      concat(lit("u"), col("id"),
+        lit(" subscribe to our newsletter for the latest updates")).as("text"))
+
+  test("q84 span-dedup gram join: viral-gram tasks stay bounded under salting") {
+    // the can't-broadcast regime: at 100 TB the dup-gram set exceeds any
+    // broadcast threshold, so the gram join shuffles the position side by
+    // gram hash — and one viral gram's positions all share one key
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false") // isolate OUR salt
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+
+    // identical spans first, salted vs unsalted, on a collect-sized corpus
+    val small = viralCorpus(s, 3000)
+    def spans(salt: Int): Seq[(Long, Long, Long)] =
+      graft.dedup.SpanDedup.duplicatedSpans(small, "id", "text",
+          n = 8, minDocs = 2, gramSaltBuckets = salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(spans(64) === spans(1), "salting changed the span output")
+
+    // several stages read ~|pos| rows here (the (g,id) distinct, the gram
+    // join, the island window), so the bound is asserted over EVERY heavy
+    // shuffle stage, not just the largest — the skew could hide in any
+    val big = viralCorpus(s, 400000)
+    def runStages(salt: Int): Map[Int, Seq[Long]] = {
+      val tap = new TaskTap
+      s.sparkContext.addSparkListener(tap)
+      try {
+        graft.dedup.SpanDedup.duplicatedSpans(big, "id", "text",
+            n = 8, minDocs = 2, gramSaltBuckets = salt)
+          .write.format("noop").mode("overwrite").save()
+        var last = -1
+        val deadline = System.currentTimeMillis() + 15000
+        while (tap.tasks.size() != last && System.currentTimeMillis() < deadline) {
+          last = tap.tasks.size(); Thread.sleep(300)
+        }
+      } finally s.sparkContext.removeSparkListener(tap)
+      import scala.jdk.CollectionConverters._
+      tap.tasks.asScala.toSeq.groupBy(_._1)
+        .map { case (st, ts) => (st, ts.map(_._2).filter(_ > 0)) }
+        .filter(_._2.nonEmpty)
+    }
+    val plain = runStages(1)
+    val salted = runStages(64)
+    val plainWorst = plain.values.map(_.max).max
+    val saltedWorst = salted.values.map(_.max).max
+    plain.foreach { case (st, recs) =>
+      info(s"plain  stage $st: n=${recs.length} max=${recs.max} median=${median(recs)}") }
+    salted.foreach { case (st, recs) =>
+      info(s"salted stage $st: n=${recs.length} max=${recs.max} median=${median(recs)}") }
+    // unsalted: the viral gram funnels its 400k positions into one task
+    assert(plainWorst >= 300000L, s"fixture not skewed enough: worst=$plainWorst")
+    // salted: in every heavy shuffle stage no task reads more than 4x its
+    // stage median, and the worst task anywhere carries only a fraction
+    // of the viral gram
+    salted.filter(_._2.sum >= 100000L).foreach { case (st, recs) =>
+      assert(recs.max <= 4 * median(recs),
+        s"salted stage $st max ${recs.max} > 4x median ${median(recs)}")
+    }
+    assert(saltedWorst <= plainWorst / 4,
+      s"salted worst $saltedWorst not materially below plain worst $plainWorst")
+  }
 }
