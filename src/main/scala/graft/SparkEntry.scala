@@ -1031,8 +1031,15 @@ object SparkEntry {
       // 50k cells over 5B vectors) so within-cell all-pairs stays linear —
       // k pinned at 8 measured 95x wall for 10x data on the sf10 decade
       val k = Similarity.cellsForOccupancy(emb.count())
+      // measurement hook (round-6 verdict task): lowering the flop
+      // threshold forces centroid training through the DISTRIBUTED
+      // spark.ml route — the oracle captures whatever centroids the run
+      // produced, so the gate verifies that route end-to-end too
+      val flops = sys.env.get("SPARK_GRAFT_IVF_DRIVER_FLOPS")
+        .map(_.toLong).getOrElse(10000000000L)
       val (cent, pairs) = Similarity.semanticNearDupPairs(
-        emb, "vec_id", "v", dim = 64, threshold = 0.3, k = k)
+        emb, "vec_id", "v", dim = 64, threshold = 0.3, k = k,
+        driverFlopsPerIter = flops)
       q71Centroids = Some(cent)
       pairs.select(col("cell").cast("long").as("cell"), col("id_a"), col("id_b"),
           round(col("cosine"), 4).as("cosine"))

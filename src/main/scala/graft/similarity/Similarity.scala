@@ -594,9 +594,11 @@ object Similarity {
       dim: Int,
       threshold: Double,
       k: Int = 8,
-      seed: Long = 42L): (Seq[Double], DataFrame) = {
+      seed: Long = 42L,
+      driverFlopsPerIter: Long = 10000000000L): (Seq[Double], DataFrame) = {
     import graft.functions.NearestCentroidsExpr
-    val cent = trainIvfCentroids(corpus, idCol, vecCol, dim, nLists = k, seed = seed)
+    val cent = trainIvfCentroids(corpus, idCol, vecCol, dim, nLists = k, seed = seed,
+      driverFlopsPerIter = driverFlopsPerIter)
     val cellOf = toCol(NearestCentroidsExpr(toExpr(col(vecCol)), cent, dim, 1)).getItem(0)
     val keyed = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
       cellOf.as("cell"))
