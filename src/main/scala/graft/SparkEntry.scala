@@ -536,8 +536,21 @@ object SparkEntry {
       // the n-gram arrays nor the ~45-char block strings); a 2^-64 hash
       // collision could only add a spurious candidate, which the exact
       // Jaccard filter then rejects. Sets re-attach to the few survivors.
+      // PER-BLOCK CAP (the L2/L5 bucket-cap discipline, and the round-6
+      // third-decade lesson): a boilerplate 8-gram shared by a g-doc
+      // identical group makes the self-join emit g^2/2 rows per gram —
+      // the accidental 10-identical-copy sf100 corpus measured 41x per
+      // decade from exactly this. Keeping the 64 smallest doc_ids per
+      // block bounds every block at 64^2/2 candidate rows (the window is
+      // a map-side WindowGroupLimit, so the cap also bounds its own
+      // shuffle); pairs whose every shared gram overflows the cap are
+      // the documented recall trade, identical to the hashed-LSH caps.
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b8")).orderBy(col("doc_id"))
       val ex = d.select(col("doc_id"), explode(col("blk")).as("__b8s"))
         .select(col("doc_id"), xxhash64(col("__b8s")).as("b8"))
+        .withColumn("__rk", row_number().over(wb))
+        .where(col("__rk") <= 64).drop("__rk")
       val cand = ex.alias("xa")
         .join(ex.alias("xb"),
           col("xa.b8") === col("xb.b8") && col("xa.doc_id") < col("xb.doc_id"))
@@ -2048,7 +2061,8 @@ object SparkEntry {
         |  list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
         |    for i in range(1, greatest(len(w) - 6, 1))]) AS blk
         |  FROM w),
-        |ex AS (SELECT doc_id, unnest(blk) AS b8 FROM n),
+        |ex AS (SELECT doc_id, b8 FROM (SELECT doc_id, unnest(blk) AS b8 FROM n) e0
+        |  QUALIFY row_number() OVER (PARTITION BY b8 ORDER BY doc_id) <= 64),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM ex a JOIN ex b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
         |p AS (SELECT c.id_a, c.id_b,
@@ -2372,7 +2386,8 @@ object SparkEntry {
         |  list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
         |    for i in range(1, greatest(len(w) - 6, 1))]) AS blk
         |  FROM w),
-        |ex AS (SELECT doc_id, unnest(blk) AS b8 FROM n),
+        |ex AS (SELECT doc_id, b8 FROM (SELECT doc_id, unnest(blk) AS b8 FROM n) e0
+        |  QUALIFY row_number() OVER (PARTITION BY b8 ORDER BY doc_id) <= 64),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM ex a JOIN ex b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
         |pr AS (SELECT c.id_a, c.id_b,

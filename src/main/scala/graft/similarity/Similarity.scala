@@ -278,8 +278,18 @@ object Similarity {
       val m = feats.count()
       require(m > 0, "hash-filter sample selected no rows")
       val k = math.min(nLists.toLong, m).toInt
+      // init mode: k-means|| runs a SINGLE-THREADED local k-means++ over
+      // its ~O(k) collected candidates on the driver — O(k^2 * dim) with
+      // Lloyd refinement, which at coarse-quantizer scale (k in the
+      // thousands; measured: k=3907/dim=64 at the sf100 decade point sat
+      // minutes on one core) dwarfs the distributed iterations it is
+      // supposed to help. Random init is the standard coarse-quantizer
+      // practice (faiss trains IVF lists exactly this way): cell QUALITY
+      // converges under the same Lloyd iterations, and every caller's
+      // oracle captures whatever centroids the run produced.
       val model = new KMeans()
         .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+        .setInitMode(if (k > 1024) "random" else "k-means||")
         .fit(feats)
       model.clusterCenters.flatMap(_.toArray).toSeq.padTo(nLists * dim, 0.0)
     } finally feats.unpersist()
