@@ -1431,6 +1431,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q93: GZIP compress -> decompress roundtrip (graft.functions.Gzip,
+    // SURVEY+ L57) — the compressed-TEXT codec of the web-ingestion
+    // front, real (java.util.zip) where the media codecs are stubbed.
+    // Oracle = identity on the text (one wrong byte anywhere in either
+    // codec breaks the hash); the quarantine/zip-bomb semantics are
+    // spec-covered (GzipSpec) and fuzz-covered (fz_gzip).
+    "q93_gzip_roundtrip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Gzip.gunzipText(
+            graft.functions.Gzip.gzip(col("text"))).as("text_rt"))
+        .select(col("doc_id"), col("text_rt"),
+          length(col("text_rt")).as("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2898,7 +2913,12 @@ object SparkEntry {
         |    (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rk
         |  FROM aggq)
         |SELECT query_id, doc_id, n_terms, bm25, CAST(rk AS BIGINT) AS rank
-        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // gzip roundtrip: the oracle is the identity — the compressed bytes
+    // are engine-specific, but the roundtripped TEXT must be byte-equal
+    "q93_gzip_roundtrip" ->
+      """SELECT doc_id, text AS text_rt, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

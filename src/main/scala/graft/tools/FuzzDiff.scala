@@ -1140,6 +1140,18 @@ object FuzzDiff {
       (build, ReplaySql.bpeMerges("fuzz_docs", "s", k))
     }),
 
+    Template("fz_gzip", 5, { _ =>
+      // gzip compress->decompress roundtrip over the edge corpus
+      // (unicode, emoji, NBSP, VT, 500-char runs): the oracle is the
+      // identity on the text — one wrong byte in either codec breaks it
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.Gzip.gunzipText(
+              graft.functions.Gzip.gzip(col("s"))).as("rt"))
+      (build, "SELECT id, s AS rt FROM fuzz_docs WHERE s IS NOT NULL")
+    }),
+
     Template("fz_bpe_merges_deep", 2, { rng =>
       // DEEP BPE replay: 50+ merge rounds over the edge corpus — the
       // incremental trainer's pair-count delta updates and lazy-deletion
