@@ -1446,6 +1446,63 @@ object SparkEntry {
           length(col("text_rt")).as("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // q94: URL decomposition (graft.functions.Url, SURVEY+ L58) — the
+    // per-domain-cap keying primitive over synthesized URLs exercising
+    // case-folding, userinfo, ports, ccTLD-ish suffixes, queries and
+    // fragments. Pure codegen'd regexp builtins under the Java/RE2
+    // shared-syntax discipline, so the oracle replays the parse
+    // byte-for-byte from the same construction.
+    "q94_url_parts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        element_at(array(lit("https"), lit("HTTP"), lit("ftp")),
+          (id % 3 + 1).cast("int")),
+        lit("://"),
+        when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+        lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
+        element_at(array(lit("com"), lit("org"), lit("co.uk")),
+          (id % 3 + 1).cast("int")),
+        when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), id,
+        when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Url.urlParts(url).as("u"))
+        .select(col("doc_id"), col("u.scheme").as("scheme"),
+          col("u.host").as("host"), col("u.port").as("port"),
+          col("u.path").as("path"), col("u.query").as("query"),
+          col("u.domain").as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q95: sentence segmentation (TextFunctions.sentences, SURVEY+ L59)
+    // — deterministic-tier sentence splitting over punctuation-decorated
+    // documents (the synthetic corpus has no terminators, so each doc is
+    // wrapped with seeded '.'/'!'/'?' decorations first). Per-doc
+    // sentence count, first sentence, and mean sentence character
+    // length; the oracle replays the decoration AND the segmentation.
+    "q95_sentences" -> ((s, dir) => {
+      val id = col("doc_id")
+      val decorated = concat(
+        lit("Dr intro here"),
+        element_at(array(lit(". "), lit("! "), lit("? ")), (id % 3 + 1).cast("int")),
+        col("text"),
+        element_at(array(lit("."), lit("!"), lit("?")), (id % 3 + 1).cast("int")),
+        lit(" Tail claim"),
+        when(id % 2 === 0, lit(".")).otherwise(lit("")))
+      val sent = graft.functions.TextFunctions.sentences(decorated)
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), sent.as("s"))
+        .select(col("doc_id"),
+          size(col("s")).as("n_sentences"),
+          element_at(col("s"), 1).as("first_sentence"),
+          round(aggregate(col("s"), lit(0L),
+            (acc, x) => acc + length(x)).cast("double") /
+            greatest(size(col("s")), lit(1)), 4).as("avg_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -2918,7 +2975,61 @@ object SparkEntry {
     // are engine-specific, but the roundtripped TEXT must be byte-equal
     "q93_gzip_roundtrip" ->
       """SELECT doc_id, text AS text_rt, length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // URL parse replay: identical construction, identical regexes (the
+    // shared Java/RE2 syntax), identical ''-vs-NULL discipline
+    "q94_url_parts" ->
+      """WITH u AS (SELECT doc_id,
+        |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
+        |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
+        |  ['com','org','co.uk'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
+        |  '/p/' || doc_id ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |a AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1) AS auth_raw
+        |  FROM u),
+        |n AS (SELECT doc_id, url, auth_raw,
+        |  regexp_extract(auth_raw, '(?:[^@]*@)?([^@]*)$', 1) AS no_user
+        |  FROM a),
+        |h AS (SELECT doc_id, url, auth_raw,
+        |  nullif(lower(CASE WHEN starts_with(no_user, '[')
+        |    THEN regexp_extract(no_user, '^(\[[^\]]*\])', 1)
+        |    ELSE regexp_extract(no_user, '^([^:]*)', 1) END), '') AS host
+        |  FROM n)
+        |SELECT doc_id,
+        |  nullif(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |  host,
+        |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$', 1), '') AS INT) AS port,
+        |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+        |    THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\r\n]*([^?#]*)', 1) END AS path,
+        |  nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query,
+        |  CASE WHEN NOT starts_with(host, '[')
+        |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // sentence-segmentation replay: same decoration, same piece regex,
+    // same explicit-class trim, same empty-drop
+    "q95_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |  'Dr intro here' || ['. ','! ','? '][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  text || ['.','!','?'][CAST(doc_id % 3 + 1 AS INT)] || ' Tail claim' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |  list_filter(
+        |    list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+$'),
+        |      x -> regexp_replace(x, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')),
+        |    x -> x <> '') AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(s) AS INT) AS n_sentences,
+        |  s[1] AS first_sentence,
+        |  round(CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+        |    / greatest(len(s), 1), 4) AS avg_chars
+        |FROM p ORDER BY doc_id""".stripMargin
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

@@ -77,6 +77,27 @@ object TextFunctions {
     toColB(WordBigramsExpr(toExprB(c)))
   }
 
+  /** Sentence array of a text column — the RAG-chunking companion to
+    * [[graft.text.Chunker]]'s token windows. The simple-and-DETERMINISTIC
+    * tier of sentence segmentation (the htmlToText philosophy, not a
+    * trained punkt model): a sentence is a maximal run of
+    * non-terminators followed by a `[.!?]` run (closing quotes/brackets
+    * included), or the trailing remainder; each piece is trimmed with
+    * the engine-wide explicit whitespace class and empties drop. All
+    * codegen'd builtins (`regexp_extract_all` + array ops) over
+    * Java/RE2-shared syntax, so any engine replays segmentation
+    * byte-for-byte (q95). Abbreviation handling ("Dr. Smith") is out of
+    * scope for the deterministic tier — documented, not hidden.
+    */
+  def sentences(c: Column): Column = {
+    val pieces = regexp_extract_all(c,
+      lit("""[^.!?]+[.!?]+["')\]]*|[^.!?]+$"""), lit(0))
+    filter(
+      transform(pieces, p =>
+        regexp_replace(p, "^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")),
+      p => p =!= "")
+  }
+
   /** Lowercased-alnum tokens (same tokenization as [[wordBigrams]]). */
   def asciiTokens(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColT, expression => toExprT}

@@ -1140,6 +1140,67 @@ object FuzzDiff {
       (build, ReplaySql.bpeMerges("fuzz_docs", "s", k))
     }),
 
+    Template("fz_sentences", 4, { _ =>
+      // sentence segmentation over the edge corpus (unicode, newlines,
+      // punctuation storms like '!!! ??? ;;;'): identical piece regex,
+      // trim class and empty-drop on both engines. The coalesce below
+      // pins a caught divergence: DuckDB's array_to_string(EMPTY) is
+      // NULL where Spark's array_join(EMPTY) is ''
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.sentences(col("s")).as("sent"))
+          // joined on a control char (the checker compares scalar cells,
+          // not list cells — the q83 precedent)
+          .select(col("id"), array_join(col("sent"), "\u001f").as("joined"),
+            size(col("sent")).as("n"))
+      val duck =
+        """WITH p AS (SELECT id,
+          |  list_filter(
+          |    list_transform(regexp_extract_all(s, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+$'),
+          |      x -> regexp_replace(x, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')),
+          |    x -> x <> '') AS sent
+          |  FROM fuzz_docs WHERE s IS NOT NULL)
+          |SELECT id,
+          |  coalesce(array_to_string(sent, chr(31)), '') AS joined,
+          |  CAST(len(sent) AS INT) AS n
+          |FROM p""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_url", 4, { _ =>
+      // URL parse over ARBITRARY edge strings (garbage, unicode,
+      // newlines, 500-char runs): both engines run the same shared-
+      // syntax regexes, so parts must agree byte-for-byte — including
+      // all the NULL-vs-'' edges on non-URLs
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"), graft.functions.Url.urlParts(col("s")).as("u"))
+          .select(col("id"), col("u.scheme").as("scheme"), col("u.host").as("host"),
+            col("u.port").as("port"), col("u.query").as("query"),
+            col("u.domain").as("domain"))
+      val duck =
+        """WITH a AS (SELECT id, s,
+          |  regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1) AS auth_raw
+          |  FROM fuzz_docs WHERE s IS NOT NULL),
+          |n AS (SELECT id, s, auth_raw,
+          |  regexp_extract(auth_raw, '(?:[^@]*@)?([^@]*)$', 1) AS no_user FROM a),
+          |h AS (SELECT id, s, auth_raw,
+          |  nullif(lower(CASE WHEN starts_with(no_user, '[')
+          |    THEN regexp_extract(no_user, '^(\[[^\]]*\])', 1)
+          |    ELSE regexp_extract(no_user, '^([^:]*)', 1) END), '') AS host
+          |  FROM n)
+          |SELECT id,
+          |  nullif(lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+          |  host,
+          |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$', 1), '') AS INT) AS port,
+          |  nullif(regexp_extract(s, '\?([^#]*)', 1), '') AS query,
+          |  CASE WHEN NOT starts_with(host, '[')
+          |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
+          |FROM h""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_gzip", 5, { _ =>
       // gzip compress->decompress roundtrip over the edge corpus
       // (unicode, emoji, NBSP, VT, 500-char runs): the oracle is the
