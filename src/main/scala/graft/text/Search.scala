@@ -131,7 +131,11 @@ object Search {
     * term, duplicates ignored. Same arithmetic, idf and rounding as
     * [[bm25TopK]] (the q77 oracle generalizes directly; q92 checks it).
     *
-    * Plan — the corpus is still scanned ONCE:
+    * Plan — corpus cost is INDEPENDENT of the query count (one stats
+    * job + the postings scan for tf, plus the per-term df branch over
+    * the same filtered aggregation — AQE's runtime stage reuse can
+    * collapse the twin; either way it is O(corpus), never O(corpus x
+    * |Q|) like a per-query loop):
     *  - postings are filtered by a BROADCAST semi-join against the
     *    distinct term set of ALL queries (replacing the single-query
     *    isin) before the exchange;

@@ -67,6 +67,11 @@ def main(sf_dir, out_dir):
                 con.execute(
                     f"CREATE VIEW {tn[:-8]} AS SELECT * FROM read_parquet('{tdir}/{tn}/*.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # big-scale runs (sf10: 500k docs) can push DuckDB's hash joins past
+    # host RAM — cap the budget so it spills to disk instead of OOMing
+    # the box (no effect on small-scale gate runs)
+    con.execute("SET memory_limit='80GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):
         if name.startswith("_"):
