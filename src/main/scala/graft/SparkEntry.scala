@@ -1475,6 +1475,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q96: n-gram CONTAINMENT pairs (Dedup.containmentPairs, SURVEY+
+    // L60) — Broder's asymmetric resemblance axis: a short doc quoted
+    // whole inside a long one scores ~0 Jaccard but containment ~1.
+    // Same capped blocking discipline as q41; oracle extends the q41
+    // replay with both containment directions.
+    "q96_containment_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 5, blockN = 8, blockCap = 64, minContainment = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // q95: sentence segmentation (TextFunctions.sentences, SURVEY+ L59)
     // — deterministic-tier sentence splitting over punctuation-decorated
     // documents (the synthetic corpus has no terminators, so each doc is
@@ -3010,6 +3021,35 @@ object SparkEntry {
         |  CASE WHEN NOT starts_with(host, '[')
         |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
         |FROM h ORDER BY doc_id""".stripMargin,
+    // containment replay: the q41 CTE chain with both asymmetric
+    // directions; filter on the ROUNDED values exactly like the query
+    "q96_containment_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[\s\x0b]+'), w -> w <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 4), ' ')
+        |    for i in range(1, greatest(len(w) - 3, 1))]) AS ng,
+        |  list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+        |    for i in range(1, greatest(len(w) - 6, 1))]) AS blk
+        |  FROM w),
+        |ex AS (SELECT doc_id, b8 FROM (SELECT doc_id, unnest(blk) AS b8 FROM n) e0
+        |  QUALIFY row_number() OVER (PARTITION BY b8 ORDER BY doc_id) <= 64),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(na.ng, nb.ng)) AS DOUBLE) AS i,
+        |  CAST(len(na.ng) AS DOUBLE) AS sa,
+        |  CAST(len(nb.ng) AS DOUBLE) AS sb,
+        |  CAST(len(list_distinct(list_concat(na.ng, nb.ng))) AS DOUBLE) AS u
+        |  FROM cand c JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
+        |SELECT id_a, id_b,
+        |  round(i / sa, 6) AS cont_a_in_b,
+        |  round(i / sb, 6) AS cont_b_in_a,
+        |  round(i / u, 6) AS jaccard
+        |FROM p
+        |WHERE round(i / sa, 6) >= 0.5 OR round(i / sb, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // sentence-segmentation replay: same decoration, same piece regex,
     // same explicit-class trim, same empty-drop
     "q95_sentences" ->

@@ -378,6 +378,67 @@ object Dedup {
           }
       }
   }
+
+  /** N-gram CONTAINMENT pairs — Broder's second resemblance measure
+    * (1997, "On the resemblance and containment of documents"):
+    * `C(a in b) = |grams(a) ∩ grams(b)| / |grams(a)|`. The asymmetric
+    * axis symmetric Jaccard (q41/L3) is blind to: a short document
+    * quoted whole inside a long one scores near-zero Jaccard (the union
+    * is huge) but containment ~1 — the quoted-boilerplate /
+    * doc-inside-doc modality of exact-substring dedup, at SET rather
+    * than SPAN granularity (the span sibling is L49).
+    *
+    * Plan shape = q41's exactly (shared discipline): candidates must
+    * share a word-`blockN`-gram, the blocking join ships ids + 8-byte
+    * hashes only and keeps the `blockCap` smallest ids per block (a
+    * map-side WindowGroupLimit — the viral-boilerplate bound), n-gram
+    * sets re-attach to survivors, and set ops stay in codegen'd
+    * builtins. Output: both containment directions plus Jaccard, pairs
+    * where EITHER direction clears `minContainment`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      blockN: Int = 8,
+      blockCap: Int = 64,
+      minContainment: Double = 0.5): DataFrame = {
+    require(n >= 1 && blockN >= n,
+      s"need blockN >= n >= 1 (blockN is the minimum shared run), got n=$n blockN=$blockN")
+    require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
+    val d = df.select(col(idCol),
+      TextFunctions.wordNgrams(col(textCol), n).as("__ng"),
+      TextFunctions.wordNgrams(col(textCol), blockN).as("__blk"))
+    val wb = Window.partitionBy(col("__b8")).orderBy(col(idCol))
+    val ex = d.select(col(idCol), explode(col("__blk")).as("__b8s"))
+      .select(col(idCol), xxhash64(col("__b8s")).as("__b8"))
+      .withColumn("__rk", row_number().over(wb))
+      .where(col("__rk") <= blockCap).drop("__rk")
+    val cand = ex.alias("ca")
+      .join(ex.alias("cb"),
+        col("ca.__b8") === col("cb.__b8") &&
+          col(s"ca.$idCol") < col(s"cb.$idCol"))
+      .select(col(s"ca.$idCol").as("id_a"), col(s"cb.$idCol").as("id_b"))
+      .distinct()
+    val sets = d.select(col(idCol), col("__ng"))
+    val withSets = cand
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__nga")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ngb")), Seq("id_b"))
+    // candidates share a blockN-gram and blockN >= n, so both sets are
+    // non-empty by construction — the divisions are safe
+    val inter = size(array_intersect(col("__nga"), col("__ngb"))).cast("double")
+    val contA = inter / size(col("__nga")).cast("double")
+    val contB = inter / size(col("__ngb")).cast("double")
+    val union = size(array_union(col("__nga"), col("__ngb"))).cast("double")
+    withSets
+      .select(col("id_a"), col("id_b"),
+        round(contA, 6).as("cont_a_in_b"),
+        round(contB, 6).as("cont_b_in_a"),
+        round(inter / union, 6).as("jaccard"))
+      .where(col("cont_a_in_b") >= minContainment ||
+        col("cont_b_in_a") >= minContainment)
+  }
 }
 
 /** One (id, minhash signature, event-time ms) resident in a band bucket. */
