@@ -1475,6 +1475,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q97: per-domain cap keyed on the PARSED URL domain — the L36+L58
+    // composition run as one plan: synthesize target URIs (the q94
+    // construction), extract the keying domain with Url.urlDomain, cap
+    // each domain with the portable md5 rank (map-side WindowGroupLimit).
+    // Proves the operators compose, not just coexist.
+    "q97_url_domain_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        element_at(array(lit("https"), lit("HTTP"), lit("ftp")),
+          (id % 3 + 1).cast("int")),
+        lit("://"),
+        when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+        lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
+        element_at(array(lit("com"), lit("org"), lit("co.uk")),
+          (id % 3 + 1).cast("int")),
+        when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), id,
+        when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.Url.urlDomain(url).as("domain"))
+      graft.etl.Mixing.capPerGroup(keyed, "domain", "doc_id", cap = 50)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("domain"))
+    }),
+
     // q96: n-gram CONTAINMENT pairs (Dedup.containmentPairs, SURVEY+
     // L60) — Broder's asymmetric resemblance axis: a short doc quoted
     // whole inside a long one scores ~0 Jaccard but containment ~1.
@@ -3021,6 +3049,40 @@ object SparkEntry {
         |  CASE WHEN NOT starts_with(host, '[')
         |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
         |FROM h ORDER BY doc_id""".stripMargin,
+    // L36+L58 composition replay: the q94 URL/domain chain feeding the
+    // q72 md5-rank cap
+    "q97_url_domain_cap" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
+        |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
+        |  ['com','org','co.uk'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
+        |  '/p/' || doc_id ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1) AS auth_raw
+        |  FROM u),
+        |n2 AS (SELECT doc_id, n_chars,
+        |  regexp_extract(auth_raw, '(?:[^@]*@)?([^@]*)$', 1) AS no_user FROM a),
+        |h AS (SELECT doc_id, n_chars,
+        |  nullif(lower(CASE WHEN starts_with(no_user, '[')
+        |    THEN regexp_extract(no_user, '^(\[[^\]]*\])', 1)
+        |    ELSE regexp_extract(no_user, '^([^:]*)', 1) END), '') AS host
+        |  FROM n2),
+        |d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN NOT starts_with(host, '[')
+        |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
+        |  FROM h),
+        |r AS (SELECT domain, n_chars,
+        |  row_number() OVER (PARTITION BY domain
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM d)
+        |SELECT domain, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rk <= 50 GROUP BY domain ORDER BY domain""".stripMargin,
     // containment replay: the q41 CTE chain with both asymmetric
     // directions; filter on the ROUNDED values exactly like the query
     "q96_containment_pairs" ->
