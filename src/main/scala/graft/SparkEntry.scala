@@ -1451,7 +1451,10 @@ object SparkEntry {
     // case-folding, userinfo, ports, ccTLD-ish suffixes, queries and
     // fragments. Pure codegen'd regexp builtins under the Java/RE2
     // shared-syntax discipline, so the oracle replays the parse
-    // byte-for-byte from the same construction.
+    // byte-for-byte from the same construction — including the eTLD+1
+    // public-suffix ladder (the suffix snapshot becomes IN lists in the
+    // oracle) over ccTLD (co.uk) and 3-label private
+    // (s3.amazonaws.com) suffixes.
     "q94_url_parts" -> ((s, dir) => {
       val id = col("doc_id")
       val url = concat(
@@ -1460,26 +1463,33 @@ object SparkEntry {
         lit("://"),
         when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
         lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
-        element_at(array(lit("com"), lit("org"), lit("co.uk")),
-          (id % 3 + 1).cast("int")),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com")),
+          (id % 4 + 1).cast("int")),
         when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
         lit("/p/"), id,
         when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
         when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      // two projections: parts first, suffix ladder over the
+      // materialized host attribute (registrableDomainOfHost scaladoc —
+      // inlining the synthesized-URL derivation at every ladder
+      // reference would blow the 64 KB codegen limit)
       t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.Url.urlParts(url).as("u"))
         .select(col("doc_id"), col("u.scheme").as("scheme"),
           col("u.host").as("host"), col("u.port").as("port"),
           col("u.path").as("path"), col("u.query").as("query"),
-          col("u.domain").as("domain"))
+          col("u.domain").as("domain"),
+          graft.functions.Url.registrableDomainOfHost(col("u.host")).as("etld1"))
         .orderBy(col("doc_id"))
     }),
 
-    // q97: per-domain cap keyed on the PARSED URL domain — the L36+L58
+    // q97: per-domain cap keyed on the PARSED eTLD+1 — the L36+L58
     // composition run as one plan: synthesize target URIs (the q94
-    // construction), extract the keying domain with Url.urlDomain, cap
-    // each domain with the portable md5 rank (map-side WindowGroupLimit).
-    // Proves the operators compose, not just coexist.
+    // construction), extract the REGISTRABLE domain with the
+    // public-suffix ladder (so `a.example.co.uk` caps under
+    // `example.co.uk`, not the whole `co.uk` registry — the round-6
+    // verdict's mis-keying fix), cap each domain with the portable md5
+    // rank (map-side WindowGroupLimit). Proves the operators compose.
     "q97_url_domain_cap" -> ((s, dir) => {
       val id = col("doc_id")
       val url = concat(
@@ -1488,15 +1498,19 @@ object SparkEntry {
         lit("://"),
         when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
         lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
-        element_at(array(lit("com"), lit("org"), lit("co.uk")),
-          (id % 3 + 1).cast("int")),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com")),
+          (id % 4 + 1).cast("int")),
         when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
         lit("/p/"), id,
         when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
         when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+      // host materialized in its own projection, ladder over the
+      // attribute (registrableDomainOfHost scaladoc)
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
-          graft.functions.Url.urlDomain(url).as("domain"))
+          graft.functions.Url.urlHost(url).as("host"))
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.Url.registrableDomainOfHost(col("host")).as("domain"))
       graft.etl.Mixing.capPerGroup(keyed, "domain", "doc_id", cap = 50)
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
@@ -1559,6 +1573,29 @@ object SparkEntry {
         .toDF("user_id", "n_closed_sessions")
         .orderBy(col("user_id"))
     }))
+
+  /** DuckDB CASE/IN replay of [[graft.functions.Url.registrableDomain]]
+    * over the bundled [[graft.functions.PublicSuffix.Snapshot]]: the
+    * suffix snapshot becomes literal IN lists (one per label count,
+    * longest first), the candidate extraction the same anchored
+    * Java/RE2-shared regex. `host` is the SQL expression holding the
+    * already-lowercased host.
+    */
+  private def etld1OracleSql(host: String): String = {
+    val byLen = graft.functions.PublicSuffix.Snapshot.distinct
+      .groupBy(_.count(_ == '.') + 1)
+    val maxK = byLen.keys.max
+    def lastK(k: Int) =
+      s"regexp_extract($host, '([^.]+(?:[.][^.]+){${k - 1}})$$', 1)"
+    val whens = (maxK to 2 by -1).flatMap { k =>
+      byLen.get(k).map { set =>
+        val inList = set.sorted.map(s => s"'$s'").mkString(", ")
+        s"WHEN ${lastK(k)} IN ($inList)\n      THEN nullif(${lastK(k + 1)}, '')"
+      }
+    }.mkString("\n    ")
+    s"CASE WHEN NOT starts_with($host, '[') THEN\n  CASE $whens\n" +
+      s"    ELSE nullif(${lastK(2)}, '') END\nEND"
+  }
 
   /** Iterative-algorithm replays (BPE merge loop, k-center rounds) come
     * from the SHARED generators in [[graft.tools.ReplaySql]] — the same
@@ -3016,13 +3053,14 @@ object SparkEntry {
       """SELECT doc_id, text AS text_rt, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // URL parse replay: identical construction, identical regexes (the
-    // shared Java/RE2 syntax), identical ''-vs-NULL discipline
+    // shared Java/RE2 syntax), identical ''-vs-NULL discipline; the
+    // eTLD+1 ladder replays the PublicSuffix snapshot as IN lists
     "q94_url_parts" ->
-      """WITH u AS (SELECT doc_id,
+      ("""WITH u AS (SELECT doc_id,
         |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
         |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
         |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
-        |  ['com','org','co.uk'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  ['com','org','co.uk','s3.amazonaws.com'][CAST(doc_id % 4 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
         |  '/p/' || doc_id ||
         |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||
@@ -3045,18 +3083,21 @@ object SparkEntry {
         |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$', 1), '') AS INT) AS port,
         |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
         |    THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\r\n]*([^?#]*)', 1) END AS path,
-        |  nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS query,
+        |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+        |    THEN nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1), '') END AS query,
         |  CASE WHEN NOT starts_with(host, '[')
-        |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
-        |FROM h ORDER BY doc_id""".stripMargin,
-    // L36+L58 composition replay: the q94 URL/domain chain feeding the
+        |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain,
+        |""".stripMargin +
+        etld1OracleSql("host") + " AS etld1\nFROM h ORDER BY doc_id"),
+    // L36+L58 composition replay: the q94 URL chain, the eTLD+1 suffix
+    // ladder (IN-list replay of the PublicSuffix snapshot), then the
     // q72 md5-rank cap
     "q97_url_domain_cap" ->
-      """WITH u AS (SELECT doc_id, n_chars,
+      ("""WITH u AS (SELECT doc_id, n_chars,
         |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
         |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
         |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
-        |  ['com','org','co.uk'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  ['com','org','co.uk','s3.amazonaws.com'][CAST(doc_id % 4 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
         |  '/p/' || doc_id ||
         |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||
@@ -3073,16 +3114,16 @@ object SparkEntry {
         |    ELSE regexp_extract(no_user, '^([^:]*)', 1) END), '') AS host
         |  FROM n2),
         |d AS (SELECT doc_id, n_chars,
-        |  CASE WHEN NOT starts_with(host, '[')
-        |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
-        |  FROM h),
+        |""".stripMargin +
+        etld1OracleSql("host") + " AS domain\n" +
+        """  FROM h),
         |r AS (SELECT domain, n_chars,
         |  row_number() OVER (PARTITION BY domain
         |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
         |      doc_id) AS rk
         |  FROM d)
         |SELECT domain, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM r WHERE rk <= 50 GROUP BY domain ORDER BY domain""".stripMargin,
+        |FROM r WHERE rk <= 50 GROUP BY domain ORDER BY domain""".stripMargin),
     // containment replay: the q41 CTE chain with both asymmetric
     // directions; filter on the ROUNDED values exactly like the query
     "q96_containment_pairs" ->

@@ -30,8 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object Gzip {
 
   /** GZIP bytes of a string or binary column. Deterministic for a given
-    * input (fixed deflate level, no timestamps in the header as written
-    * by `GZIPOutputStream`).
+    * input WITHIN one JDK (fixed deflate level, no timestamps in the
+    * header as written by `GZIPOutputStream`) — but deflate byte streams
+    * are NOT a cross-engine/cross-implementation contract, so only the
+    * decompress(compress(x)) == x roundtrip belongs in an oracle hash
+    * (q93 pins exactly that), never the compressed bytes themselves.
     */
   def gzip(c: Column): Column = toCol(GzipCompressExpr(toExpr(c)))
 
@@ -60,11 +63,16 @@ object Gzip {
   def compressStr(s: UTF8String): Array[Byte] = compress(s.getBytes)
 
   /** Kernel: decompress with quarantine semantics — null on malformed /
-    * truncated / over-budget streams, never an exception.
+    * truncated / over-budget streams, never an exception. The stream is
+    * closed on EVERY exit path (try/finally): GZIPInputStream owns a
+    * native Inflater, and leaving it to finalization on the zip-bomb /
+    * malformed paths churns native memory in a hot codegen loop over
+    * many bad rows.
     */
   def decompress(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
+    var in: GZIPInputStream = null
     try {
-      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
       val out = new ByteArrayOutputStream(math.min(math.max(64, bytes.length * 3), maxBytes))
       val buf = new Array[Byte](8192)
       var total = 0
@@ -75,10 +83,14 @@ object Gzip {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      in.close()
       out.toByteArray
     } catch {
       case _: java.io.IOException => null // malformed or truncated stream
+    } finally {
+      if (in != null) {
+        try in.close() // ends the Inflater, freeing native buffers now
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 }

@@ -66,9 +66,16 @@ object Url {
     when(urlAuthority(c).isNotNull,
       regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\\r\\n]*([^?#]*)", 1))
 
-  /** Query string (without '?'); NULL when absent. */
+  /** Query string (without '?'); NULL when absent. Gated on a non-null
+    * authority (like [[urlPath]] — non-URL cells yield NULL, not a
+    * substring after a stray '?') and anchored AFTER the
+    * scheme/authority/path prefix, so a '?' inside a fragment
+    * (`http://h/p#frag?x`) is not misread as a query.
+    */
   def urlQuery(c: Column): Column =
-    nullif(regexp_extract(c, "\\?([^#]*)", 1), lit(""))
+    when(urlAuthority(c).isNotNull,
+      nullif(regexp_extract(c,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1), lit("")))
 
   /** Keying domain: the last two labels of the host (`news.bbc.co.uk`
     * -> `co.uk`... no: -> `bbc.co.uk` requires the public-suffix list,
@@ -90,4 +97,101 @@ object Url {
   def urlParts(c: Column): Column = struct(
     urlScheme(c).as("scheme"), urlHost(c).as("host"), urlPort(c).as("port"),
     urlPath(c).as("path"), urlQuery(c).as("query"), urlDomain(c).as("domain"))
+
+  /** The last `k` dot-labels of a (break-free, lowercased) host column;
+    * '' when the host has fewer than `k` labels. Shared Java/RE2 regex.
+    */
+  private def lastLabels(h: Column, k: Int): Column =
+    regexp_extract(h, "([^.]+(?:[.][^.]+){" + (k - 1) + "})$", 1)
+
+  /** eTLD+1 (registrable domain) against a caller-supplied public-suffix
+    * list — the precision tier above [[urlDomain]]'s last-two-label
+    * heuristic, which mis-keys every `*.co.uk`-style host to the suffix
+    * itself and lumps all UK sites into one per-domain-cap bucket.
+    *
+    * Resolution (longest-match ladder, PSL semantics minus wildcards):
+    *  - a k-label suffix match keys the domain as the host's last k+1
+    *    labels; NULL when the host IS the suffix (no registrant);
+    *  - no listed suffix matching = the PSL's implicit `*` rule: the
+    *    TLD alone is the public suffix, domain = last two labels —
+    *    which is why `suffixes` only needs MULTI-label rules
+    *    ([[PublicSuffix]] scaladoc); single-label entries are ignored.
+    *  - bracket (IPv6) hosts and hosts without a dot yield NULL.
+    *
+    * All codegen'd builtins: the per-k candidate is one anchored
+    * regexp_extract and the membership test an `isin` literal set
+    * (Catalyst compiles large ones to InSet hash lookups) — replayable
+    * in any engine as a CASE/IN ladder (q94/q97). For suffix tables too
+    * big to inline in a plan, use [[withRegistrableDomain]].
+    */
+  def registrableDomain(c: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column =
+    registrableDomainOfHost(urlHost(c), suffixes)
+
+  /** [[registrableDomain]] over an ALREADY-EXTRACTED host column. Prefer
+    * this two-step form (materialize the host in its own projection,
+    * then ladder over the column) when the URL itself is an expensive
+    * expression: the ladder references the host ~2·maxK times, and
+    * inlining a large URL derivation at every reference blows the
+    * generated method past the JVM's 64 KB codegen limit (whole-stage
+    * codegen then bails for the stage). A host ATTRIBUTE reference is
+    * free; Catalyst's CollapseProject keeps the split because the
+    * multiply-referenced extraction is non-cheap.
+    */
+  def registrableDomainOfHost(h: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column = {
+    require(suffixes.nonEmpty, "suffix list must be non-empty")
+    require(suffixes.forall(s => !s.startsWith(".") && !s.endsWith(".") && !s.contains("*")),
+      "suffixes must be bare dotted labels (no leading/trailing dot, no wildcards)")
+    val byLen = suffixes.distinct.groupBy(_.count(_ == '.') + 1)
+    val maxK = byLen.keys.max
+    val fallback = nullif(lastLabels(h, 2), lit("")) // implicit `*` rule
+    // ascending fold nests so the LONGEST suffix length is checked first
+    val ladder = (2 to maxK).foldLeft(fallback) { (els, k) =>
+      byLen.get(k) match {
+        case Some(set) =>
+          when(lastLabels(h, k).isin(set: _*), nullif(lastLabels(h, k + 1), lit("")))
+            .otherwise(els)
+        case None => els
+      }
+    }
+    when(!h.startsWith("["), ladder)
+  }
+
+  /** DataFrame tier of [[registrableDomain]] for full-size suffix tables
+    * (the real PSL is ~10k rules — too big to inline as plan literals):
+    * one broadcast LEFT join per suffix label-count against the host's
+    * last-k-labels candidate, then the same longest-match ladder.
+    * `suffixDf` needs a string column `suffixCol`; everything stays
+    * map-side (the suffix table broadcasts, nothing shuffles).
+    */
+  def withRegistrableDomain(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      outCol: String,
+      suffixDf: org.apache.spark.sql.DataFrame,
+      suffixCol: String = "suffix"): org.apache.spark.sql.DataFrame = {
+    val sfx = suffixDf
+      .select(lower(col(suffixCol)).as("__sfx"),
+        size(split(col(suffixCol), "[.]")).as("__sfx_k"))
+      .where(col("__sfx_k") >= 2) // single-label rules == the fallback
+      .distinct()
+    // the suffix table is small by contract; one tiny job for the max k
+    val ks = sfx.agg(coalesce(max(col("__sfx_k")), lit(2)).as("m")).first().getInt(0)
+    val host = urlHost(col(urlCol))
+    var out = df.withColumn("__host", host)
+    (2 to ks).foreach { k =>
+      out = out
+        .withColumn(s"__last$k", lastLabels(col("__host"), k))
+        .join(
+          broadcast(sfx.where(col("__sfx_k") === k).select(col("__sfx").as(s"__m$k"))),
+          col(s"__last$k") === col(s"__m$k"), "left")
+    }
+    val fallback = nullif(lastLabels(col("__host"), 2), lit(""))
+    val ladder = (2 to ks).foldLeft(fallback) { (els, k) =>
+      when(col(s"__m$k").isNotNull,
+        nullif(lastLabels(col("__host"), k + 1), lit(""))).otherwise(els)
+    }
+    out
+      .withColumn(outCol, when(!col("__host").startsWith("["), ladder))
+      .drop((Seq("__host") ++ (2 to ks).flatMap(k => Seq(s"__last$k", s"__m$k"))): _*)
+  }
 }

@@ -235,9 +235,13 @@ object Bpe {
           }
         }
         // the left-to-right pass removes every adjacent occurrence, so
-        // the merged pair must be gone from the global table
-        assert(pairCount.get(best) == null,
-          s"BPE invariant violated: merged pair $best still has count ${pairCount.get(best)}")
+        // the merged pair must be gone from the global table. Explicit
+        // throw (NOT scala `assert`): the guard that the incremental
+        // pair table stayed consistent with rescan semantics must
+        // survive -Xdisable-assertions production builds.
+        if (pairCount.get(best) != null)
+          throw new IllegalStateException(
+            s"BPE invariant violated: merged pair $best still has count ${pairCount.get(best)}")
         round += 1
       }
     }

@@ -50,4 +50,57 @@ class UrlSpec extends SparkSpec {
     assert(path === "/p/q")
     assert(query === "a=b")
   }
+
+  test("a '?' inside the fragment is NOT a query; non-URLs have no query") {
+    assert(parse("http://h.example.com/p#frag?x=1")._5 === null)
+    assert(parse("what? no.")._5 === null) // gated on authority
+  }
+
+  private def etld1(url: String, suffixes: Seq[String] = PublicSuffix.Snapshot): String = {
+    val r = Seq(url).toDF("u")
+      .select(Url.registrableDomain(col("u"), suffixes).as("d")).collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("eTLD+1: multi-label public suffixes key one more label than the heuristic") {
+    assert(etld1("https://news.bbc.co.uk/x") === "bbc.co.uk")
+    assert(etld1("https://Sub0.host3.example.CO.UK/p") === "example.co.uk")
+    assert(etld1("https://a.b.company.com.au/") === "company.com.au")
+    // generic TLD: same answer as the heuristic
+    assert(etld1("https://sub.host7.example.com/x") === "example.com")
+  }
+
+  test("eTLD+1: 3-label private suffixes (s3.amazonaws.com) resolve at k=3") {
+    assert(etld1("https://mybucket.s3.amazonaws.com/key") === "mybucket.s3.amazonaws.com")
+    assert(etld1("https://x.mybucket.s3.amazonaws.com/key") === "mybucket.s3.amazonaws.com")
+    // github.io: each user site is its own registrable domain
+    assert(etld1("https://someuser.github.io/repo") === "someuser.github.io")
+  }
+
+  test("eTLD+1: host that IS a public suffix has no registrable domain") {
+    assert(etld1("https://co.uk/") === null)
+    assert(etld1("https://s3.amazonaws.com/") === null)
+    // but amazonaws.com itself is registrable (only s3.* is listed)
+    assert(etld1("https://amazonaws.com/") === "amazonaws.com")
+  }
+
+  test("eTLD+1: unknown TLD falls back to the implicit * rule (last two labels)") {
+    assert(etld1("https://a.b.example.zz/") === "example.zz")
+    assert(etld1("http://localhost/") === null) // no dot, no domain
+    assert(etld1("http://[2001:db8::1]/p") === null) // bracket host
+    assert(etld1("not a url") === null)
+  }
+
+  test("eTLD+1 DataFrame tier (broadcast suffix join) agrees with the column tier") {
+    val urls = Seq(
+      "https://news.bbc.co.uk/x", "https://sub.host7.example.com/x",
+      "https://mybucket.s3.amazonaws.com/key", "https://co.uk/",
+      "https://a.b.example.zz/", "http://[2001:db8::1]/p", "junk")
+    val df = urls.toDF("u")
+    val joined = Url.withRegistrableDomain(
+        df, "u", "etld1", PublicSuffix.Snapshot.toDF("suffix"))
+      .select("u", "etld1").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    urls.foreach { u => assert(joined(u) === etld1(u), u) }
+  }
 }

@@ -69,8 +69,18 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # big-scale runs (sf10: 500k docs) can push DuckDB's hash joins past
     # host RAM — cap the budget so it spills to disk instead of OOMing
-    # the box (no effect on small-scale gate runs)
-    con.execute("SET memory_limit='80GB'")
+    # the box. Derived from physical RAM (min(80GB, 70%)) rather than a
+    # hardcoded 80GB, which would RAISE the budget above DuckDB's own
+    # 80%-of-RAM default on hosts with <100GB; GRAFT_DUCKDB_MEMLIMIT
+    # overrides for odd hosts.
+    memlimit = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if not memlimit:
+        try:
+            phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            memlimit = f"{min(80, max(1, int(phys * 0.7 / 2**30)))}GB"
+        except (ValueError, OSError):
+            memlimit = "8GB"
+    con.execute(f"SET memory_limit='{memlimit}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     n_pass = n_fail = n_rowsonly = 0
     for name in sorted(os.listdir(out_dir)):
