@@ -1556,6 +1556,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
+    // round-7 verdict task #1) over a multilingual decorated corpus —
+    // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
+    // by doc_id. Per-doc token count, CJK-single count, ascii-run count
+    // and head/tail tokens; the oracle replays the tokenizer as the
+    // codepoint-class regexp formula (CJK spacing + \p{L}\p{M}\p{N}
+    // extraction + ASCII translate) over the same decoration.
+    "q98_unicode_tokens" -> ((s, dir) => {
+      val id = col("doc_id")
+      val decorated = concat(multilingualSnippet(id), lit(" "),
+        col("text"), lit(" 終了 end"))
+      val cjkFull = "^" + graft.functions.TextAlgo.CjkClass + "$"
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.unicodeTokens(decorated).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), x => x.rlike(cjkFull))).as("n_cjk"),
+          size(filter(col("toks"), x => x.rlike("^[a-z0-9]+$"))).as("n_ascii"),
+          concat_ws(" ", slice(col("toks"), 1, 10)).as("head_tokens"),
+          element_at(col("toks"), -1).as("last_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q99: BM25 retrieval THROUGH the unicode tier (Search.bm25TopK
+    // unicode=true) — single-ideograph/Hangul-syllable/accented terms
+    // against the q98 decorated corpus, proving the threading end to
+    // end: same arithmetic replay as q77, tokenization swapped for the
+    // q98 formula. On the ascii tier these terms are unmatchable.
+    "q99_bm25_unicode" -> ((s, dir) => {
+      val id = col("doc_id")
+      val decorated = concat(multilingualSnippet(id), lit(" "),
+        col("text"), lit(" 終了 end"))
+      val corpus = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), decorated.as("t"))
+      graft.text.Search.bm25TopK(corpus, "doc_id", "t",
+        Seq("学", "テ", "텍", "naïve", "machine"), k = 15, unicode = true)
+    }),
+
     // q33: stateful sessionizer (flatMapGroupsWithState) run in batch —
     // closed sessions per user with a 30-min gap. In batch the final open
     // session per user never emits (streaming-consistent semantics), so the
@@ -1573,6 +1614,39 @@ object SparkEntry {
         .toDF("user_id", "n_closed_sessions")
         .orderBy(col("user_id"))
     }))
+
+  /** Multilingual decoration shared by q98/q99: a script-diverse snippet
+    * keyed by doc_id (CJK, Hangul, accented Latin, Devanagari,
+    * Greek/Cyrillic, mixed English+CJK), prepended to the document text.
+    * The synthetic corpus is pure ASCII, so this is what makes the
+    * unicode-tier queries actually exercise non-Latin scripts.
+    */
+  private def multilingualSnippet(id: Column): Column =
+    element_at(array(
+      lit("世界の日本語テスト"),
+      lit("한국어 텍스트 처리 시험"),
+      lit("Résumé naïve café façade"),
+      lit("हिन्दी में लिखा गया पाठ"),
+      lit("Ελληνικά και Русский текст"),
+      lit("machine learning 机器学习系统")), (id % 6 + 1).cast("int"))
+
+  /** The same six snippets as a DuckDB array-index expression. */
+  private val MultilingualSnippetSql: String =
+    "['世界の日本語テスト','한국어 텍스트 처리 시험','Résumé naïve café façade'," +
+      "'हिन्दी में लिखा गया पाठ','Ελληνικά και Русский текст'," +
+      "'machine learning 机器学习系统'][CAST(doc_id % 6 + 1 AS INT)]"
+
+  /** DuckDB replay of [[graft.functions.TextAlgo.unicodeTokens]] applied
+    * to the SQL expression `textExpr`: space out CJK codepoints (they
+    * become single tokens), ASCII-fold case, extract letter/mark/number
+    * runs. The CJK class is quoted from [[graft.functions.TextAlgo.CjkClass]]
+    * so kernel and oracle can never disagree on the ranges.
+    */
+  private def unicodeToksSql(textExpr: String): String =
+    "regexp_extract_all(translate(regexp_replace(" + textExpr + ", '(" +
+      graft.functions.TextAlgo.CjkClass + ")', ' \\1 ', 'g'), " +
+      "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+      "'[\\p{L}\\p{M}\\p{N}]+')"
 
   /** DuckDB CASE/IN replay of [[graft.functions.Url.registrableDomain]]
     * over the bundled [[graft.functions.PublicSuffix.Snapshot]]: the
@@ -3172,7 +3246,48 @@ object SparkEntry {
         |  s[1] AS first_sentence,
         |  round(CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
         |    / greatest(len(s), 1), 4) AS avg_chars
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // unicode-tokenizer replay: same decoration, the codepoint-class
+    // formula (CJK spacing + ASCII translate + \p{L}\p{M}\p{N} runs)
+    // standing in for the compiled kernel, same CJK class constant
+    "q98_unicode_tokens" ->
+      ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +
+        " || ' ' || text || ' 終了 end' AS t\n" +
+        "  FROM documents WHERE text IS NOT NULL),\n" +
+        "tk AS (SELECT doc_id, " + unicodeToksSql("t") + " AS toks FROM d)\n" +
+        "SELECT doc_id,\n" +
+        "  CAST(len(toks) AS INT) AS n_tokens,\n" +
+        "  CAST(len(list_filter(toks, x -> regexp_full_match(x, '" +
+        graft.functions.TextAlgo.CjkClass + "'))) AS INT) AS n_cjk,\n" +
+        "  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z0-9]+'))) AS INT) AS n_ascii,\n" +
+        "  array_to_string(toks[1:10], ' ') AS head_tokens,\n" +
+        "  toks[-1] AS last_token\n" +
+        "FROM tk ORDER BY doc_id"),
+    // unicode BM25 replay: the q77 arithmetic verbatim with the q98
+    // tokenization swapped in (decorated corpus, multilingual terms)
+    "q99_bm25_unicode" ->
+      ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +
+        " || ' ' || text || ' 終了 end' AS t\n" +
+        "  FROM documents WHERE text IS NOT NULL),\n" +
+        "tk AS (SELECT doc_id, " + unicodeToksSql("t") + " AS toks FROM d),\n" +
+        """dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+        |s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, t.term
+        |  FROM tk, unnest(toks) AS t(term)
+        |  WHERE t.term IN ('学', 'テ', '텍', 'naïve', 'machine')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    ln(1 + (s.n - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+        |      * tf.tf * CAST(2.2 AS DOUBLE)
+        |      / (tf.tf + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)) AS contrib
+        |  FROM tf JOIN f USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(contrib), 6) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY round(sum(contrib), 6) DESC, doc_id LIMIT 15""".stripMargin)
   ) ++
     // q23/q24/q32/q38: JVM-hash-specific outputs pinned as committed-golden
     // VALUES literals (see GoldenOracles scaladoc — algorithms are verified

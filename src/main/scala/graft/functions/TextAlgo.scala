@@ -447,6 +447,95 @@ object TextAlgo {
     words
   }
 
+  // --- Unicode tokenization tier -----------------------------------------
+  // The engine-wide ASCII conventions (`\s+` runs, `[a-z0-9]+` runs)
+  // silently degenerate on non-Latin corpora: CJK text has no spaces (one
+  // giant "word" per sentence) and zero [a-z0-9] runs (empty BM25 token
+  // streams). This tier is the standard CC-pipeline compromise: tokens are
+  // maximal runs of Unicode letter/mark/number codepoints (\p{L}\p{M}\p{N}
+  // — marks keep Devanagari matras etc. inside words), EXCEPT that
+  // codepoints in the CJK ranges below each become a SINGLE token (no
+  // dictionary segmentation — the deterministic, engine-replayable
+  // choice). Case folding is ASCII-ONLY (A-Z -> a-z): full Unicode
+  // lowercasing differs between engines (JDK vs utf8proc on U+0130 et
+  // al.), so the portable tier leaves non-ASCII case alone. The DuckDB
+  // replay is:  regexp_extract_all(translate(regexp_replace(text,
+  // '(<cjkClass>)', ' \1 ', 'g'), 'A..Z', 'a..z'), '[\p{L}\p{M}\p{N}]+')
+  // (q98) — note a CJK-RANGE codepoint that is not \p{L} (unassigned
+  // gaps) is spaced out and then NOT extracted, i.e. dropped; the kernel
+  // reproduces exactly that.
+
+  /** The CJK single-token ranges, as a Java/RE2-shared character class —
+    * public so queries and oracles quote the SAME class.
+    */
+  final val CjkClass: String =
+    "[\\x{1100}-\\x{11FF}\\x{2E80}-\\x{2FDF}\\x{3040}-\\x{30FF}" +
+      "\\x{3130}-\\x{318F}\\x{31F0}-\\x{31FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}" +
+      "\\x{FF66}-\\x{FF9F}\\x{20000}-\\x{2FA1F}]"
+
+  @inline private def isCjkSingleCp(cp: Int): Boolean =
+    (cp >= 0x1100 && cp <= 0x11FF) || (cp >= 0x2E80 && cp <= 0x2FDF) ||
+      (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3130 && cp <= 0x318F) ||
+      (cp >= 0x31F0 && cp <= 0x31FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0xFF66 && cp <= 0xFF9F) ||
+      (cp >= 0x20000 && cp <= 0x2FA1F)
+
+  /** \p{L}\p{M}\p{N} membership via the JDK category tables (RE2's
+    * tables agree on every assigned codepoint of the stable scripts;
+    * divergence is confined to codepoints newly assigned between the two
+    * libraries' Unicode versions).
+    */
+  @inline private def isWordCp(cp: Int): Boolean =
+    if (Character.isLetter(cp)) true
+    else {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK || t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+
+  /** Unicode-tier tokens of a string (see the tier comment above): runs
+    * of letter/mark/number codepoints, CJK codepoints as single tokens,
+    * ASCII-only lowercasing. Shared by every unicode-mode kernel AND the
+    * driver-side query-term validation in [[graft.text.Search]].
+    */
+  private[graft] def unicodeTokenize(str: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (isCjkSingleCp(cp)) {
+        if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+        // an unassigned codepoint inside a CJK block is spaced out by the
+        // replay's replace but not matched by [\p{L}\p{M}\p{N}]+ — drop it
+        if (isWordCp(cp)) toks += new String(Character.toChars(cp))
+      } else if (isWordCp(cp)) {
+        if (cp >= 'A' && cp <= 'Z') sb.append((cp + 32).toChar)
+        else sb.appendCodePoint(cp)
+      } else {
+        if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) toks += sb.toString
+    toks
+  }
+
+  /** Unicode-tier tokens as ArrayData — the kernel behind
+    * [[UnicodeTokensExpr]] / `TextFunctions.unicodeTokens`.
+    */
+  def unicodeTokens(s: UTF8String): ArrayData = {
+    val toks = unicodeTokenize(s.toString)
+    val out = new Array[AnyRef](toks.length)
+    var j = 0
+    while (j < toks.length) { out(j) = UTF8String.fromString(toks(j)); j += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Iterate whitespace-delimited tokens of lowercase(trim(s)) without
     * allocating the token array; calls f(token) per token. Returns token
     * count.
@@ -503,10 +592,13 @@ object TextAlgo {
 
   /** DISTINCT word-n-grams of the document (original case, space-joined,
     * insertion order) — the exact-string twin of the hashed shingle set,
-    * kept oracle-replayable for set-similarity baselines.
+    * kept oracle-replayable for set-similarity baselines. `unicode = true`
+    * swaps the `\s+`-run token convention for the unicode tier
+    * ([[unicodeTokenize]] — codepoint-class runs, CJK singles), so CJK
+    * documents contribute real n-grams instead of one giant "word".
     */
-  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
-    val words = wsTokens(s.toString)
+  def wordNgrams(s: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val words = if (unicode) unicodeTokenize(s.toString) else wsTokens(s.toString)
     val total = words.length - n + 1
     if (total <= 0) return ArrayData.toArrayData(Array.empty[UTF8String])
     val seen = new java.util.LinkedHashSet[String](total * 2)
@@ -613,8 +705,13 @@ object TextAlgo {
     * whose HOF filter and per-chunk slice re-walked the token array
     * interpreted, once per chunk.
     */
-  def passageChunks(s: UTF8String, window: Int, stride: Int): ArrayData = {
-    val toks = wsTokens(s.toString)
+  def passageChunks(s: UTF8String, window: Int, stride: Int, unicode: Boolean): ArrayData = {
+    // unicode tier: window/stride count CODEPOINT-CLASS tokens (CJK
+    // singles), so a context budget means the same thing on every script;
+    // chunk_text still rejoins with single spaces (the embedding-input
+    // canonicalization — spaces between ideographs are the standard
+    // segmented-CJK form)
+    val toks = if (unicode) unicodeTokenize(s.toString) else wsTokens(s.toString)
     val n = toks.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val nChunks = if (n <= window) 1 else 1 + ((n - window + stride - 1) / stride)
@@ -886,22 +983,35 @@ object TextAlgo {
     * the engine-wide `\s`-run contract ([[isJavaWs]]); lengths are code
     * points so the DuckDB oracle's `length()` replays them exactly.
     */
-  def gopherCounters(s: UTF8String): ArrayData = {
+  def gopherCounters(s: UTF8String, unicode: Boolean): ArrayData = {
     val str = s.toString
     var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
     var nHash = 0L; var nEllU = 0L
     val stopMask = new Array[Boolean](GopherStopwords.length)
-    val words = wsTokens(str)
+    // unicode tier: "words" are codepoint-class tokens (CJK singles) and
+    // the alpha rule tests ANY \p{L} letter, not ASCII-only — otherwise
+    // every CJK word fails fail_alpha and the gate rejects whole scripts.
+    // Char-level (#/ellipsis) and line-level counters are tokenization-
+    // independent and stay identical across the tiers.
+    val words = if (unicode) unicodeTokenize(str) else wsTokens(str)
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       nWords += 1
       sumLen += w.codePointCount(0, w.length)
       var j = 0; var alpha = false
-      while (j < w.length && !alpha) {
-        val c = w.charAt(j)
-        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
-        j += 1
+      if (unicode) {
+        while (j < w.length && !alpha) {
+          val cp = w.codePointAt(j)
+          if (Character.isLetter(cp)) alpha = true
+          j += Character.charCount(cp)
+        }
+      } else {
+        while (j < w.length && !alpha) {
+          val c = w.charAt(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+          j += 1
+        }
       }
       if (alpha) nAlpha += 1
       // ASCII-fold lowercase compare against the pure-ASCII stopword set:

@@ -53,11 +53,14 @@ object TextFunctions {
 
   /** Distinct word-n-grams (exact strings) — one compiled pass
     * ([[WordNgramsExpr]]); combine with array_intersect/array_union for
-    * exact set similarity.
+    * exact set similarity. `unicode = true` opts into the multilingual
+    * tokenization tier (codepoint-class runs, CJK singles — see
+    * [[unicodeTokens]]); the default keeps the engine-wide `\s+`-run
+    * convention byte-unchanged.
     */
-  def wordNgrams(c: Column, n: Int): Column = {
+  def wordNgrams(c: Column, n: Int, unicode: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColN, expression => toExprN}
-    toColN(WordNgramsExpr(toExprN(c), n))
+    toColN(WordNgramsExpr(toExprN(c), n, unicode))
   }
 
   /** Non-overlapping word-n-chunks in document order (one compiled pass,
@@ -102,6 +105,23 @@ object TextFunctions {
   def asciiTokens(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColT, expression => toExprT}
     toColT(AsciiTokensExpr(toExprT(c)))
+  }
+
+  /** Unicode-tier tokens — the multilingual opt-in beside
+    * [[asciiTokens]]: maximal runs of Unicode letter/mark/number
+    * codepoints, CJK codepoints as single tokens (the standard
+    * CC-pipeline compromise — no dictionary segmentation), ASCII-only
+    * case folding (full Unicode lowercasing is engine-divergent). One
+    * compiled pass ([[UnicodeTokensExpr]]); engine-independent replay is
+    * `regexp_extract_all(translate(regexp_replace(text, '(CJK)', ' \1 ',
+    * 'g'), 'A..Z', 'a..z'), '[\p{L}\p{M}\p{N}]+')` with
+    * [[TextAlgo.CjkClass]] (q98). On `[a-z0-9 ]`-only text this equals
+    * [[asciiTokens]]; on CJK text, where `\s`/`[a-z0-9]` tokenization
+    * yields one giant word or nothing, it yields real tokens.
+    */
+  def unicodeTokens(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColU, expression => toExprU}
+    toColU(UnicodeTokensExpr(toExprU(c)))
   }
 
   /** Fraction of tokens that are (lowercased) English stopwords — one
@@ -168,9 +188,9 @@ object TextFunctions {
     * [[TextAlgo.gopherCounters]]). Use [[gopherFlags]] for the thresholded
     * verdicts.
     */
-  def gopherCounters(c: Column): Column = {
+  def gopherCounters(c: Column, unicode: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColG, expression => toExprG}
-    toColG(GopherCountersExpr(toExprG(c)))
+    toColG(GopherCountersExpr(toExprG(c), unicode))
   }
 
   /** Gopher rule-based quality verdicts (Rae et al. 2021, app. A1.1) as a
@@ -187,8 +207,12 @@ object TextFunctions {
     * All thresholds are ratios of the single-pass counters, so the gate is
     * one codegen'd map stage — filter 100 TB before anything shuffles.
     */
-  def gopherFlags(c: Column, minWords: Long = 50L, maxWords: Long = 100000L): Column = {
-    val g = gopherCounters(c)
+  def gopherFlags(c: Column, minWords: Long = 50L, maxWords: Long = 100000L,
+      unicode: Boolean = false): Column = {
+    // unicode = true: "words" are the multilingual-tier tokens and the
+    // alpha rule tests any \p{L}, so CJK/Cyrillic documents are gated on
+    // their real statistics instead of auto-failing fail_words/fail_alpha
+    val g = gopherCounters(c, unicode)
     val nW = element_at(g, 1); val sumLen = element_at(g, 2)
     val nAlpha = element_at(g, 3)
     val nSym = element_at(g, 4) + element_at(g, 5) + element_at(g, 6)

@@ -272,7 +272,7 @@ case class DupNgramFractionExpr(child: Expression, n: Int)
   * strings, oracle-replayable) — pairs with built-in codegen'd
   * array_intersect/array_union for exact set-similarity baselines.
   */
-case class WordNgramsExpr(child: Expression, n: Int)
+case class WordNgramsExpr(child: Expression, n: Int, unicode: Boolean = false)
     extends UnaryExpression {
   require(n > 0)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -281,9 +281,9 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
   override protected def nullSafeEval(input: Any): Any =
-    TextAlgo.wordNgrams(input.asInstanceOf[UTF8String], n)
+    TextAlgo.wordNgrams(input.asInstanceOf[UTF8String], n, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordNgrams($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordNgrams($c, $n, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
     copy(child = newChild)
 }
@@ -327,6 +327,26 @@ case class AsciiTokensExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode-tier tokens as array<string> (in order, non-distinct): maximal
+  * runs of letter/mark/number codepoints, CJK codepoints as single
+  * tokens, ASCII-only case folding — see the tier comment in
+  * [[TextAlgo]]. The multilingual opt-in beside [[AsciiTokensExpr]].
+  */
+case class UnicodeTokensExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unicode_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.unicodeTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.unicodeTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeTokensExpr =
+    copy(child = newChild)
+}
+
 /** All consecutive lowercased-alnum token bigrams as array<string> (in
   * order, non-distinct) — map-side bigram stream for LM estimation.
   */
@@ -349,7 +369,8 @@ case class WordBigramsExpr(child: Expression)
   * chunk order — one compiled pass per document; see
   * [[TextAlgo.passageChunks]].
   */
-case class PassageChunksExpr(child: Expression, window: Int, stride: Int)
+case class PassageChunksExpr(child: Expression, window: Int, stride: Int,
+    unicode: Boolean = false)
     extends UnaryExpression {
   require(window > 0, s"window must be positive, got $window")
   require(stride > 0 && stride <= window,
@@ -362,10 +383,10 @@ case class PassageChunksExpr(child: Expression, window: Int, stride: Int)
     StructField("chunk_text", StringType, nullable = false))), containsNull = false)
   override def prettyName: String = "passage_chunks"
   override protected def nullSafeEval(input: Any): Any =
-    TextAlgo.passageChunks(input.asInstanceOf[UTF8String], window, stride)
+    TextAlgo.passageChunks(input.asInstanceOf[UTF8String], window, stride, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextAlgo.passageChunks($c, $window, $stride)")
+      s"graft.functions.TextAlgo.passageChunks($c, $window, $stride, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): PassageChunksExpr =
     copy(child = newChild)
 }
@@ -686,7 +707,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * (see [[TextAlgo.gopherCounters]] for the slot layout) — one compiled
   * pass per document; rule thresholds stay cheap Column arithmetic.
   */
-case class GopherCountersExpr(child: Expression)
+case class GopherCountersExpr(child: Expression, unicode: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
@@ -694,9 +715,9 @@ case class GopherCountersExpr(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gopher_counters"
   override protected def nullSafeEval(input: Any): Any =
-    TextAlgo.gopherCounters(input.asInstanceOf[UTF8String])
+    TextAlgo.gopherCounters(input.asInstanceOf[UTF8String], unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.gopherCounters($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.gopherCounters($c, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): GopherCountersExpr =
     copy(child = newChild)
 }

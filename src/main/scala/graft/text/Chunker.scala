@@ -50,7 +50,8 @@ object Chunker {
       idCol: String,
       textCol: String,
       windowTokens: Int,
-      strideTokens: Int): DataFrame = {
+      strideTokens: Int,
+      unicode: Boolean = false): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     require(strideTokens > 0 && strideTokens <= windowTokens,
       s"strideTokens must be in [1, windowTokens], got $strideTokens")
@@ -58,8 +59,11 @@ object Chunker {
     // one compiled pass per document (PassageChunksExpr); posexplode's
     // position IS the chunk index, so the kernel carries no redundant
     // index field. Null/token-less docs yield null/empty arrays -> no rows.
+    // unicode = true swaps the `\s+`-run token unit for the multilingual
+    // tier (codepoint-class runs, CJK singles) so windowTokens budgets
+    // the same thing on every script — a CJK doc is no longer "one token".
     val chunks = toCol(graft.functions.PassageChunksExpr(
-      toExpr(col(textCol)), windowTokens, strideTokens))
+      toExpr(col(textCol)), windowTokens, strideTokens, unicode))
     df.select(col(idCol).as("doc_id"),
         posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(

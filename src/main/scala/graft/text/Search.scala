@@ -24,6 +24,21 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** Fail-loud term validation shared by the retrieval entry points: a
+    * term the tokenizer could never emit (uppercase, punctuation, a
+    * multi-token phrase) matches nothing and would silently break AND
+    * gates / contribute zero to OR scores. ASCII tier: `[a-z0-9]+`.
+    * Unicode tier: the term must tokenize to exactly itself (one token
+    * of the SAME compiled kernel the corpus side uses).
+    */
+  private[text] def requireValidTerms(terms: Seq[String], unicode: Boolean): Unit =
+    if (unicode)
+      require(terms.forall(t => graft.functions.TextAlgo.unicodeTokenize(t) == Seq(t)),
+        s"terms must each be a single unicode-tier token, got $terms")
+    else
+      require(terms.forall(_.matches("[a-z0-9]+")),
+        s"terms must be non-empty lowercase alnum tokens, got $terms")
+
   /** Documents containing ALL `terms` (case-insensitive, word-boundary
     * tokens): (doc_id, n_hits = total tf over the query terms), best
     * first. `terms` must be lowercase single tokens.
@@ -32,18 +47,21 @@ object Search {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String],
+      unicode: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "at least one search term required")
-    // same contract as bm25TopK: a term outside [a-z0-9]+ can never equal
-    // a produced token, which would make the AND gate silently unmatchable
-    require(terms.forall(_.matches("[a-z0-9]+")),
-      s"terms must be non-empty lowercase alnum tokens, got $terms")
+    // same contract as bm25TopK: a term the tokenizer could never produce
+    // would make the AND gate silently unmatchable — fail loud instead
+    Search.requireValidTerms(terms, unicode)
     // the AND gate counts DISTINCT matched terms, so compare against the
     // distinct term count — a caller-assembled list with a repeated term
     // could otherwise never satisfy the gate and silently match nothing
     val uniqueTerms = terms.distinct
+    val tokens =
+      if (unicode) TextFunctions.unicodeTokens(col(textCol))
+      else split(lower(col(textCol)), "[^a-z0-9]+")
     val postings = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+        explode(tokens).as("term"))
       .where(col("term").isin(uniqueTerms: _*))
     postings
       .groupBy(col("doc_id"))
@@ -84,24 +102,26 @@ object Search {
       terms: Seq[String],
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      unicode: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "at least one search term required")
-    // a term outside [a-z0-9]+ can never equal an asciiTokens token — it
-    // would silently contribute nothing to the OR; fail loud instead
-    require(terms.forall(_.matches("[a-z0-9]+")),
-      s"terms must be non-empty lowercase alnum tokens, got $terms")
+    // a term the tokenizer could never produce would silently contribute
+    // nothing to the OR; fail loud instead
+    Search.requireValidTerms(terms, unicode)
     require(k > 0, s"k must be positive, got $k")
+    val tokensOf = (c: org.apache.spark.sql.Column) =>
+      if (unicode) TextFunctions.unicodeTokens(c) else TextFunctions.asciiTokens(c)
     val uniqueTerms = terms.distinct
     val stats = df.agg(
       count(lit(1)).as("n"),
-      sum(size(TextFunctions.asciiTokens(col(textCol))).cast("long")).as("sum_dl")).first()
+      sum(size(tokensOf(col(textCol))).cast("long")).as("sum_dl")).first()
     val n = stats.getLong(0)
     require(n > 0, "bm25TopK needs a non-empty corpus")
     // sum is NULL when every document's text is NULL — score stream is
     // empty then anyway, but the scalar fetch must not throw
     val avgdl = (if (stats.isNullAt(1)) 0L else stats.getLong(1)).toDouble / n
     val toks = df.select(col(idCol).as("doc_id"),
-      TextFunctions.asciiTokens(col(textCol)).as("toks"))
+      tokensOf(col(textCol)).as("toks"))
     val tf = toks
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
@@ -161,28 +181,36 @@ object Search {
       termCol: String,
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      unicode: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val tokensOf = (c: org.apache.spark.sql.Column) =>
+      if (unicode) TextFunctions.unicodeTokens(c) else TextFunctions.asciiTokens(c)
     val q = queries
       .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
       .distinct()
-    // same fail-loud contract as bm25TopK: a term outside [a-z0-9]+ can
-    // never equal an asciiTokens token and would silently contribute
-    // nothing. The queries table is broadcast-small by contract, so the
-    // validation peek costs one tiny job.
-    val bad = q.where(!coalesce(col("term").rlike("^[a-z0-9]+$"), lit(false)))
-      .limit(5).collect()
+    // same fail-loud contract as bm25TopK: a term the tokenizer could
+    // never produce would silently contribute nothing. The queries table
+    // is broadcast-small by contract, so the validation peek costs one
+    // tiny job. Unicode mode: valid = the term tokenizes to exactly
+    // itself (one token), expressed over the same compiled kernel.
+    val valid =
+      if (unicode)
+        size(TextFunctions.unicodeTokens(col("term"))) === 1 &&
+          element_at(TextFunctions.unicodeTokens(col("term")), 1) === col("term")
+      else col("term").rlike("^[a-z0-9]+$")
+    val bad = q.where(!coalesce(valid, lit(false))).limit(5).collect()
     require(bad.isEmpty,
-      s"query terms must be non-empty lowercase alnum tokens, got e.g. ${bad.mkString(", ")}")
+      s"query terms must be single tokenizer-producible tokens, got e.g. ${bad.mkString(", ")}")
     val stats = df.agg(
       count(lit(1)).as("n"),
-      sum(size(TextFunctions.asciiTokens(col(textCol))).cast("long")).as("sum_dl")).first()
+      sum(size(tokensOf(col(textCol))).cast("long")).as("sum_dl")).first()
     val n = stats.getLong(0)
     require(n > 0, "bm25TopKBatch needs a non-empty corpus")
     val avgdl = (if (stats.isNullAt(1)) 0L else stats.getLong(1)).toDouble / n
     val terms = q.select(col("term")).distinct()
     val tf = df.select(col(idCol).as("doc_id"),
-        TextFunctions.asciiTokens(col(textCol)).as("toks"))
+        tokensOf(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .join(broadcast(terms), "term")
