@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * structs; decode / feature-extract / resize / frame-sample run as
   * batched partition-local transforms.
   *
-  * The codec is REAL for the uncompressed formats a pure JVM can parse —
-  * PGM/PPM (netpbm P5/P6) images decode to actual pixel statistics and
-  * support nearest-neighbor resize; PCM-16 WAV decodes to sample rate,
-  * true duration and RMS level. Compressed formats (JPEG/MP3/MP4 …) would
-  * need decoder libraries this container does not ship, so they fall back
-  * to the clearly-marked deterministic [[StubCodec]]; swapping in a real
-  * decoder is a one-function change with the same
-  * `Array[Byte] => MediaFeatures` signature.
+  * The codec is REAL wherever the base JDK can decode:
+  *  - PGM/PPM (netpbm P5/P6) via the hand-rolled parser (pixel stats +
+  *    nearest-neighbor resize);
+  *  - PCM-16 WAV via the RIFF walker (sample rate, true duration, RMS);
+  *  - JPEG/PNG/GIF/BMP/TIFF via `javax.imageio.ImageIO`, which ships in
+  *    the base JDK ([[decodeImageIo]] — real pixel luminance, magic-byte
+  *    sniffed, corrupt payloads fall soft to the stub path).
+  * Only formats with NO JDK codec (MP3/MP4/WebM …) fall back to the
+  * clearly-marked deterministic [[StubCodec]]; swapping in a real decoder
+  * is a one-function change with the same `Array[Byte] => MediaFeatures`
+  * signature.
   *
   * Scale notes: binary payloads never enter a shuffle here — all transforms
   * are narrow (mapPartitions); metadata-only projections prune the binary
@@ -166,9 +169,60 @@ object Multimodal {
     Some((rate, frames.toLong * 1000 / rate, rms))
   }
 
-  /** STUB codec — deterministic fake for formats a pure JVM can't parse
-    * (compressed codecs; decoder libraries absent in this environment).
-    * A real decoder replaces ONLY this object.
+  /** Magic-byte sniff for the compressed image formats the base JDK's
+    * ImageIO decodes. Sniffing BEFORE handing bytes to ImageIO keeps
+    * arbitrary binary (video payloads, garbage) off the expensive
+    * reader-probe path.
+    */
+  private def sniffImageFormat(b: Array[Byte]): Option[String] = {
+    if (b.length < 8) None
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) Some("jpeg")
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) Some("tiff")
+    else None
+  }
+
+  /** REAL compressed-image decode via the base JDK's `javax.imageio`
+    * (JPEG/PNG/GIF/BMP/TIFF readers ship with every JDK — no external
+    * libraries involved): (width, height, mean RGB luminance in [0,1],
+    * codec). Brightness matches the PPM convention — mean over all
+    * R,G,B samples / 255. None when the magic doesn't match a JDK
+    * format or the payload is corrupt (fail-soft: the row then takes
+    * the stub path rather than killing the task).
+    */
+  def decodeImageIo(b: Array[Byte]): Option[(Int, Int, Double, String)] =
+    sniffImageFormat(b).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w <= 0 || h <= 0) None
+          else {
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, s.toDouble / (w.toLong * h * 3) / 255.0, fmt))
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** STUB codec — deterministic fake for formats with NO base-JDK codec
+    * (MP3/MP4/WebM and friends). A real decoder replaces ONLY this
+    * object.
     */
   object StubCodec {
     def decode(mediaId: Long, kind: String, payload: Array[Byte], durationMs: Long): MediaFeatures = {
@@ -190,7 +244,10 @@ object Multimodal {
     h
   }
 
-  /** Format-dispatching decode: real PNM/WAV parsing, stub otherwise. */
+  /** Format-dispatching decode: real PNM/WAV parsing, real ImageIO
+    * decode for JPEG/PNG/GIF/BMP/TIFF, stub only for formats the JDK
+    * genuinely cannot decode.
+    */
   def decode(mediaId: Long, kind: String, payload: Array[Byte], metaDurationMs: Long): MediaFeatures =
     decodePnm(payload) match {
       case Some((w, h, lum, codec)) =>
@@ -200,7 +257,12 @@ object Multimodal {
         case Some((rate, durMs, rms)) =>
           MediaFeatures(mediaId, kind, payload.length, contentHash(payload), rms,
             durMs, -1, -1, rate, "wav")
-        case None => StubCodec.decode(mediaId, kind, payload, metaDurationMs)
+        case None => decodeImageIo(payload) match {
+          case Some((w, h, lum, codec)) =>
+            MediaFeatures(mediaId, kind, payload.length, contentHash(payload), lum,
+              metaDurationMs, w, h, -1, codec)
+          case None => StubCodec.decode(mediaId, kind, payload, metaDurationMs)
+        }
       }
     }
 

@@ -108,6 +108,64 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(lum - 80.0 / 255.0) < 1e-12)
   }
 
+  private def fixtureBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("ImageIO golden decode: committed PNG fixture with exact pixel values") {
+    // 8x8 RGB gradient written at fixture-creation time: pixel(x,y) =
+    // (r=x*32, g=y*32, b=128). PNG is lossless, so the mean luminance is
+    // the analytic value exactly: (2*sum(x*32)*8 + 128*64) / (64*3*255).
+    val Some((w, h, lum, codec)) = Multimodal.decodeImageIo(fixtureBytes("golden_8x8.png"))
+    assert((w, h, codec) === ((8, 8, "png")))
+    val expected = (2.0 * 896 * 8 + 128 * 64) / (64 * 3 * 255.0)
+    assert(math.abs(lum - expected) < 1e-12)
+  }
+
+  test("ImageIO golden decode: committed JPEG fixture (lossy, toleranced + pinned)") {
+    val Some((w, h, lum, codec)) = Multimodal.decodeImageIo(fixtureBytes("golden_8x8.jpg"))
+    assert((w, h, codec) === ((8, 8, "jpeg")))
+    // same gradient as the PNG; JPEG loss moves the mean only slightly
+    assert(math.abs(lum - 0.46013) < 0.02)
+  }
+
+  test("ImageIO golden decode: BMP and GIF fixtures") {
+    val Some((bw, bh, blum, bcodec)) = Multimodal.decodeImageIo(fixtureBytes("golden_64x32.bmp"))
+    assert((bw, bh, bcodec) === ((64, 32, "bmp")))
+    // 64x32: r=x*4, g=y*8, b=255-2x -> analytic mean
+    val expected = ((4.0 * 2016 * 32) + (8.0 * 496 * 64) + (255.0 * 64 - 2 * 2016) * 32) /
+      (64L * 32 * 3 * 255.0)
+    assert(math.abs(blum - expected) < 1e-12)
+    val Some((gw, gh, glum, gcodec)) = Multimodal.decodeImageIo(fixtureBytes("golden_64x32.gif"))
+    assert((gw, gh, gcodec) === ((64, 32, "gif")))
+    assert(math.abs(glum - expected) < 0.01) // palette quantization tolerance
+  }
+
+  test("ImageIO path is fail-soft: corrupt magic-matched bytes go to stub") {
+    // valid JPEG magic, garbage body -> ImageIO fails -> None -> stub codec
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ Array.fill[Byte](64)(7)
+    assert(Multimodal.decodeImageIo(corrupt) === None)
+    val f = Multimodal.decode(99L, "image", corrupt, 0L)
+    assert(f.codec === "stub")
+    // and non-image binary is never even probed
+    assert(Multimodal.decodeImageIo(Array.fill[Byte](32)(1)) === None)
+  }
+
+  test("decode dispatch routes compressed images through ImageIO end-to-end") {
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", "image/png", fixtureBytes("golden_8x8.png"), null),
+      Row(2L, "image", "image/jpeg", fixtureBytes("golden_8x8.jpg"), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(df)
+      .select("media_id", "codec", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(feats(1L) === (("png", 8, 8)))
+    assert(feats(2L) === (("jpeg", 8, 8)))
+  }
+
   test("feature table carries no binary column (shuffle-safe)") {
     val f = Multimodal.extractFeatures(media)
     assert(!f.schema.fields.exists(_.dataType == org.apache.spark.sql.types.BinaryType))
