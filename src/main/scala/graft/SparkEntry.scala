@@ -1412,6 +1412,56 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q100: REAL-FILE .warc.gz ingestion (WarcFiles, SURVEY+ L63) — the
+    // L57∘L53∘L52∘L38 composition over ACTUAL files: the fixture writer
+    // serializes the q90/q91 page corpus into 8 gzipped WARC shard
+    // files (driver-side, bounded, deterministic), then the query
+    // ingests them through binaryFile -> gunzip -> WARC parse -> HTML
+    // extraction -> Gopher gate and aggregates per shard. The oracle
+    // replays extraction+gate from the PRE-compression truth keyed by
+    // the same doc_id % 8 assignment — any byte lost in the gzip/file/
+    // parse roundtrip breaks the hash. Streaming twin: the same files
+    // read via the file stream source in StreamingIngestSpec.
+    "q100_warcgz_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), col("source"), col("text")).collect()
+      val records = docs.toSeq.map { r =>
+        val id = r.getLong(0)
+        val page = "<html><head><style>p { color: red }</style></head><body><h1>" +
+          r.getString(1) + "</h1><!-- id --><p>" + r.getString(2) +
+          "</p><script>var x = 1 &amp;&amp; 2;</script></body></html>"
+        id -> graft.data.WarcFiles.responseRecord(s"https://example.org/doc/$id", page)
+      }
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_warcgz",
+        java.lang.Integer.toHexString(dir.hashCode))
+      // regenerate each run: deterministic content; stale files from an
+      // earlier corpus would skew the counts
+      if (java.nio.file.Files.isDirectory(fixDir)) {
+        val it = java.nio.file.Files.list(fixDir)
+        try it.forEach(p => java.nio.file.Files.delete(p)) finally it.close()
+      }
+      graft.data.WarcFiles.writeShards(records, fixDir, nShards = 8)
+      val blobs = graft.data.WarcFiles
+        .readWarcGz(s, fixDir.toString + "/*.warc.gz")
+        .select(regexp_extract(col("path"), "shard_([0-9]+)", 1)
+          .cast("int").as("shard"), col("blob"))
+      graft.streaming.IngestPipeline.warcToCleanDocs(
+          blobs, "blob", minWords = 50L, requirePass = false)
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          sum(col("gate.fail_words").cast("long")).as("n_fail_words"),
+          sum(col("gate.fail_word_len").cast("long")).as("n_fail_word_len"),
+          sum(col("gate.fail_symbol").cast("long")).as("n_fail_symbol"),
+          sum(col("gate.fail_bullet").cast("long")).as("n_fail_bullet"),
+          sum(col("gate.fail_ellipsis").cast("long")).as("n_fail_ellipsis"),
+          sum(col("gate.fail_alpha").cast("long")).as("n_fail_alpha"),
+          sum(col("gate.fail_stopword").cast("long")).as("n_fail_stopword"),
+          sum(col("gate.pass").cast("long")).as("n_pass"))
+        .orderBy(col("shard"))
+    }),
+
     // q92: BATCH BM25 retrieval (Search.bm25TopKBatch, SURVEY+ L41) —
     // three queries scored against the corpus in ONE plan: postings
     // filtered by a broadcast semi-join on the union of query terms,
@@ -1614,6 +1664,70 @@ object SparkEntry {
         .toDF("user_id", "n_closed_sessions")
         .orderBy(col("user_id"))
     }))
+
+  /** DuckDB replay of the full ingestion gate (the q90 HTML-extraction
+    * CTEs composed with the q74 Gopher-gate CTEs) grouped by `keyExpr`
+    * — shared by q91 (key = source) and q100 (key = the fixture
+    * writer's shard assignment), so the cell-based and file-based
+    * ingestion fronts are pinned against the ONE replay.
+    */
+  private def ingestGateOracleSql(keyExpr: String, keyAlias: String): String =
+    raw"""WITH h AS (SELECT $keyExpr AS $keyAlias,
+      |  '<html><head><style>p { color: red }</style></head><body><h1>' || source ||
+      |  '</h1><!-- id --><p>' || text ||
+      |  '</p><script>var x = 1 &amp;&amp; 2;</script></body></html>' AS html
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |s1 AS (SELECT $keyAlias,
+      |  regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
+      |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT $keyAlias, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT $keyAlias,
+      |  replace(replace(replace(replace(replace(replace(t,
+      |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
+      |c AS (SELECT $keyAlias,
+      |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS clean FROM s3),
+      |cc AS (SELECT $keyAlias,
+      |  list_filter(string_split_regex(clean, '[\s\x0b]+'), x -> x <> '') AS toks,
+      |  list_filter(string_split(clean, chr(10)), l -> trim(l, ' ') <> '') AS nls,
+      |  length(clean) - length(replace(clean, '#', '')) AS n_hash,
+      |  (length(clean) - length(replace(clean, '...', ''))) // 3 AS n_ell3,
+      |  length(clean) - length(replace(clean, '…', '')) AS n_ellu
+      |  FROM c),
+      |g AS (SELECT $keyAlias,
+      |  len(toks) AS n_w,
+      |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+      |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+      |  n_hash + n_ell3 + n_ellu AS n_sym,
+      |  len(nls) AS n_lines,
+      |  len(list_filter(nls, l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+      |  len(list_filter(nls, l -> ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…'))) AS n_ellend,
+      |  len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
+      |  FROM cc),
+      |f AS (SELECT $keyAlias, n_w,
+      |  (n_w < 50 OR n_w > 100000) AS f_words,
+      |  (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0) AS f_wlen,
+      |  (n_w > 0 AND n_sym * 1.0 / n_w > 0.1) AS f_sym,
+      |  (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9) AS f_bul,
+      |  (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3) AS f_ell,
+      |  (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8) AS f_alpha,
+      |  (n_stop < 2) AS f_stop
+      |  FROM g)
+      |SELECT $keyAlias, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_w) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+      |  CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+      |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+      |  CAST(sum(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
+      |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
+      |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+      |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+      |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |FROM f GROUP BY $keyAlias ORDER BY $keyAlias""".stripMargin
 
   /** Multilingual decoration shared by q98/q99: a script-diverse snippet
     * keyed by doc_id (CJK, Hangul, accented Latin, Devanagari,
@@ -3030,63 +3144,13 @@ object SparkEntry {
     // q91 replay: the q90 extraction CTEs composed with the q74 Gopher
     // gate CTEs, applied to the CLEANED text (the WARC roundtrip is
     // identity, oracle-verified by q89)
-    "q91_ingest_gate" ->
-      """WITH h AS (SELECT source,
-        |  '<html><head><style>p { color: red }</style></head><body><h1>' || source ||
-        |  '</h1><!-- id --><p>' || text ||
-        |  '</p><script>var x = 1 &amp;&amp; 2;</script></body></html>' AS html
-        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
-        |s1 AS (SELECT source,
-        |  regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g'),
-        |    '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT source, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT source,
-        |  replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', chr(39)), '&amp;', '&') AS t FROM s2),
-        |c AS (SELECT source,
-        |  trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g'), ' ') AS clean FROM s3),
-        |cc AS (SELECT source,
-        |  list_filter(string_split_regex(clean, '[\s\x0b]+'), x -> x <> '') AS toks,
-        |  list_filter(string_split(clean, chr(10)), l -> trim(l, ' ') <> '') AS nls,
-        |  length(clean) - length(replace(clean, '#', '')) AS n_hash,
-        |  (length(clean) - length(replace(clean, '...', ''))) // 3 AS n_ell3,
-        |  length(clean) - length(replace(clean, '…', '')) AS n_ellu
-        |  FROM c),
-        |g AS (SELECT source,
-        |  len(toks) AS n_w,
-        |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
-        |  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-        |  n_hash + n_ell3 + n_ellu AS n_sym,
-        |  len(nls) AS n_lines,
-        |  len(list_filter(nls, l -> substr(ltrim(l, ' '), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
-        |  len(list_filter(nls, l -> ends_with(rtrim(l, ' '), '...') OR ends_with(rtrim(l, ' '), '…'))) AS n_ellend,
-        |  len(list_filter(['the','be','to','of','and','that','have','with'],
-        |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS n_stop
-        |  FROM cc),
-        |f AS (SELECT source, n_w,
-        |  (n_w < 50 OR n_w > 100000) AS f_words,
-        |  (n_w = 0 OR sum_len * 1.0 / n_w < 3.0 OR sum_len * 1.0 / n_w > 10.0) AS f_wlen,
-        |  (n_w > 0 AND n_sym * 1.0 / n_w > 0.1) AS f_sym,
-        |  (n_lines > 0 AND n_bullet * 1.0 / n_lines > 0.9) AS f_bul,
-        |  (n_lines > 0 AND n_ellend * 1.0 / n_lines > 0.3) AS f_ell,
-        |  (n_w = 0 OR n_alpha * 1.0 / n_w < 0.8) AS f_alpha,
-        |  (n_stop < 2) AS f_stop
-        |  FROM g)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_w) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
-        |  CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
-        |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
-        |  CAST(sum(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
-        |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
-        |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
-        |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
-        |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q91_ingest_gate" -> ingestGateOracleSql("source", "source"),
+    // q100 replay: the SAME extraction+gate chain from the
+    // PRE-compression truth, grouped by the shard assignment the fixture
+    // writer used (doc_id % 8) — the gzip/file roundtrip must be
+    // invisible to every count for the hash to match
+    "q100_warcgz_ingest" ->
+      ingestGateOracleSql("CAST(doc_id % 8 AS INT)", "shard"),
     // batch-BM25 replay: q77's arithmetic with a VALUES query table;
     // same double-casting discipline and 6-dp rounding before the
     // per-query rank cut

@@ -110,4 +110,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(one.getInt(1) === 67) // "Title" + 66 words
     assert(one.getString(2) === "https://example.org/d/1")
   }
+
+  test(".warc.gz FILE stream: real shard files arrive, kill/restart keeps exactly-once") {
+    val src = tmp("graft_wgz_src"); val out = tmp("graft_wgz_out")
+    val ckpt = tmp("graft_wgz_ckpt")
+
+    def writeShard(shard: Long, rows: Seq[(Long, String)]): Unit =
+      graft.data.WarcFiles.writeShards(
+        rows.map { case (id, text) =>
+          // shard assignment is the file we write it to, so key % 1
+          (0L, graft.data.WarcFiles.responseRecord(
+            s"https://example.org/d/$id", page(text)))
+        },
+        java.nio.file.Paths.get(src), nShards = 1)
+        .ensuring(_ => new java.io.File(src, "shard_0.warc.gz")
+          .renameTo(new java.io.File(src, s"crawl_$shard.warc.gz")))
+
+    def startQuery() = {
+      val blobs = graft.data.WarcFiles.streamWarcGz(spark, src + "/*.warc.gz")
+      IngestPipeline.warcToCleanDocs(blobs, "blob", minWords = 50L)
+        .select(col("target_uri"), col("n_tokens"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    def uris(): Seq[String] =
+      spark.read.parquet(out).select("target_uri").collect()
+        .map(_.getString(0)).toSeq.sorted
+
+    // shard 0 lands: two passing docs, one gated out
+    writeShard(0, Seq((1L, goodText), (2L, shortText), (3L, goodText)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(uris() === Seq("https://example.org/d/1", "https://example.org/d/3"))
+
+    // a NEW crawl shard arrives while the job is down; restart picks it
+    // up from the offset log without re-emitting shard 0's docs
+    writeShard(1, Seq((4L, goodText)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(uris() === Seq("https://example.org/d/1", "https://example.org/d/3",
+      "https://example.org/d/4"))
+
+    // file-stream output == the batch binaryFile read of the same dir
+    val batch = IngestPipeline.warcToCleanDocs(
+        graft.data.WarcFiles.readWarcGz(spark, src + "/*.warc.gz"),
+        "blob", minWords = 50L)
+      .select("target_uri").collect().map(_.getString(0)).toSeq.sorted
+    assert(batch === uris(), "file-stream and batch reads of the same shards diverged")
+  }
 }
