@@ -1606,6 +1606,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q101: sentence segmentation with the ABBREVIATION-GUARD tier
+    // (TextFunctions.sentencesAbbrevGuard, round-7 verdict task #7) —
+    // the q95 decoration extended with title/latinism abbreviations
+    // whose periods must NOT break sentences. The oracle replays the
+    // mask (same regexes, same order, same U+E000 sentinel) then the
+    // q95 segmentation then the restore.
+    "q101_sentences_abbrev" -> ((s, dir) => {
+      val id = col("doc_id")
+      val decorated = concat(
+        element_at(array(
+          lit("Dr. Smith arrived at 5 p.m. sharp"),
+          lit("See e.g. the appendix"),
+          lit("Prof. Lee et al. wrote this")), (id % 3 + 1).cast("int")),
+        element_at(array(lit(". "), lit("! "), lit("? ")), (id % 3 + 1).cast("int")),
+        col("text"),
+        element_at(array(lit("."), lit("!"), lit("?")), (id % 3 + 1).cast("int")),
+        lit(" The U.S. case closed"),
+        when(id % 2 === 0, lit(".")).otherwise(lit("")))
+      val sent = graft.functions.TextFunctions.sentencesAbbrevGuard(decorated)
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), sent.as("s"))
+        .select(col("doc_id"),
+          size(col("s")).as("n_sentences"),
+          element_at(col("s"), 1).as("first_sentence"),
+          element_at(col("s"), -1).as("last_sentence"),
+          round(aggregate(col("s"), lit(0L),
+            (acc, x) => acc + length(x)).cast("double") /
+            greatest(size(col("s")), lit(1)), 4).as("avg_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -1728,6 +1760,18 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN NOT (f_words OR f_wlen OR f_sym OR f_bul OR f_ell OR f_alpha OR f_stop)
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
       |FROM f GROUP BY $keyAlias ORDER BY $keyAlias""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.TextFunctions.sentencesAbbrevGuard]]'s
+    * mask fold: one regexp_replace per abbreviation, SAME list, SAME
+    * order, same left boundary, same U+E000 sentinel — generated from
+    * the production list so query and oracle can never drift.
+    */
+  private def abbrevMaskSql(expr: String): String =
+    graft.functions.TextFunctions.DefaultAbbreviations.foldLeft(expr) { (acc, a) =>
+      val pat = "(^|[^A-Za-z0-9])" + a.replace(".", "[.]") + "[.]"
+      val rep = "\\1" + a.replace(".", "\uE000") + "\uE000"
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
 
   /** Multilingual decoration shared by q98/q99: a script-diverse snippet
     * keyed by doc_id (CJK, Hangul, accented Latin, Devanagari,
@@ -3311,6 +3355,33 @@ object SparkEntry {
         |  round(CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
         |    / greatest(len(s), 1), 4) AS avg_chars
         |FROM p ORDER BY doc_id""".stripMargin,
+    // abbreviation-guard replay: decoration, the generated mask fold
+    // (same list/order/sentinel as production), the q95 segmentation,
+    // then the sentinel restore
+    "q101_sentences_abbrev" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  ['Dr. Smith arrived at 5 p.m. sharp','See e.g. the appendix','Prof. Lee et al. wrote this'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  ['. ','! ','? '][CAST(doc_id % 3 + 1 AS INT)] || text ||
+        |  ['.','!','?'][CAST(doc_id % 3 + 1 AS INT)] || ' The U.S. case closed' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, """.stripMargin +
+        abbrevMaskSql("t") + " AS mt FROM d),\n" +
+        """p AS (SELECT doc_id,
+        |  list_transform(
+        |    list_filter(
+        |      list_transform(regexp_extract_all(mt, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+$'),
+        |        x -> regexp_replace(x, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')),
+        |      x -> x <> ''),
+        |    x -> replace(x, '""".stripMargin + "\uE000" + """', '.')) AS s
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(s) AS INT) AS n_sentences,
+        |  s[1] AS first_sentence,
+        |  s[-1] AS last_sentence,
+        |  round(CAST(list_sum(list_transform(s, x -> length(x))) AS DOUBLE)
+        |    / greatest(len(s), 1), 4) AS avg_chars
+        |FROM p ORDER BY doc_id""".stripMargin),
     // unicode-tokenizer replay: same decoration, the codepoint-class
     // formula (CJK spacing + ASCII translate + \p{L}\p{M}\p{N} runs)
     // standing in for the compiled kernel, same CJK class constant

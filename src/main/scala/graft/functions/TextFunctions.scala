@@ -101,6 +101,45 @@ object TextFunctions {
       p => p =!= "")
   }
 
+  /** Curated non-breaking abbreviations for [[sentencesAbbrevGuard]] —
+    * written WITHOUT the trailing dot; internal dots (e.g, i.e, U.S)
+    * are masked too. Case-sensitive, applied in list order (order is
+    * part of the replayable contract).
+    */
+  val DefaultAbbreviations: Seq[String] = Seq(
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "Jr", "Sr", "Rev", "Gen",
+    "vs", "etc", "e.g", "i.e", "cf", "al", "Fig", "No", "Vol", "pp",
+    "U.S", "U.K", "a.m", "p.m")
+
+  /** The abbreviation-guard tier of [[sentences]] (round-7 verdict task
+    * #7): periods belonging to listed abbreviations do not end
+    * sentences. Mechanism — deterministic and lookaround-free, so it
+    * replays on RE2 engines (which have no lookbehind): each
+    * abbreviation's dot(s) are MASKED to a private-use sentinel
+    * (U+E000) behind a left boundary `(^|[^A-Za-z0-9])`, the masked
+    * text runs through the exact [[sentences]] segmentation, and the
+    * sentinel is restored to '.' per piece. One codegen'd
+    * regexp_replace per abbreviation (the opt-in tier's cost — the
+    * default tier stays one extraction pass).
+    *
+    * Documented limitation: a listed abbreviation at TRUE sentence end
+    * ("...saw the Dr.") does not break there either — the standard
+    * list-guard trade-off, pinned by spec.
+    */
+  def sentencesAbbrevGuard(c: Column,
+      abbrevs: Seq[String] = DefaultAbbreviations): Column = {
+    require(abbrevs.nonEmpty, "abbreviation list must be non-empty")
+    require(abbrevs.forall(a => a.matches("[A-Za-z]+([.][A-Za-z]+)*")),
+      s"abbreviations must be dotted letter groups without the trailing dot, got $abbrevs")
+    val s = "\uE000"
+    val masked = abbrevs.foldLeft(c) { (acc, a) =>
+      val pat = "(^|[^A-Za-z0-9])" + a.replace(".", "[.]") + "[.]"
+      val rep = "$1" + a.replace(".", s) + s
+      regexp_replace(acc, pat, rep)
+    }
+    transform(sentences(masked), p => replace(p, lit(s), lit(".")))
+  }
+
   /** Lowercased-alnum tokens (same tokenization as [[wordBigrams]]). */
   def asciiTokens(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColT, expression => toExprT}
