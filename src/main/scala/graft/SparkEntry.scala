@@ -528,47 +528,14 @@ object SparkEntry {
     // the hashed MinHash-LSH path (q23): same plan shape, no seeds. Set ops
     // stay in codegen'd built-ins (array_intersect/array_union); only ids +
     // n-gram sets shuffle, never raw text.
-    "q41_jaccard_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.wordNgrams(col("text"), 5).as("ng"),
-        TextFunctions.wordNgrams(col("text"), 8).as("blk"))
-      // blocking join and dedup shuffle IDS + 8-byte HASHES only (neither
-      // the n-gram arrays nor the ~45-char block strings); a 2^-64 hash
-      // collision could only add a spurious candidate, which the exact
-      // Jaccard filter then rejects. Sets re-attach to the few survivors.
-      // PER-BLOCK CAP (the L2/L5 bucket-cap discipline, and the round-6
-      // third-decade lesson): a boilerplate 8-gram shared by a g-doc
-      // identical group makes the self-join emit g^2/2 rows per gram —
-      // the accidental 10-identical-copy sf100 corpus measured 41x per
-      // decade from exactly this. Keeping the 64 smallest doc_ids per
-      // block bounds every block at 64^2/2 candidate rows (the window is
-      // a map-side WindowGroupLimit, so the cap also bounds its own
-      // shuffle); pairs whose every shared gram overflows the cap are
-      // the documented recall trade, identical to the hashed-LSH caps.
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("b8")).orderBy(col("doc_id"))
-      val ex = d.select(col("doc_id"), explode(col("blk")).as("__b8s"))
-        .select(col("doc_id"), xxhash64(col("__b8s")).as("b8"))
-        .withColumn("__rk", row_number().over(wb))
-        .where(col("__rk") <= 64).drop("__rk")
-      val cand = ex.alias("xa")
-        .join(ex.alias("xb"),
-          col("xa.b8") === col("xb.b8") && col("xa.doc_id") < col("xb.doc_id"))
-        .select(col("xa.doc_id").as("id_a"), col("xb.doc_id").as("id_b"))
-        .distinct()
-      val sets = d.select(col("doc_id"), col("ng"))
-      val withSets = cand
-        .join(sets.select(col("doc_id").as("id_a"), col("ng").as("nga")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("ng").as("ngb")), Seq("id_b"))
-      val inter = size(array_intersect(col("nga"), col("ngb")))
-      val union = size(array_union(col("nga"), col("ngb")))
-      withSets
-        .select(col("id_a"), col("id_b"),
-          when(union === 0, lit(0.0))
-            .otherwise(round(inter.cast("double") / union.cast("double"), 6)).as("jaccard"))
-        .where(col("jaccard") >= 0.2)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // (implementation factored into Dedup.jaccardPairs in round 7 so the
+    // 64-id block cap's recall trade is MEASURED by BlockCapRecallSpec's
+    // planted ladder — same plan, byte-identical output)
+    "q41_jaccard_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.jaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 5, blockN = 8, blockCap = 64, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // q42: per-language top-k tokens (heavy hitters) — aggregate FIRST
     // (token counts per lang are vocabulary-bounded), then a window over

@@ -379,6 +379,62 @@ object Dedup {
       }
   }
 
+  /** Exact word-n-gram JACCARD near-dup pairs with exact-string blocking
+    * (the q41/L3 operator, factored out so the block-cap recall ladder
+    * can measure it at different caps): candidates must share at least
+    * one word-`blockN`-gram — rare across unrelated docs, dense inside
+    * near-duplicates — so the pair count follows block occupancy, not
+    * n². The blocking join and its dedup shuffle IDS + 8-byte xxhash64
+    * values only (a 2^-64 collision can only add a spurious candidate,
+    * which the exact-Jaccard filter rejects); n-gram sets re-attach to
+    * the few survivors and the set ops stay codegen'd builtins.
+    *
+    * `blockCap` keeps the `blockCap` SMALLEST ids per block (a map-side
+    * WindowGroupLimit): a boilerplate blockN-gram shared by a g-doc
+    * group otherwise emits g²/2 rows per gram (the sf100
+    * identical-copy lesson: 41×/decade from exactly this). The
+    * documented recall trade — a pair whose EVERY shared block-gram
+    * overflows the cap is missed — is MEASURED by
+    * `BlockCapRecallSpec`'s planted ladder (see BENCHNOTES).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      blockN: Int = 8,
+      blockCap: Int = 64,
+      minJaccard: Double = 0.2): DataFrame = {
+    require(n >= 1 && blockN >= n,
+      s"need blockN >= n >= 1 (blockN is the minimum shared run), got n=$n blockN=$blockN")
+    require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
+    val d = df.select(col(idCol),
+      TextFunctions.wordNgrams(col(textCol), n).as("__ng"),
+      TextFunctions.wordNgrams(col(textCol), blockN).as("__blk"))
+    val wb = Window.partitionBy(col("__b8")).orderBy(col(idCol))
+    val ex = d.select(col(idCol), explode(col("__blk")).as("__b8s"))
+      .select(col(idCol), xxhash64(col("__b8s")).as("__b8"))
+      .withColumn("__rk", row_number().over(wb))
+      .where(col("__rk") <= blockCap).drop("__rk")
+    val cand = ex.alias("ja")
+      .join(ex.alias("jb"),
+        col("ja.__b8") === col("jb.__b8") &&
+          col(s"ja.$idCol") < col(s"jb.$idCol"))
+      .select(col(s"ja.$idCol").as("id_a"), col(s"jb.$idCol").as("id_b"))
+      .distinct()
+    val sets = d.select(col(idCol), col("__ng"))
+    val withSets = cand
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__nga")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ngb")), Seq("id_b"))
+    val inter = size(array_intersect(col("__nga"), col("__ngb")))
+    val union = size(array_union(col("__nga"), col("__ngb")))
+    withSets
+      .select(col("id_a"), col("id_b"),
+        when(union === 0, lit(0.0))
+          .otherwise(round(inter.cast("double") / union.cast("double"), 6)).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** N-gram CONTAINMENT pairs — Broder's second resemblance measure
     * (1997, "On the resemblance and containment of documents"):
     * `C(a in b) = |grams(a) ∩ grams(b)| / |grams(a)|`. The asymmetric
