@@ -792,13 +792,22 @@ object SparkEntry {
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
       val l = banded.alias("ml")
       val r = banded.alias("mr")
+      // persisted: the candidate-id prune reads the candidate set twice
       val cands = l.join(r,
           col("ml.band") === col("mr.band") && col("ml.key") === col("mr.key") &&
             col("ml.doc_id") < col("mr.doc_id"))
         .select(col("ml.doc_id").as("id_a"), col("mr.doc_id").as("id_b"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // candidate-id prune (the Dedup.nearDuplicatePairs discipline, same
+      // round-7 sf100 finding): the portable md5-60 set arrays are multi-KB
+      // per doc — only candidate ids' sets may reach the verify exchange
+      val candIds = broadcast(
+        cands.select(col("id_a").as("doc_id"))
+          .union(cands.select(col("id_b").as("doc_id"))).distinct())
       val sets = docs.select(col("doc_id"),
         TextFunctions.shingleHashSetPortable(col("text"), kSh).as("sh"))
+        .join(candIds, Seq("doc_id"))
       cands.join(sets.alias("pa"), col("id_a") === col("pa.doc_id"))
         .join(sets.alias("pb"), col("id_b") === col("pb.doc_id"))
         .withColumn("jaccard", TextFunctions.jaccardSorted(col("pa.sh"), col("pb.sh")))
@@ -1733,7 +1742,7 @@ object SparkEntry {
     * order, same left boundary, same U+E000 sentinel — generated from
     * the production list so query and oracle can never drift.
     */
-  private def abbrevMaskSql(expr: String): String =
+  private[graft] def abbrevMaskSql(expr: String): String =
     graft.functions.TextFunctions.DefaultAbbreviations.foldLeft(expr) { (acc, a) =>
       val pat = "(^|[^A-Za-z0-9])" + a.replace(".", "[.]") + "[.]"
       val rep = "\\1" + a.replace(".", "\uE000") + "\uE000"
@@ -1767,7 +1776,7 @@ object SparkEntry {
     * runs. The CJK class is quoted from [[graft.functions.TextAlgo.CjkClass]]
     * so kernel and oracle can never disagree on the ranges.
     */
-  private def unicodeToksSql(textExpr: String): String =
+  private[graft] def unicodeToksSql(textExpr: String): String =
     "regexp_extract_all(translate(regexp_replace(" + textExpr + ", '(" +
       graft.functions.TextAlgo.CjkClass + ")', ' \\1 ', 'g'), " +
       "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
@@ -1780,7 +1789,7 @@ object SparkEntry {
     * Java/RE2-shared regex. `host` is the SQL expression holding the
     * already-lowercased host.
     */
-  private def etld1OracleSql(host: String): String = {
+  private[graft] def etld1OracleSql(host: String): String = {
     val byLen = graft.functions.PublicSuffix.Snapshot.distinct
       .groupBy(_.count(_ == '.') + 1)
     val maxK = byLen.keys.max

@@ -138,6 +138,26 @@ object Dedup {
     * Jaccard similarity >= `threshold`. Verification re-joins shingle SETS
     * by id (ids only in the shuffle) and computes
     * |A intersect B| / |A union B| with set expressions.
+    *
+    * SCALE SHAPE (reworked after the round-7 sf100 campaign, where 5M
+    * docs produced 113M banded candidates and the verify joins shuffled
+    * candidate×set products past local scratch):
+    *  - the full SIGNATURE rides the banded self-join (fixed 8·numHashes
+    *    bytes per row — the join input stays a bounded-width shuffle),
+    *    so the MinHash jaccard ESTIMATE (matching-component fraction,
+    *    compiled [[graft.functions.SigMatchCountExpr]]) is computable
+    *    IN-STAGE on every candidate row before anything wide exists;
+    *  - `estFloor` (default threshold·5/8) drops candidates whose
+    *    estimate can't plausibly reach `threshold`: for a TRUE pair at
+    *    jaccard=t the estimate is Binomial(numHashes, t)/numHashes, so
+    *    P(est < 5t/8) at t=0.8, 32 hashes is ~3e-5 — statistically
+    *    invisible, while the moderate-similarity false candidates
+    *    (est ≈ their true jaccard << t) die here, typically >99% of the
+    *    banded output;
+    *  - only est-survivors are distinct'd and verified, and the
+    *    multi-KB shingle-SET arrays attach to exactly those ids (the
+    *    candidate-id list broadcasts; the sets scan filters map-side).
+    * Set `estFloor = 0.0` to disable the prefilter (exact legacy plan).
     */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -147,14 +167,48 @@ object Dedup {
       shingleSize: Int = 5,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, bands, rowsPerBand, seed)
+      seed: Long = 42L,
+      estFloor: Double = -1.0,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val floor = if (estFloor < 0) threshold * 5.0 / 8.0 else estFloor
+    val minMatches = math.ceil(floor * numHashes).toInt
+    val sigExpr = TextFunctions.minhashSignature(col(textCol), shingleSize, numHashes, seed)
+    val withSig = df.select(col(idCol).as("id"), sigExpr.as("sig"))
+      .where(size(col("sig")) > 0)
+    val bandKeys = explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket"))))
+    val buckets = withSig.select(col("id"), col("sig"), bandKeys.as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    // hot-key counting projects (band, bucket) only — the sig payload
+    // never enters the occupancy aggregate's shuffle
+    val trimmed = dropHotKeys(buckets, Seq("band", "bucket"), maxBucketSize)
+    val l = trimmed.alias("l")
+    val r = trimmed.alias("r")
+    val matches = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+      toCol(graft.functions.SigMatchCountExpr(toExpr(col("l.sig")), toExpr(col("r.sig"))))
+    }
+    // persisted: the candidate-id prune reads the survivors twice
+    val cands = l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .where(matches >= minMatches)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = broadcast(
+      cands.select(col("id_a").as("id"))
+        .union(cands.select(col("id_b").as("id"))).distinct())
     // sorted-distinct 64-bit shingle hashes: exact Jaccard by compiled
     // merge-intersect — candidate rows carry fixed-width hash arrays, never
     // the document text
     val shingleSets = df.select(
       col(idCol).as("id"),
       TextFunctions.shingleHashSet(col(textCol), shingleSize).as("sh"))
+      .join(candIds, Seq("id"))
     val a = shingleSets.alias("sa")
     val b = shingleSets.alias("sb")
     cands
@@ -416,13 +470,24 @@ object Dedup {
       .select(col(idCol), xxhash64(col("__b8s")).as("__b8"))
       .withColumn("__rk", row_number().over(wb))
       .where(col("__rk") <= blockCap).drop("__rk")
+    // persisted: the candidate-id prune below reads the candidate set
+    // twice (the blocking self-join is the expensive half)
     val cand = ex.alias("ja")
       .join(ex.alias("jb"),
         col("ja.__b8") === col("jb.__b8") &&
           col(s"ja.$idCol") < col(s"jb.$idCol"))
       .select(col(s"ja.$idCol").as("id_a"), col(s"jb.$idCol").as("id_b"))
       .distinct()
-    val sets = d.select(col(idCol), col("__ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate-id prune (the round-7 sf100 disk finding, worst here: the
+    // n-gram SET arrays are exact strings, the biggest per-doc payload of
+    // the dedup family): the id list is bounded by the block cap
+    // (blockCap²/2 pairs per block), so it broadcasts and the sets scan
+    // filters map-side — only candidate sets ever reach an exchange
+    val candIds = broadcast(
+      cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b").as(idCol))).distinct())
+    val sets = d.select(col(idCol), col("__ng")).join(candIds, Seq(idCol))
     val withSets = cand
       .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__nga")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ngb")), Seq("id_b"))
@@ -477,7 +542,13 @@ object Dedup {
           col(s"ca.$idCol") < col(s"cb.$idCol"))
       .select(col(s"ca.$idCol").as("id_a"), col(s"cb.$idCol").as("id_b"))
       .distinct()
-    val sets = d.select(col(idCol), col("__ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate-id prune — see [[jaccardPairs]] (same shape, same
+    // round-7 sf100 finding)
+    val candIds = broadcast(
+      cand.select(col("id_a").as(idCol))
+        .union(cand.select(col("id_b").as(idCol))).distinct())
+    val sets = d.select(col(idCol), col("__ng")).join(candIds, Seq(idCol))
     val withSets = cand
       .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__nga")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ngb")), Seq("id_b"))

@@ -334,6 +334,23 @@ object TextAlgo {
     new GenericArrayData(winnowing(s.toString, k, w))
 
   /** Exact Jaccard of two SORTED distinct long arrays (merge-intersect). */
+  /** Positions where two equal-length long arrays agree — the MinHash
+    * jaccard ESTIMATE numerator (est = matches / numHashes). Compiled
+    * kernel for the candidate prefilter ([[SigMatchCountExpr]]): at
+    * corpus scale the banded join emits ~10-100M candidate rows and this
+    * runs on every one, in-stage, before anything wide is attached.
+    */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val n1 = a.numElements()
     val n2 = b.numElements()

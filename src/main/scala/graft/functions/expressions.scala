@@ -125,6 +125,27 @@ case class SimHash60PortableExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Exact Jaccard similarity of two sorted distinct array<long> columns. */
+/** MinHash signature agreement count (positions where two equal-length
+  * long arrays match) — the jaccard-ESTIMATE numerator for the banded
+  * join's candidate prefilter; see [[TextAlgo.sigMatchCount]].
+  */
+case class SigMatchCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match { case ArrayType(LongType, _) => true; case _ => false }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgo.sigMatchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextAlgo.sigMatchCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

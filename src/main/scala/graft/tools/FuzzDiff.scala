@@ -1194,10 +1194,88 @@ object FuzzDiff {
           |  nullif(lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
           |  host,
           |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$', 1), '') AS INT) AS port,
-          |  nullif(regexp_extract(s, '\?([^#]*)', 1), '') AS query,
+          |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+          |    THEN nullif(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1), '') END AS query,
           |  CASE WHEN NOT starts_with(host, '[')
           |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain
           |FROM h""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_unicode_tokens", 4, { _ =>
+      // the multilingual tokenization tier over the edge corpus (CJK,
+      // Hiragana, Cyrillic, emoji, ZWSP, NBSP, ideographic space,
+      // combining-case chars ẞ/İ/ς): the compiled kernel's JDK category
+      // tables vs DuckDB/RE2's \p{L}\p{M}\p{N} + the CJK spacing formula
+      // — a single category disagreement on any corpus codepoint breaks
+      // the joined-token compare
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.unicodeTokens(col("s")).as("t"))
+          .select(col("id"), array_join(col("t"), "\u001f").as("joined"),
+            size(col("t")).as("n"))
+      val duck =
+        "WITH t AS (SELECT id, " + graft.SparkEntry.unicodeToksSql("s") +
+          " AS toks FROM fuzz_docs WHERE s IS NOT NULL)\n" +
+          """SELECT id,
+            |  coalesce(array_to_string(toks, chr(31)), '') AS joined,
+            |  CAST(len(toks) AS INT) AS n
+            |FROM t""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_abbrev_sentences", 4, { _ =>
+      // the abbreviation-guard sentence tier over the edge corpus: the
+      // mask fold (generated from the SAME production abbreviation list
+      // the Spark side folds over), the q95 segmentation, the sentinel
+      // restore — list order, boundary class and U+E000 sentinel all
+      // pinned by the compare
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.sentencesAbbrevGuard(col("s")).as("sent"))
+          .select(col("id"), array_join(col("sent"), "\u001f").as("joined"),
+            size(col("sent")).as("n"))
+      val duck =
+        "WITH m AS (SELECT id, " + graft.SparkEntry.abbrevMaskSql("s") +
+          " AS mt FROM fuzz_docs WHERE s IS NOT NULL),\n" +
+          """p AS (SELECT id,
+            |  list_transform(
+            |    list_filter(
+            |      list_transform(regexp_extract_all(mt, '[^.!?]+[.!?]+["'')\]]*|[^.!?]+$'),
+            |        x -> regexp_replace(x, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')),
+            |      x -> x <> ''),
+            |    x -> replace(x, '""".stripMargin + "\uE000" + """', '.')) AS sent
+            |  FROM m)
+            |SELECT id,
+            |  coalesce(array_to_string(sent, chr(31)), '') AS joined,
+            |  CAST(len(sent) AS INT) AS n
+            |FROM p""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_etld1", 4, { rng =>
+      // the public-suffix ladder over hosts synthesized from ARBITRARY
+      // edge strings (whitespace runs to dots, a rotating suffix tail —
+      // including none): empty labels, dot runs, emoji labels, 500-char
+      // labels; the IN-list ladder must agree with the Spark InSet
+      // ladder on every row
+      val sfx = Seq(".co.uk", ".com", ".github.io", ".s3.amazonaws.com", "")(rng.nextInt(5))
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            lower(concat(regexp_replace(col("s"), "[ \\t\\n\\r\\x0B]+", "."),
+              lit(sfx))).as("host"))
+          .select(col("id"),
+            graft.functions.Url.registrableDomainOfHost(col("host")).as("etld1"))
+      val duck =
+        raw"""WITH h AS (SELECT id,
+           |  lower(regexp_replace(s, '[ \t\n\r\x0b]+', '.', 'g') || '$sfx') AS host
+           |  FROM fuzz_docs WHERE s IS NOT NULL)
+           |SELECT id,
+           |""".stripMargin +
+          graft.SparkEntry.etld1OracleSql("host") + " AS etld1\nFROM h"
       (build, duck)
     }),
 
