@@ -792,22 +792,19 @@ object SparkEntry {
         .select(col("doc_id"), col("bk.band"), col("bk.key"))
       val l = banded.alias("ml")
       val r = banded.alias("mr")
-      // persisted: the candidate-id prune reads the candidate set twice
+      // NOTE: deliberately NOT candidate-id-pruned like the production
+      // q23 path — at gate scales the persist+broadcast overhead costs
+      // more than the full-sets join saves (measured 3.1s -> 21s at
+      // sf0.1), and this VERIFICATION TWIN is documented gate-scale-only
+      // (BENCHNOTES round 7: its exact threshold-0.2 contract sits where
+      // an estimate prefilter would change oracle results)
       val cands = l.join(r,
           col("ml.band") === col("mr.band") && col("ml.key") === col("mr.key") &&
             col("ml.doc_id") < col("mr.doc_id"))
         .select(col("ml.doc_id").as("id_a"), col("mr.doc_id").as("id_b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // candidate-id prune (the Dedup.nearDuplicatePairs discipline, same
-      // round-7 sf100 finding): the portable md5-60 set arrays are multi-KB
-      // per doc — only candidate ids' sets may reach the verify exchange
-      val candIds = broadcast(
-        cands.select(col("id_a").as("doc_id"))
-          .union(cands.select(col("id_b").as("doc_id"))).distinct())
       val sets = docs.select(col("doc_id"),
         TextFunctions.shingleHashSetPortable(col("text"), kSh).as("sh"))
-        .join(candIds, Seq("doc_id"))
       cands.join(sets.alias("pa"), col("id_a") === col("pa.doc_id"))
         .join(sets.alias("pb"), col("id_b") === col("pb.doc_id"))
         .withColumn("jaccard", TextFunctions.jaccardSorted(col("pa.sh"), col("pb.sh")))
@@ -1738,16 +1735,17 @@ object SparkEntry {
       |FROM f GROUP BY $keyAlias ORDER BY $keyAlias""".stripMargin
 
   /** DuckDB replay of [[graft.functions.TextFunctions.sentencesAbbrevGuard]]'s
-    * mask fold: one regexp_replace per abbreviation, SAME list, SAME
-    * order, same left boundary, same U+E000 sentinel — generated from
-    * the production list so query and oracle can never drift.
+    * mask fold — generated from the SAME
+    * [[graft.functions.TextFunctions.abbrevMaskSteps]] the Spark side
+    * folds over (one alternation pass for plain entries + per-entry
+    * passes for dotted ones), so query and oracle can never drift.
     */
   private[graft] def abbrevMaskSql(expr: String): String =
-    graft.functions.TextFunctions.DefaultAbbreviations.foldLeft(expr) { (acc, a) =>
-      val pat = "(^|[^A-Za-z0-9])" + a.replace(".", "[.]") + "[.]"
-      val rep = "\\1" + a.replace(".", "\uE000") + "\uE000"
-      s"regexp_replace($acc, '$pat', '$rep', 'g')"
-    }
+    graft.functions.TextFunctions
+      .abbrevMaskSteps(graft.functions.TextFunctions.DefaultAbbreviations)
+      .foldLeft(expr) { case (acc, (pat, _, duckRep)) =>
+        s"regexp_replace($acc, '$pat', '$duckRep', 'g')"
+      }
 
   /** Multilingual decoration shared by q98/q99: a script-diverse snippet
     * keyed by doc_id (CJK, Hangul, accented Latin, Devanagari,

@@ -134,7 +134,13 @@ object GraftFunctions {
       graft.similarity.VecPoolAgg(a(0),
         graft.similarity.VecPoolAgg.modeOf(strLit("graft_vec_pool", a, 1)))),
     fd("graft_remove_spans", classOf[RemoveSpansExpr], 2)(a =>
-      RemoveSpansExpr(a(0), a(1))))
+      RemoveSpansExpr(a(0), a(1))),
+    // round-7 additions: the multilingual tokenization tier and the
+    // MinHash jaccard-estimate numerator
+    fd("graft_unicode_tokens", classOf[UnicodeTokensExpr], 1)(a =>
+      UnicodeTokensExpr(a(0))),
+    fd("graft_sig_match_count", classOf[SigMatchCountExpr], 2)(a =>
+      SigMatchCountExpr(a(0), a(1))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

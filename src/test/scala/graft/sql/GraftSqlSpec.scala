@@ -46,6 +46,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Long]("sh") === viaCol)
   }
 
+  test("round-7 scalar functions: unicode tokens and sig match count from SQL") {
+    val r = sql.sql(
+      """SELECT
+        |  graft_unicode_tokens('Hello, 世界! This is 日本語 text.') AS ut,
+        |  graft_sig_match_count(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS m
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("ut") ===
+      Seq("hello", "世", "界", "this", "is", "日", "本", "語", "text"))
+    assert(r.getAs[Int]("m") === 3)
+  }
+
   test("kmv sketch aggregate works in SQL GROUP BY") {
     import sql.implicits._
     Seq((1L, "a"), (2L, "a"), (2L, "a"), (9L, "b"))
