@@ -1611,6 +1611,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q102: URL canonicalization (Url.canonicalize, SURVEY+ L64) — the
+    // dedup / crawl-frontier key: lowercase scheme+host, drop userinfo,
+    // drop default ports, "/" for empty paths, strip tracking params,
+    // SORT the survivors, drop fragments. The synthesis plants exactly
+    // the noise canonicalization must erase (shuffled param order,
+    // utm/gclid params, :80/:443 on matching schemes, fragments), and
+    // the n_distinct aggregate proves different-noise copies of the
+    // same logical URL collapse to one key. Oracle replays the regex
+    // chain + list_sort byte-for-byte.
+    "q102_url_canonical" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        element_at(array(lit("http"), lit("HTTPS"), lit("http")),
+          (id % 3 + 1).cast("int")),
+        lit("://"),
+        when(id % 7 === 0, lit("crawler:pw@")).otherwise(lit("")),
+        lit("Host"), id % 11, lit(".example."),
+        element_at(array(lit("com"), lit("org"), lit("co.uk")),
+          (id % 3 + 1).cast("int")),
+        element_at(array(lit(":80"), lit(":443"), lit(""), lit(":8080")),
+          (id % 4 + 1).cast("int")),
+        when(id % 5 === 0, lit("")).otherwise(concat(lit("/page/"), id % 50)),
+        element_at(array(
+          lit("?b=2&utm_source=feed&a=1"),
+          lit("?a=1&gclid=XyZ123&b=2"),
+          lit("?utm_campaign=x&utm_medium=y"),
+          lit(""),
+          lit("?b=2&a=1&fbclid=F00")), (id % 5 + 1).cast("int")),
+        when(id % 2 === 0, lit("#section-3")).otherwise(lit("")))
+      val canon = t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Url.canonicalize(url).as("canonical"))
+      canon
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("canonical"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -3245,6 +3282,59 @@ object SparkEntry {
         |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain,
         |""".stripMargin +
         etld1OracleSql("host") + " AS etld1\nFROM h ORDER BY doc_id"),
+    // canonicalization replay: the q94 parse chain, then the SAME
+    // tracking-strip regex chain + list_sort + default-port/path/query
+    // assembly, aggregated by canonical key
+    "q102_url_canonical" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  ['http','HTTPS','http'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'crawler:pw@' ELSE '' END ||
+        |  'Host' || (doc_id % 11) || '.example.' ||
+        |  ['com','org','co.uk'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |  [':80',':443','',':8080'][CAST(doc_id % 4 + 1 AS INT)] ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/page/' || (doc_id % 50) END ||
+        |  ['?b=2&utm_source=feed&a=1','?a=1&gclid=XyZ123&b=2',
+        |   '?utm_campaign=x&utm_medium=y','','?b=2&a=1&fbclid=F00'][CAST(doc_id % 5 + 1 AS INT)] ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '#section-3' ELSE '' END AS url
+        |  FROM documents),
+        |a AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1) AS auth_raw
+        |  FROM u),
+        |n AS (SELECT doc_id, url, auth_raw,
+        |  regexp_extract(auth_raw, '(?:[^@]*@)?([^@]*)$', 1) AS no_user FROM a),
+        |h AS (SELECT doc_id,
+        |  nullif(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |  nullif(lower(CASE WHEN starts_with(no_user, '[')
+        |    THEN regexp_extract(no_user, '^(\[[^\]]*\])', 1)
+        |    ELSE regexp_extract(no_user, '^([^:]*)', 1) END), '') AS host,
+        |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$', 1), '') AS INT) AS port,
+        |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+        |    THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\r\n]*([^?#]*)', 1) END AS path,
+        |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+        |    THEN nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1), '') END AS query
+        |  FROM n),
+        |sq AS (SELECT doc_id, scheme, host, port, path, query,
+        |  array_to_string(list_sort(string_split(
+        |    regexp_replace(regexp_replace(regexp_replace(query,
+        |      '(^|&)""".stripMargin +
+        graft.functions.Url.TrackingParamsRe + """=[^&]*', '\1', 'g'),
+        |      '&&+', '&', 'g'),
+        |      '^&+|&+$', '', 'g'), '&')), '&') AS sortedq
+        |  FROM h),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN scheme IS NOT NULL AND host IS NOT NULL THEN
+        |    scheme || '://' || host ||
+        |    CASE WHEN port IS NOT NULL
+        |      AND NOT (scheme = 'http' AND port = 80)
+        |      AND NOT (scheme = 'https' AND port = 443)
+        |      THEN ':' || port ELSE '' END ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN query IS NOT NULL AND sortedq <> '' THEN '?' || sortedq ELSE '' END
+        |  END AS canonical
+        |  FROM sq)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_raw,
+        |  min(doc_id) AS first_id
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin),
     // L36+L58 composition replay: the q94 URL chain, the eTLD+1 suffix
     // ladder (IN-list replay of the PublicSuffix snapshot), then the
     // q72 md5-rank cap

@@ -156,6 +156,51 @@ object Url {
     when(!h.startsWith("["), ladder)
   }
 
+  /** Tracking parameters stripped by [[canonicalize]] — the common
+    * analytics/click identifiers that make one logical page look like
+    * thousands of distinct URLs to a crawl-frontier or URL-dedup key.
+    */
+  val TrackingParamsRe: String =
+    "(utm_[A-Za-z0-9]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)"
+
+  /** Canonical URL for dedup / crawl-frontier keying: lowercased scheme
+    * and host, userinfo dropped, default ports dropped (http:80,
+    * https:443), empty path becomes "/", tracking parameters stripped
+    * ([[TrackingParamsRe]]), remaining query parameters SORTED
+    * (bytewise), fragment dropped. NULL for non-absolute-URL cells.
+    *
+    * All codegen'd builtins — the tracking strip is a regexp_replace
+    * chain (match-and-keep-separator, then collapse '&&' runs and trim
+    * edge '&'s), the param sort is split + sort_array + array_join; no
+    * lambda HOFs. Engine-replayable: the oracle (q102) runs the same
+    * chain with list_sort. Two URLs that differ only in param order,
+    * fragment, default port, userinfo or tracking noise canonicalize to
+    * the same key — the property the spec pins.
+    */
+  def canonicalize(c: Column): Column = {
+    val scheme = urlScheme(c)
+    val host = urlHost(c)
+    val port = urlPort(c)
+    val keepPort = port.isNotNull &&
+      !(scheme === "http" && port === 80) &&
+      !(scheme === "https" && port === 443)
+    val rawPath = urlPath(c)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val q = urlQuery(c)
+    val stripped = regexp_replace(
+      regexp_replace(
+        regexp_replace(q, "(^|&)" + TrackingParamsRe + "=[^&]*", "$1"),
+        "&&+", "&"),
+      "^&+|&+$", "")
+    val sortedQ = array_join(sort_array(split(stripped, "&")), "&")
+    when(scheme.isNotNull && host.isNotNull,
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port.cast("string"))).otherwise(lit("")),
+        path,
+        when(q.isNotNull && sortedQ =!= "", concat(lit("?"), sortedQ))
+          .otherwise(lit(""))))
+  }
+
   /** DataFrame tier of [[registrableDomain]] for full-size suffix tables
     * (the real PSL is ~10k rules — too big to inline as plan literals):
     * one broadcast LEFT join per suffix label-count against the host's

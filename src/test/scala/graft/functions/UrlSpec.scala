@@ -91,6 +91,32 @@ class UrlSpec extends SparkSpec {
     assert(etld1("not a url") === null)
   }
 
+  private def canon(url: String): String = {
+    val r = Seq(url).toDF("u")
+      .select(Url.canonicalize(col("u")).as("c")).collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalize: noise variants of one logical URL collapse to one key") {
+    val expected = "https://host.example.com/p?a=1&b=2"
+    assert(canon("HTTPS://Host.Example.COM:443/p?b=2&a=1#frag") === expected)
+    assert(canon("https://host.example.com/p?a=1&utm_source=feed&b=2") === expected)
+    assert(canon("https://bot:pw@host.example.com/p?fbclid=X&b=2&gclid=Y&a=1") === expected)
+  }
+
+  test("canonicalize: non-default ports survive; mismatched defaults survive") {
+    assert(canon("http://h.example.com:8080/x") === "http://h.example.com:8080/x")
+    // 443 is NOT http's default port
+    assert(canon("http://h.example.com:443/x") === "http://h.example.com:443/x")
+    assert(canon("http://h.example.com:80/x") === "http://h.example.com/x")
+  }
+
+  test("canonicalize: empty path becomes '/'; all-tracking query drops the '?'") {
+    assert(canon("http://h.example.com") === "http://h.example.com/")
+    assert(canon("http://h.example.com?utm_campaign=x&utm_medium=y") === "http://h.example.com/")
+    assert(canon("not a url") === null)
+  }
+
   test("eTLD+1 DataFrame tier (broadcast suffix join) agrees with the column tier") {
     val urls = Seq(
       "https://news.bbc.co.uk/x", "https://sub.host7.example.com/x",
