@@ -700,8 +700,8 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
-  def wordBigrams(s: UTF8String): ArrayData = {
-    val toks = asciiTokenize(s.toString)
+  def wordBigrams(s: UTF8String, unicode: Boolean): ArrayData = {
+    val toks = if (unicode) unicodeTokenize(s.toString) else asciiTokenize(s.toString)
     if (toks.length < 2) return ArrayData.toArrayData(Array.empty[UTF8String])
     val out = new Array[AnyRef](toks.length - 1)
     var j = 0

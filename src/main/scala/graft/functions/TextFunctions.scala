@@ -74,10 +74,12 @@ object TextFunctions {
 
   /** All consecutive token bigrams (lowercased-alnum tokenization,
     * non-distinct, one compiled pass — [[WordBigramsExpr]]).
+    * `unicode = true` pairs the multilingual-tier tokens instead
+    * ([[unicodeTokens]]) — CJK bigram LMs need real token pairs.
     */
-  def wordBigrams(c: Column): Column = {
+  def wordBigrams(c: Column, unicode: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColB, expression => toExprB}
-    toColB(WordBigramsExpr(toExprB(c)))
+    toColB(WordBigramsExpr(toExprB(c), unicode))
   }
 
   /** Sentence array of a text column — the RAG-chunking companion to

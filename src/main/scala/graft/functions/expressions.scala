@@ -371,7 +371,7 @@ case class UnicodeTokensExpr(child: Expression)
 /** All consecutive lowercased-alnum token bigrams as array<string> (in
   * order, non-distinct) — map-side bigram stream for LM estimation.
   */
-case class WordBigramsExpr(child: Expression)
+case class WordBigramsExpr(child: Expression, unicode: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
@@ -379,9 +379,9 @@ case class WordBigramsExpr(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_bigrams"
   override protected def nullSafeEval(input: Any): Any =
-    TextAlgo.wordBigrams(input.asInstanceOf[UTF8String])
+    TextAlgo.wordBigrams(input.asInstanceOf[UTF8String], unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordBigrams($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordBigrams($c, $unicode)")
   override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
     copy(child = newChild)
 }

@@ -36,9 +36,10 @@ object Decontaminate {
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      unicode: Boolean = false): DataFrame = {
     val benchGrams = bench
-      .select(explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
+      .select(explode(TextFunctions.wordNgrams(col(textCol), n, unicode)).as("__g"))
       .distinct()
       .withColumn("__hit", lit(1))
     // ONE tokenization pass: the exploded distinct n-grams left-join the
@@ -47,7 +48,7 @@ object Decontaminate {
     // of the same per-doc aggregate. Docs in the report always have
     // n_ngrams >= 1 by construction (a hit requires an n-gram).
     train
-      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), explode(TextFunctions.wordNgrams(col(textCol), n, unicode)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hits"))
@@ -66,8 +67,9 @@ object Decontaminate {
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
-    val flagged = overlapReport(train, bench, idCol, textCol, n).select(col(idCol))
+      n: Int,
+      unicode: Boolean = false): DataFrame = {
+    val flagged = overlapReport(train, bench, idCol, textCol, n, unicode).select(col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
 }

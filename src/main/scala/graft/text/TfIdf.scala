@@ -27,11 +27,18 @@ object TfIdf {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      maxDfFraction: Double = 0.5): DataFrame = {
+      maxDfFraction: Double = 0.5,
+      unicode: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val n = df.count()
+    // unicode = true swaps the [a-z0-9]-run convention for the
+    // multilingual tier (TextFunctions.unicodeTokens: codepoint-class
+    // runs, CJK singles) — on CJK corpora the ascii tier has NO terms
+    val tokens =
+      if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
+      else split(lower(col(textCol)), "[^a-z0-9]+")
     val terms = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+        explode(tokens).as("term"))
       .where(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // tf rows are distinct (doc, term), so df = row count per term

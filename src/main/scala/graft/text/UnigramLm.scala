@@ -22,13 +22,23 @@ object UnigramLm {
   /** (doc_id, n_tokens, xent): per-token cross-entropy
     * `sum(tf * -ln((c+1)/(T+V))) / sum(tf)`, natural log.
     */
-  def crossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def crossEntropy(df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
+    // unicode tier: multilingual tokens (CJK singles) instead of
+    // [a-z0-9] runs — a CJK corpus otherwise has zero tokens
+    val tokens =
+      if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
+      else split(lower(col(textCol)), "[^a-z0-9]+")
     val toks = df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+        explode(tokens).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    val t = tf.agg(sum(col("tf"))).collect()(0).getLong(0)
+    // sum over an EMPTY tf stream is NULL (a token-less corpus — e.g. an
+    // all-CJK corpus under the ascii tier); the scalar fetch must not
+    // throw, and t=0 flows to an empty (not wrong) result
+    val tRow = tf.agg(sum(col("tf"))).collect()(0)
+    val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
     val v = termCounts.count()
     val probs = termCounts.withColumn("prob",
       (col("c") + lit(1)).cast("double") / lit((t + v).toDouble))
@@ -55,9 +65,10 @@ object UnigramLm {
     * join back. V (the unigram vocabulary) and nothing else reaches the
     * driver.
     */
-  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      unicode: Boolean = false): DataFrame = {
     val bigrams = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.TextFunctions.wordBigrams(col(textCol))).as("bg"))
+      explode(graft.functions.TextFunctions.wordBigrams(col(textCol), unicode)).as("bg"))
     val tf2 = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
     val c2 = tf2.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
@@ -66,7 +77,9 @@ object UnigramLm {
     // a lower()+regex V here could disagree with the kernel on characters
     // whose Unicode lowercase is ASCII alnum (e.g. the Kelvin sign)
     val v = df.select(
-        explode(graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
+        explode(
+          if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
+          else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
       .distinct().count()
     val probs = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1")

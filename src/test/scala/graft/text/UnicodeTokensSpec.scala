@@ -117,6 +117,51 @@ class UnicodeTokensSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf unicode tier: CJK corpora get terms; ascii tier gets none") {
+    val df = Seq(
+      (1L, "机器学习很重要 机器学习"),
+      (2L, "深度学习和数据"),
+      (3L, "完全不同的内容在这里")).toDF("doc_id", "text")
+    val ascii = TfIdf.topTerms(df, "doc_id", "text", k = 2).collect()
+    assert(ascii.isEmpty, "ascii tier should see zero [a-z0-9] terms")
+    val uni = TfIdf.topTerms(df, "doc_id", "text", k = 2, unicode = true).collect()
+    assert(uni.nonEmpty)
+    // '机' appears twice in doc 1 only (maxDf excludes corpus-wide terms)
+    val d1 = uni.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    assert(d1.contains("机"), s"expected 机 among doc-1 top terms, got $d1")
+  }
+
+  test("unigram/bigram LM unicode tier scores CJK documents") {
+    val df = Seq(
+      (1L, "机器学习机器学习机器学习"), // repetitive -> low xent
+      (2L, "深度数据模型完全不同内容")).toDF("doc_id", "text")
+    val uni = UnigramLm.crossEntropy(df, "doc_id", "text", unicode = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) < uni(2L), s"repetitive doc must score lower xent: $uni")
+    val bi = UnigramLm.bigramCrossEntropy(df, "doc_id", "text", unicode = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(1L) < bi(2L), s"repetitive doc must score lower bigram xent: $bi")
+    // ascii tier: zero tokens -> empty results, silently (the documented
+    // degeneration the tier exists to fix)
+    assert(UnigramLm.crossEntropy(df, "doc_id", "text").collect().isEmpty)
+  }
+
+  test("decontamination unicode tier catches CJK benchmark overlap") {
+    val bench = Seq((1L, "机器学习是人工智能的一个分支领域")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "前言 机器学习是人工智能的一个分支领域 后记"), // contains the bench span
+      (11L, "完全无关的训练文本内容在这里出现")).toDF("doc_id", "text")
+    val asciiHits = Decontaminate.overlapReport(train, bench, "doc_id", "text", n = 5)
+      .collect()
+    assert(asciiHits.isEmpty, "ascii tier cannot see CJK n-grams at all")
+    val uniHits = Decontaminate.overlapReport(train, bench, "doc_id", "text", n = 5,
+        unicode = true).collect().map(_.getLong(0)).toSet
+    assert(uniHits === Set(10L))
+    val kept = Decontaminate.removeContaminated(train, bench, "doc_id", "text", n = 5,
+        unicode = true).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L))
+  }
+
   test("matchAll unicode tier honors the AND gate across scripts") {
     val df = Seq(
       (1L, "机器学习 neural systems"),
