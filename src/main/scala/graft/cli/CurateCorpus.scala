@@ -20,7 +20,7 @@ import graft.text.Decontaminate
   * {{{
   * runMain graft.cli.CurateCorpus <inDir> <outDir>
   *   [--min-quality 0.7] [--chunk-words 10] [--bench-mod 17]
-  *   [--ngram 5] [--max-per-file 100000] [--max-per-source 0]
+  *   [--ngram 5] [--max-per-file 100000] [--max-per-source 0] [--unicode false]
   * }}}
   *
   * Stages (each a constant number of shuffles, none quadratic):
@@ -42,7 +42,7 @@ object CurateCorpus {
       "usage: CurateCorpus <inDir> <outDir> [--min-quality q] [--chunk-words n] [--bench-mod m] [--ngram n] [--max-per-file n] [--max-per-source n]")
     val inDir = args(0)
     val outDir = args(1)
-    val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file", "--max-per-source")
+    val known = Set("--min-quality", "--chunk-words", "--bench-mod", "--ngram", "--max-per-file", "--max-per-source", "--unicode")
     val flagArgs = args.drop(2)
     require(flagArgs.length % 2 == 0 && flagArgs.grouped(2).forall(p => known(p(0))),
       s"unrecognized or value-less flag in ${flagArgs.mkString(" ")}; known: ${known.toSeq.sorted.mkString(", ")}")
@@ -54,6 +54,7 @@ object CurateCorpus {
     val ngram = opt("--ngram", "5").toInt
     val maxPerFile = opt("--max-per-file", "100000").toInt
     val maxPerSource = opt("--max-per-source", "0").toInt
+    val unicode = opt("--unicode", "false").toBoolean
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -65,7 +66,7 @@ object CurateCorpus {
     try {
       val docs = spark.read.parquet(s"$inDir/documents.parquet")
       val stats = run(docs, outDir, minQuality, chunkWords, benchMod, ngram, maxPerFile,
-        maxPerSource)
+        maxPerSource, unicode)
       println(stats.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     } finally spark.stop()
   }
@@ -86,16 +87,23 @@ object CurateCorpus {
       benchMod: Int = 17,
       ngram: Int = 5,
       maxPerFile: Int = 100000,
-      maxPerSource: Int = 0): Seq[(String, Long)] = {
+      maxPerSource: Int = 0,
+      unicode: Boolean = false): Seq[(String, Long)] = {
     val input = docs.count()
 
-    // 1. quality gate — cheapest filter first, map-side only
-    val quality = docs.where(TextFunctions.qualityScore(col("text")) >= minQuality)
+    // 1. quality gate — cheapest filter first, map-side only.
+    // --unicode threads the multilingual tier through the gate's token
+    // count and the decontamination n-grams (stage 4): on CJK corpora
+    // the ascii conventions score every doc below the gate and see no
+    // n-grams at all. Span dedup (stage 3) stays \s-token-based — its
+    // CJK modality is a separate operator concern, documented.
+    val quality = docs.where(
+        TextFunctions.qualityScore(col("text"), unicode) >= minQuality)
       .localCheckpoint()
     val nQuality = quality.count()
 
     // 2. exact dedup — one shuffle on uniform fingerprint keys
-    val exact = Dedup.exact(quality, "text", "doc_id").localCheckpoint()
+    val exact = Dedup.exact(quality, "text", "doc_id", unicode).localCheckpoint()
     val nExact = exact.count()
 
     // 3. chunk-granular substring dedup; drop docs left with no content
@@ -111,7 +119,8 @@ object CurateCorpus {
     // 4. decontamination against the held-out benchmark slice
     val bench = chunked.where(pmod(col("doc_id"), lit(benchMod)) === benchMod - 1)
     val train = chunked.where(pmod(col("doc_id"), lit(benchMod)) =!= benchMod - 1)
-    val clean = Decontaminate.removeContaminated(train, bench, "doc_id", "text", ngram)
+    val clean = Decontaminate.removeContaminated(train, bench, "doc_id", "text", ngram,
+        unicode)
       .localCheckpoint()
     val nClean = clean.count()
 

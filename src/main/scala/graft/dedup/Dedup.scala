@@ -50,8 +50,12 @@ object Dedup {
     * the same string (including punctuation-only docs collapsing to "")
     * ARE duplicates: identical normalized content is the definition here.
     */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextFunctions.fingerprint(col(textCol))
+  def exact(df: DataFrame, textCol: String, idCol: String,
+      unicode: Boolean = false): DataFrame = {
+    // unicode = true: the fingerprint keeps letters of every script —
+    // the ascii normalization maps ALL CJK docs to "" (one giant
+    // duplicate group); see TextFunctions.fingerprint
+    val fp = TextFunctions.fingerprint(col(textCol), unicode)
     val key = coalesce(fp, concat(lit("__graft_null__:"), col(idCol).cast("string")))
     val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__graft_rn", row_number().over(w))
