@@ -1279,6 +1279,60 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_url_canonical", 4, { rng =>
+      // canonicalization over URLs synthesized from ARBITRARY edge
+      // strings: garbage paths/params (unicode, emoji, '&&' runs,
+      // tracking params injected), rotating ports and schemes. The
+      // param sort is bytewise in BOTH engines (UTF8String compareTo
+      // and DuckDB VARCHAR are both memcmp over UTF-8), so even emoji
+      // params must order identically.
+      val port = Seq(":80", ":443", ":8080", "")(rng.nextInt(4))
+      val scheme = Seq("http", "HTTPS", "ftp")(rng.nextInt(3))
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            concat(lit(s"$scheme://h"), col("id"), lit(s".example.com$port/p?a=1&utm_src=x&"),
+              regexp_replace(col("s"), "[#?]", "."), lit("&gclid=Z&b=2")).as("u"))
+          .select(col("id"), graft.functions.Url.canonicalize(col("u")).as("canonical"))
+      val duck =
+        raw"""WITH u AS (SELECT id,
+           |  '$scheme://h' || id || '.example.com$port/p?a=1&utm_src=x&' ||
+           |  regexp_replace(s, '[#?]', '.', 'g') || '&gclid=Z&b=2' AS url
+           |  FROM fuzz_docs WHERE s IS NOT NULL),
+           |a AS (SELECT id, url,
+           |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1) AS auth_raw
+           |  FROM u),
+           |h AS (SELECT id, url,
+           |  nullif(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+           |  nullif(lower(regexp_extract(regexp_extract(auth_raw, '(?:[^@]*@)?([^@]*)$$', 1), '^([^:]*)', 1)), '') AS host,
+           |  CAST(nullif(regexp_extract(nullif(auth_raw, ''), ':([0-9]+)$$', 1), '') AS INT) AS port,
+           |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+           |    THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\r\n]*([^?#]*)', 1) END AS path,
+           |  CASE WHEN nullif(auth_raw, '') IS NOT NULL
+           |    THEN nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1), '') END AS query
+           |  FROM a),
+           |sq AS (SELECT id, scheme, host, port, path, query,
+           |  array_to_string(list_sort(string_split(
+           |    regexp_replace(regexp_replace(regexp_replace(query,
+           |      '(^|&)""".stripMargin +
+          graft.functions.Url.TrackingParamsRe + raw"""=[^&]*', '\1', 'g'),
+           |      '&&+', '&', 'g'),
+           |      '^&+|&+$$', '', 'g'), '&')), '&') AS sortedq
+           |  FROM h)
+           |SELECT id,
+           |  CASE WHEN scheme IS NOT NULL AND host IS NOT NULL THEN
+           |    scheme || '://' || host ||
+           |    CASE WHEN port IS NOT NULL
+           |      AND NOT (scheme = 'http' AND port = 80)
+           |      AND NOT (scheme = 'https' AND port = 443)
+           |      THEN ':' || port ELSE '' END ||
+           |    CASE WHEN path = '' THEN '/' ELSE path END ||
+           |    CASE WHEN query IS NOT NULL AND sortedq <> '' THEN '?' || sortedq ELSE '' END
+           |  END AS canonical
+           |FROM sq""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_gzip", 5, { _ =>
       // gzip compress->decompress roundtrip over the edge corpus
       // (unicode, emoji, NBSP, VT, 500-char runs): the oracle is the
