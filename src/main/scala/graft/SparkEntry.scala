@@ -1611,6 +1611,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q103: multilingual language-ID (TextFunctions.langGuess
+    // unicode=true, the L7 lang-ID heuristic extended to non-Latin
+    // scripts) — eight per-doc_id samples (zh/ja/ko/ru/el/hi/en and a
+    // marker-free digits row) classified through the unicode tier;
+    // under \s tokenization every CJK sample is one giant "word" and
+    // classifies 'und'. Oracle replays tokens + per-language marker
+    // hit counts + the kernel's first-strict-max argmax as a generated
+    // CASE ladder.
+    "q103_lang_guess_multilingual" -> ((s, dir) => {
+      val id = col("doc_id")
+      val sample = element_at(array(
+        lit("这是一个的测试文本和数据了很好"),
+        lit("日本語のテストでこれはをにが書いた"),
+        lit("이 문서의 내용은 한국어 텍스트를 가지고 있다"),
+        lit("и в не на что он как это текст"),
+        lit("και το να της με που την ελληνικά"),
+        lit("के है में की और से को का पाठ"),
+        lit("the quick and of to is you that it"),
+        lit("12345 67890 --- !!!")), (id % 8 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.langGuess(sample, unicode = true).as("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+
     // q102: URL canonicalization (Url.canonicalize, SURVEY+ L64) — the
     // dedup / crawl-frontier key: lowercase scheme+host, drop userinfo,
     // drop default ports, "/" for empty paths, strip tracking params,
@@ -1783,6 +1810,31 @@ object SparkEntry {
       .foldLeft(expr) { case (acc, (pat, _, duckRep)) =>
         s"regexp_replace($acc, '$pat', '$duckRep', 'g')"
       }
+
+  /** DuckDB replay of the multilingual [[graft.functions.TextFunctions.langGuess]]:
+    * per-language marker hit counts over the unicode-tier tokens (same
+    * marker table, quoted), then the kernel's argmax — FIRST language
+    * with a strictly-greater running max wins, i.e. lang_i needs
+    * h_i > 0, h_i > h_j for every earlier j, h_i >= h_j for every
+    * later j; 'und' otherwise. Generated from the production table so
+    * they cannot drift.
+    */
+  private def langGuessCaseSql: String = {
+    val ms = graft.functions.TextFunctions.multilingualLangMarkers
+    ms.indices.map { i =>
+      val conds = (Seq(s"h$i > 0") ++
+        (0 until i).map(j => s"h$i > h$j") ++
+        (i + 1 until ms.length).map(j => s"h$i >= h$j")).mkString(" AND ")
+      s"WHEN $conds THEN '${ms(i)._1}'"
+    }.mkString("CASE ", "\n    ", "\n    ELSE 'und' END")
+  }
+
+  private def langGuessHitsSql: String =
+    graft.functions.TextFunctions.multilingualLangMarkers.zipWithIndex.map {
+      case ((_, words), i) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$list], lower(t)))) AS h$i"
+    }.mkString(",\n  ")
 
   /** Multilingual decoration shared by q98/q99: a script-diverse snippet
     * keyed by doc_id (CJK, Hangul, accented Latin, Devanagari,
@@ -3282,6 +3334,20 @@ object SparkEntry {
         |    THEN nullif(regexp_extract(host, '([^.]+[.][^.]+)$', 1), '') END AS domain,
         |""".stripMargin +
         etld1OracleSql("host") + " AS etld1\nFROM h ORDER BY doc_id"),
+    // multilingual lang-ID replay: unicode tokens over the eight
+    // samples, generated marker-hit counts, generated argmax ladder
+    "q103_lang_guess_multilingual" ->
+      ("WITH d AS (SELECT doc_id,\n" +
+        "  ['这是一个的测试文本和数据了很好','日本語のテストでこれはをにが書いた'," +
+        "'이 문서의 내용은 한국어 텍스트를 가지고 있다','и в не на что он как это текст'," +
+        "'και το να της με που την ελληνικά','के है में की और से को का पाठ'," +
+        "'the quick and of to is you that it','12345 67890 --- !!!']" +
+        "[CAST(doc_id % 8 + 1 AS INT)] AS sample\n  FROM documents),\n" +
+        "tk AS (SELECT doc_id, " + unicodeToksSql("sample") + " AS toks FROM d),\n" +
+        "hits AS (SELECT doc_id,\n  " + langGuessHitsSql + "\n  FROM tk),\n" +
+        "lg AS (SELECT doc_id,\n  " + langGuessCaseSql + " AS lang\n  FROM hits)\n" +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_id\n" +
+        "FROM lg GROUP BY lang ORDER BY lang"),
     // canonicalization replay: the q94 parse chain, then the SAME
     // tracking-strip regex chain + list_sort + default-port/path/query
     // assembly, aggregated by canonical key

@@ -805,12 +805,27 @@ object TextAlgo {
   def langGuess(
       s: UTF8String,
       sets: Array[java.util.HashSet[String]],
-      codes: Array[UTF8String]): UTF8String = {
+      codes: Array[UTF8String],
+      unicode: Boolean): UTF8String = {
     val hits = new Array[Int](sets.length)
-    foreachLowerToken(s.toString, { t =>
+    val count = { (t: String) =>
       var i = 0
       while (i < sets.length) { if (sets(i).contains(t)) hits(i) += 1; i += 1 }
-    })
+    }
+    if (unicode) {
+      // multilingual tier: unicode tokens (CJK singles — so ideograph
+      // and Hangul-syllable markers are matchable at all) with a full
+      // per-token lowercase for the marker lookup, mirroring the ascii
+      // tier's per-char Character.toLowerCase
+      val toks = unicodeTokenize(s.toString)
+      var j = 0
+      while (j < toks.length) {
+        count(toks(j).toLowerCase(java.util.Locale.ROOT))
+        j += 1
+      }
+    } else {
+      foreachLowerToken(s.toString, count)
+    }
     var best = 0
     var bestIdx = -1
     var i = 0

@@ -231,12 +231,16 @@ object TextFunctions {
     * the classic fastText/langid fallback for short texts, expressed as a
     * single codegen'd expression (no shuffle, no UDF).
     */
-  def langGuess(c: Column): Column = {
+  def langGuess(c: Column, unicode: Boolean = false): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol2, expression => toExpr2}
     // single compiled pass over the tokens; argmax ties break in
-    // declaration order (en < de < fr < es), 'und' when nothing matches —
-    // identical to the when-ladder this replaces ([[LangGuessExpr]])
-    toCol2(LangGuessExpr(toExpr2(c), defaultLangMarkers))
+    // declaration order, 'und' when nothing matches — identical to the
+    // when-ladder this replaces ([[LangGuessExpr]]). unicode = true
+    // uses the multilingual tier (CJK-single tokens — ideograph and
+    // Hangul markers are unmatchable under \s tokenization) and the
+    // extended marker table.
+    toCol2(LangGuessExpr(toExpr2(c),
+      if (unicode) multilingualLangMarkers else defaultLangMarkers, unicode))
   }
 
   /** Default marker-word table for [[langGuess]] — public so the SQL
@@ -248,6 +252,25 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich"),
     "fr" -> Seq("le", "la", "les", "et", "est", "vous", "que", "pas"),
     "es" -> Seq("el", "los", "las", "es", "y", "que", "por", "una"))
+
+  /** Extended marker table for the unicode tier of [[langGuess]]: the
+    * Latin four plus CJK/Hangul single-token function characters and
+    * Cyrillic/Greek/Devanagari function words — matchable only under
+    * the multilingual tokenization (under `\s` tokens a CJK document
+    * is one giant "word" and every marker misses). Declaration order
+    * is the tie-break, so the higher-precision Latin word markers come
+    * first.
+    */
+  val multilingualLangMarkers: Seq[(String, Seq[String])] = defaultLangMarkers ++ Seq(
+    "zh" -> Seq("的", "是", "在", "了", "不", "和", "有", "这"),
+    // CJK/Hangul markers must be SINGLE codepoints — the tier tokenizes
+    // those scripts to single-char tokens, so a multi-char marker (です)
+    // could never match
+    "ja" -> Seq("の", "は", "を", "に", "が", "で", "た", "も"),
+    "ko" -> Seq("이", "의", "는", "을", "가", "에", "한", "다"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "как", "это"),
+    "el" -> Seq("και", "το", "να", "της", "με", "που", "την", "από"),
+    "hi" -> Seq("के", "है", "में", "की", "और", "से", "को", "का"))
 
   /** Canonical document fingerprint: md5 of the lowercased text with all
     * non-alphanumeric characters removed. Whitespace/punctuation-insensitive

@@ -484,7 +484,8 @@ case class TokenSetStatsExpr(child: Expression, words: Seq[String])
 /** Single-pass marker-set language ID: argmax of per-language hit counts in
   * declaration order, 'und' when nothing matches.
   */
-case class LangGuessExpr(child: Expression, markers: Seq[(String, Seq[String])])
+case class LangGuessExpr(child: Expression, markers: Seq[(String, Seq[String])],
+    unicode: Boolean = false)
     extends UnaryExpression {
   require(markers.nonEmpty)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -501,11 +502,11 @@ case class LangGuessExpr(child: Expression, markers: Seq[(String, Seq[String])])
   @transient private lazy val codes: Array[UTF8String] =
     markers.map { case (c, _) => UTF8String.fromString(c) }.toArray
   override protected def nullSafeEval(input: Any): Any =
-    TextAlgo.langGuess(input.asInstanceOf[UTF8String], sets, codes)
+    TextAlgo.langGuess(input.asInstanceOf[UTF8String], sets, codes, unicode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
     val codesRef = ctx.addReferenceObj("langCodes", codes, "org.apache.spark.unsafe.types.UTF8String[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.langGuess($c, $setsRef, $codesRef)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.langGuess($c, $setsRef, $codesRef, $unicode)")
   }
   override protected def withNewChildInternal(newChild: Expression): LangGuessExpr =
     copy(child = newChild)

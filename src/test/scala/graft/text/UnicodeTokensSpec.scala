@@ -162,6 +162,32 @@ class UnicodeTokensSpec extends SparkSpec {
     assert(kept === Set(11L))
   }
 
+  test("langGuess unicode tier classifies non-Latin scripts; ascii tier says 'und'") {
+    val samples = Seq(
+      "这是一个的测试文本和数据了" -> "zh",
+      "日本語のテストでこれはをにが" -> "ja",
+      "이 문서의 내용은 한국어를 가지고 있다" -> "ko",
+      "и в не на что он как это" -> "ru",
+      "και το να της με που την" -> "el",
+      "के है में की और से को का" -> "hi",
+      "the quick and of to is you that it" -> "en",
+      "12345 !!! ---" -> "und")
+    samples.foreach { case (text, expect) =>
+      val got = Seq(text).toDF("t")
+        .select(graft.functions.TextFunctions.langGuess(col("t"), unicode = true))
+        .collect()(0).getString(0)
+      assert(got === expect, s"'$text'")
+      // the ascii tier cannot see any non-Latin marker
+      if (expect != "en" && expect != "und") {
+        val ascii = Seq(text).toDF("t")
+          .select(graft.functions.TextFunctions.langGuess(col("t")))
+          .collect()(0).getString(0)
+        assert(ascii === "und" || ascii != expect,
+          s"ascii tier unexpectedly classified '$text' as $ascii")
+      }
+    }
+  }
+
   test("matchAll unicode tier honors the AND gate across scripts") {
     val df = Seq(
       (1L, "机器学习 neural systems"),
