@@ -63,13 +63,21 @@ object Bench {
       // any failed pass poisons the query: report the sentinel, not a min
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 3-decimal per-query times: ms precision is all the best-of-N signal
+    // carries, and it keeps the JSON line short enough that the summary
+    // fields below survive a tail-capture of the run's last ~2000 chars
+    val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "-1.0"
+          else "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      }.mkString("{", ",", "}")
     // a failed query must poison the TOTAL too — summing the -1 sentinels
     // would make a broken suite look FASTER than a green one
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" FIRST, headline metric/value LAST: harnesses that keep only
+    // the tail of the output still see the totals even when the per-query
+    // map is longer than their capture window
+    println(s"""{"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

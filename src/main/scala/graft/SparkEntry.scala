@@ -1406,8 +1406,13 @@ object SparkEntry {
           "</p><script>var x = 1 &amp;&amp; 2;</script></body></html>"
         id -> graft.data.WarcFiles.responseRecord(s"https://example.org/doc/$id", page)
       }
+      // per-process fixture dir: keyed by (data dir, PID) so two
+      // concurrent gate runs over the same data dir can't race (one
+      // deleting shards while the other's binaryFile scan reads them);
+      // within ONE process, regenerating over the same path is safe and
+      // keeps repeated in-session runs from leaking a dir per call
       val fixDir = java.nio.file.Paths.get("/tmp/graft_warcgz",
-        java.lang.Integer.toHexString(dir.hashCode))
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.ProcessHandle.current().pid())
       // regenerate each run: deterministic content; stale files from an
       // earlier corpus would skew the counts
       if (java.nio.file.Files.isDirectory(fixDir)) {
@@ -1665,7 +1670,10 @@ object SparkEntry {
           lit("?a=1&gclid=XyZ123&b=2"),
           lit("?utm_campaign=x&utm_medium=y"),
           lit(""),
-          lit("?b=2&a=1&fbclid=F00")), (id % 5 + 1).cast("int")),
+          lit("?b=2&a=1&fbclid=F00"),
+          lit("?UTM_Source=Feed&a=1&b=2"), // uppercase tracking name
+          lit("?b=2&fbclid&a=1")), // valueless tracking param
+          (id % 7 + 1).cast("int")),
         when(id % 2 === 0, lit("#section-3")).otherwise(lit("")))
       val canon = t(s, dir, "documents")
         .select(col("doc_id"), graft.functions.Url.canonicalize(url).as("canonical"))
@@ -3360,7 +3368,8 @@ object SparkEntry {
         |  [':80',':443','',':8080'][CAST(doc_id % 4 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/page/' || (doc_id % 50) END ||
         |  ['?b=2&utm_source=feed&a=1','?a=1&gclid=XyZ123&b=2',
-        |   '?utm_campaign=x&utm_medium=y','','?b=2&a=1&fbclid=F00'][CAST(doc_id % 5 + 1 AS INT)] ||
+        |   '?utm_campaign=x&utm_medium=y','','?b=2&a=1&fbclid=F00',
+        |   '?UTM_Source=Feed&a=1&b=2','?b=2&fbclid&a=1'][CAST(doc_id % 7 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 2 = 0 THEN '#section-3' ELSE '' END AS url
         |  FROM documents),
         |a AS (SELECT doc_id, url,
@@ -3382,8 +3391,8 @@ object SparkEntry {
         |sq AS (SELECT doc_id, scheme, host, port, path, query,
         |  array_to_string(list_sort(string_split(
         |    regexp_replace(regexp_replace(regexp_replace(query,
-        |      '(^|&)""".stripMargin +
-        graft.functions.Url.TrackingParamsRe + """=[^&]*', '\1', 'g'),
+        |      '""".stripMargin +
+        graft.functions.Url.TrackingStripRe + """', '\1', 'g'),
         |      '&&+', '&', 'g'),
         |      '^&+|&+$', '', 'g'), '&')), '&') AS sortedq
         |  FROM h),

@@ -80,7 +80,10 @@ object WarcFiles {
       nShards: Int): Unit = {
     require(nShards > 0)
     java.nio.file.Files.createDirectories(dir)
-    records.groupBy(_._1 % nShards).foreach { case (shard, rows) =>
+    // floorMod: Scala '%' is signed, and a negative sortKey would write
+    // 'shard_-N.warc.gz' — which shard-number parses downstream
+    // (regexp_extract 'shard_([0-9]+)') silently read as NULL
+    records.groupBy(r => java.lang.Math.floorMod(r._1, nShards.toLong)).foreach { case (shard, rows) =>
       val body = rows.sortBy(_._1).map(_._2).mkString("")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = new java.io.ByteArrayOutputStream(body.length / 2 + 64)

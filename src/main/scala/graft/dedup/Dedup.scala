@@ -22,6 +22,34 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Candidate-pair caches created by [[nearDuplicatePairs]],
+    * [[jaccardPairs]] and [[containmentPairs]]. Those operators persist
+    * the (id_a, id_b) candidate frame because the candidate-id prune
+    * reads it twice, and the RETURNED plan is lazy — unpersisting inside
+    * the function would evict the cache before the caller ever ran the
+    * query. Spark's CacheManager holds such entries for the session
+    * lifetime, so a long-lived session issuing many dedup calls should
+    * call [[unpersistCaches]] after MATERIALIZING each result (write/
+    * collect); calling it earlier is safe but downgrades the cached
+    * reads to recomputation. One-shot jobs can ignore this entirely —
+    * the cache dies with the session.
+    */
+  private val pendingCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingCaches.add(p)
+    p
+  }
+
+  /** Unpersist every candidate-pair cache created since the last call —
+    * see [[pendingCaches]] for the contract (call after materializing).
+    */
+  def unpersistCaches(blocking: Boolean = false): Unit = {
+    var d = pendingCaches.poll()
+    while (d != null) { d.unpersist(blocking); d = pendingCaches.poll() }
+  }
+
   /** Drop rows whose `keys` tuple occurs more than `cap` times — the skew
     * guard for LSH-style candidate joins. The hot-key set is a partial-
     * aggregated groupBy (map-side combined, and tiny by construction: a key
@@ -194,15 +222,15 @@ object Dedup {
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
       toCol(graft.functions.SigMatchCountExpr(toExpr(col("l.sig")), toExpr(col("r.sig"))))
     }
-    // persisted: the candidate-id prune reads the survivors twice
-    val cands = l.join(r,
+    // persisted (tracked — see unpersistCaches): the candidate-id prune
+    // reads the survivors twice
+    val cands = persistTracked(l.join(r,
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .where(matches >= minMatches)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val candIds = broadcast(
       cands.select(col("id_a").as("id"))
         .union(cands.select(col("id_b").as("id"))).distinct())
@@ -474,15 +502,15 @@ object Dedup {
       .select(col(idCol), xxhash64(col("__b8s")).as("__b8"))
       .withColumn("__rk", row_number().over(wb))
       .where(col("__rk") <= blockCap).drop("__rk")
-    // persisted: the candidate-id prune below reads the candidate set
-    // twice (the blocking self-join is the expensive half)
-    val cand = ex.alias("ja")
+    // persisted (tracked — see unpersistCaches): the candidate-id prune
+    // below reads the candidate set twice (the blocking self-join is the
+    // expensive half)
+    val cand = persistTracked(ex.alias("ja")
       .join(ex.alias("jb"),
         col("ja.__b8") === col("jb.__b8") &&
           col(s"ja.$idCol") < col(s"jb.$idCol"))
       .select(col(s"ja.$idCol").as("id_a"), col(s"jb.$idCol").as("id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // candidate-id prune (the round-7 sf100 disk finding, worst here: the
     // n-gram SET arrays are exact strings, the biggest per-doc payload of
     // the dedup family): the id list is bounded by the block cap
@@ -540,13 +568,13 @@ object Dedup {
       .select(col(idCol), xxhash64(col("__b8s")).as("__b8"))
       .withColumn("__rk", row_number().over(wb))
       .where(col("__rk") <= blockCap).drop("__rk")
-    val cand = ex.alias("ca")
+    // persisted (tracked — see unpersistCaches)
+    val cand = persistTracked(ex.alias("ca")
       .join(ex.alias("cb"),
         col("ca.__b8") === col("cb.__b8") &&
           col(s"ca.$idCol") < col(s"cb.$idCol"))
       .select(col(s"ca.$idCol").as("id_a"), col(s"cb.$idCol").as("id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // candidate-id prune — see [[jaccardPairs]] (same shape, same
     // round-7 sf100 finding)
     val candIds = broadcast(

@@ -141,7 +141,11 @@ object Url {
     require(suffixes.nonEmpty, "suffix list must be non-empty")
     require(suffixes.forall(s => !s.startsWith(".") && !s.endsWith(".") && !s.contains("*")),
       "suffixes must be bare dotted labels (no leading/trailing dot, no wildcards)")
-    val byLen = suffixes.distinct.groupBy(_.count(_ == '.') + 1)
+    // the host side is always lowercased (urlHost lowers; the scaladoc
+    // contract for raw host columns requires it) — lower the suffix side
+    // too, so a mixed-case entry like "CO.UK" matches exactly like the
+    // DataFrame tier (withRegistrableDomain), which lowers its suffix column
+    val byLen = suffixes.map(_.toLowerCase).distinct.groupBy(_.count(_ == '.') + 1)
     val maxK = byLen.keys.max
     val fallback = nullif(lastLabels(h, 2), lit("")) // implicit `*` rule
     // ascending fold nests so the LONGEST suffix length is checked first
@@ -159,9 +163,27 @@ object Url {
   /** Tracking parameters stripped by [[canonicalize]] — the common
     * analytics/click identifiers that make one logical page look like
     * thousands of distinct URLs to a crawl-frontier or URL-dedup key.
+    * Case-insensitive via explicit `[Uu]`-style classes (the shared
+    * Java/RE2 syntax discipline bans `(?i)`), because real-world query
+    * strings carry `UTM_SOURCE=` as often as `utm_source=`.
     */
   val TrackingParamsRe: String =
-    "(utm_[A-Za-z0-9]*|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)"
+    "([Uu][Tt][Mm]_[A-Za-z0-9]*|[Ff][Bb][Cc][Ll][Ii][Dd]|[Gg][Cc][Ll][Ii][Dd]|" +
+      "[Mm][Ss][Cc][Ll][Kk][Ii][Dd]|[Mm][Cc]_[Ee][Ii][Dd]|" +
+      "[Ii][Gg][Ss][Hh][Ii][Dd]|[Rr][Ee][Ff]_[Ss][Rr][Cc])"
+
+  /** The full strip pattern over a query string: one-or-more CONSECUTIVE
+    * tracking params (valued `fbclid=x` or valueless bare `fbclid`),
+    * each terminated by `&` or end-of-string so a prefix like
+    * `fbclid_other=x` never matches. Consuming the run's separators in
+    * one match (rather than one param per match) is what lets adjacent
+    * tracking params (`fbclid&gclid&a=1`) strip in a single pass —
+    * a per-param pattern would skip every second one because the scan
+    * resumes AFTER the consumed separator. Replacement keeps group 1
+    * (the leading `^`/`&`), so surviving params stay joined.
+    */
+  val TrackingStripRe: String =
+    "(^|&)(?:" + TrackingParamsRe + "(?:=[^&]*)?(?:&|$))+"
 
   /** Canonical URL for dedup / crawl-frontier keying: lowercased scheme
     * and host, userinfo dropped, default ports dropped (http:80,
@@ -189,7 +211,7 @@ object Url {
     val q = urlQuery(c)
     val stripped = regexp_replace(
       regexp_replace(
-        regexp_replace(q, "(^|&)" + TrackingParamsRe + "=[^&]*", "$1"),
+        regexp_replace(q, TrackingStripRe, "$1"),
         "&&+", "&"),
       "^&+|&+$", "")
     val sortedQ = array_join(sort_array(split(stripped, "&")), "&")

@@ -1314,8 +1314,8 @@ object FuzzDiff {
            |sq AS (SELECT id, scheme, host, port, path, query,
            |  array_to_string(list_sort(string_split(
            |    regexp_replace(regexp_replace(regexp_replace(query,
-           |      '(^|&)""".stripMargin +
-          graft.functions.Url.TrackingParamsRe + raw"""=[^&]*', '\1', 'g'),
+           |      '""".stripMargin +
+          graft.functions.Url.TrackingStripRe + raw"""', '\1', 'g'),
            |      '&&+', '&', 'g'),
            |      '^&+|&+$$', '', 'g'), '&')), '&') AS sortedq
            |  FROM h)

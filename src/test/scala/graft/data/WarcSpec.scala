@@ -105,4 +105,19 @@ class WarcSpec extends SparkSpec {
       .select("r.payload").collect().map(_.getString(0)).toSeq
     assert(viaBin === Seq("payload bytes"))
   }
+
+  test("writeShards: negative sort keys land in a non-negative shard file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wshard")
+    graft.data.WarcFiles.writeShards(
+      Seq(-3L -> rec("response", "u-3", "a"), 2L -> rec("response", "u2", "b")),
+      dir, nShards = 4)
+    val names = {
+      val st = java.nio.file.Files.list(dir)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toList.sorted
+      finally st.close()
+    }
+    // floorMod(-3, 4) = 1 — never 'shard_-3', which the downstream
+    // shard-number regexp 'shard_([0-9]+)' would read as NULL
+    assert(names === List("shard_1.warc.gz", "shard_2.warc.gz"))
+  }
 }

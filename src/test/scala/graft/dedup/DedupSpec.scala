@@ -233,4 +233,22 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getDouble(2)
     assert(j === 1.0)
   }
+
+  test("unpersistCaches drains the candidate-pair caches (session hygiene)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k m"),
+      (3L, "z y x w v u t s r q p o")).toDF("doc_id", "text")
+    // materialize all three persisting operators
+    Dedup.jaccardPairs(d, "doc_id", "text", n = 2, blockN = 3).collect()
+    Dedup.containmentPairs(d, "doc_id", "text", n = 2, blockN = 3).collect()
+    Dedup.nearDuplicatePairs(d, "text", "doc_id", threshold = 0.5, shingleSize = 2).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the candidate caches should be registered while pending")
+    Dedup.unpersistCaches(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unpersistCaches must leave no session-lifetime cache entries behind")
+  }
 }

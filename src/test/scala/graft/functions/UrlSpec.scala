@@ -117,6 +117,30 @@ class UrlSpec extends SparkSpec {
     assert(canon("not a url") === null)
   }
 
+  test("canonicalize: uppercase and valueless tracking params strip too") {
+    val expected = "https://host.example.com/p?a=1&b=2"
+    // case-insensitive names (UTM_SOURCE=, FbClId)
+    assert(canon("https://host.example.com/p?UTM_Source=Feed&a=1&b=2") === expected)
+    assert(canon("https://host.example.com/p?a=1&FBCLID=X&b=2") === expected)
+    // valueless bare param
+    assert(canon("https://host.example.com/p?b=2&fbclid&a=1") === expected)
+    // CONSECUTIVE tracking params (run-consuming pattern, not one-per-match)
+    assert(canon("https://host.example.com/p?fbclid&gclid=Z&utm_medium=y&a=1&b=2") === expected)
+    assert(canon("https://host.example.com/p?a=1&b=2&fbclid&gclid") === expected)
+    // a tracking NAME as a prefix of a longer param survives
+    assert(canon("https://host.example.com/p?fbclid_other=x") ===
+      "https://host.example.com/p?fbclid_other=x")
+  }
+
+  test("registrableDomainOfHost lowercases caller suffixes (tier parity)") {
+    // a mixed-case suffix entry must behave exactly like the DataFrame
+    // tier, which lowercases its suffix column
+    val r = Seq("news.bbc.co.uk").toDF("h")
+      .select(Url.registrableDomainOfHost(col("h"), Seq("CO.UK")).as("d"))
+      .collect()(0)
+    assert(r.getString(0) === "bbc.co.uk")
+  }
+
   test("eTLD+1 DataFrame tier (broadcast suffix join) agrees with the column tier") {
     val urls = Seq(
       "https://news.bbc.co.uk/x", "https://sub.host7.example.com/x",
