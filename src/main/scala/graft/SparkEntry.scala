@@ -1683,6 +1683,47 @@ object SparkEntry {
         .orderBy(col("canonical"))
     }),
 
+    // q104: C4 line-level cleaning (TextFunctions.c4Flags, SURVEY+ L65) —
+    // the Raffel et al. 2020 §2.2 rule set: keep lines ending in a
+    // terminal mark with >= 5 words and no "javascript"; drop pages with
+    // "lorem ipsum", '{', a blocklist term, or < 3 kept lines. The
+    // decoration plants every rule's trigger (short line, no-end-mark
+    // line, JavaScript line, Lorem Ipsum line on doc_id%5, brace line on
+    // %7, blocklist term on %11, padded line exercising the whitespace
+    // strip). One compiled kernel + builtin page predicates = pure map
+    // stage; the oracle replays line rules with list_filter and the
+    // ASCII translate fold.
+    "q104_c4_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = concat_ws("\n",
+        lit("This line ends with a period and has enough words."),
+        concat(lit("Body "), col("text"), lit(" tail words end here.")),
+        lit("Too short."),
+        lit("No terminal punctuation on this line at all"),
+        when(id % 3 === 0, lit("Please enable JavaScript to view comments."))
+          .otherwise(lit("A perfectly ordinary fifth line goes here.")),
+        when(id % 5 === 0, lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("Another normal sentence with plenty of words present.")),
+        when(id % 7 === 0, lit("if (x) { return y; } // code"))
+          .otherwise(lit("Closing body sentence wraps the page nicely.")),
+        lit("   Padded line has exactly seven words total.   "),
+        when(id % 11 === 0, lit("This sentence mentions BadWord99 unfortunately today."))
+          .otherwise(lit("This sentence mentions nothing objectionable at all.")))
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.c4Flags(page, minWords = 5, minKeptLines = 3,
+            blocklist = Seq("badword99")).as("f"))
+        .select(col("doc_id"),
+          col("f.n_lines").as("n_lines"),
+          col("f.n_kept").as("n_kept"),
+          length(col("f.kept_text")).cast("long").as("kept_chars"),
+          col("f.has_lorem").as("has_lorem"),
+          col("f.has_brace").as("has_brace"),
+          col("f.has_blocked").as("has_blocked"),
+          col("f.pass").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -3356,6 +3397,47 @@ object SparkEntry {
         "lg AS (SELECT doc_id,\n  " + langGuessCaseSql + " AS lang\n  FROM hits)\n" +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_id\n" +
         "FROM lg GROUP BY lang ORDER BY lang"),
+    // C4 replay: same decoration, line rules via list_filter over the
+    // stripped lines (explicit [ \t\x0B\f\r] class — NOT trim()), word
+    // count via ws-run split, javascript/lorem/blocklist via the ASCII
+    // translate fold (Unicode lower() is engine-divergent)
+    "q104_c4_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |  'This line ends with a period and has enough words.' || chr(10) ||
+        |  'Body ' || text || ' tail words end here.' || chr(10) ||
+        |  'Too short.' || chr(10) ||
+        |  'No terminal punctuation on this line at all' || chr(10) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Please enable JavaScript to view comments.'
+        |    ELSE 'A perfectly ordinary fifth line goes here.' END || chr(10) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.'
+        |    ELSE 'Another normal sentence with plenty of words present.' END || chr(10) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'if (x) { return y; } // code'
+        |    ELSE 'Closing body sentence wraps the page nicely.' END || chr(10) ||
+        |  '   Padded line has exactly seven words total.   ' || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'This sentence mentions BadWord99 unfortunately today.'
+        |    ELSE 'This sentence mentions nothing objectionable at all.' END AS page
+        |  FROM documents WHERE text IS NOT NULL),
+        |tl AS (SELECT doc_id, page,
+        |  list_transform(string_split(page, chr(10)), l ->
+        |    regexp_replace(regexp_replace(l, '^[ \t\x0B\f\r]+', ''), '[ \t\x0B\f\r]+$', '')) AS st
+        |  FROM d),
+        |kp AS (SELECT doc_id, page,
+        |  list_filter(st, l ->
+        |    regexp_matches(l, '[.?!"]$')
+        |    AND len(list_filter(string_split_regex(l, '[ \t\x0B\f\r]+'), x -> x <> '')) >= 5
+        |    AND NOT contains(translate(l, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'javascript')) AS kept
+        |  FROM tl),
+        |f AS (SELECT doc_id,
+        |  CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars,
+        |  contains(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum') AS has_lorem,
+        |  contains(page, '{') AS has_brace,
+        |  contains(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'badword99') AS has_blocked
+        |  FROM kp)
+        |SELECT doc_id, n_lines, n_kept, kept_chars, has_lorem, has_brace, has_blocked,
+        |  (NOT has_lorem AND NOT has_brace AND NOT has_blocked AND n_kept >= 3) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     // canonicalization replay: the q94 parse chain, then the SAME
     // tracking-strip regex chain + list_sort + default-port/path/query
     // assembly, aggregated by canonical key

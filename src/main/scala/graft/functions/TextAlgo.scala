@@ -1104,6 +1104,82 @@ object TextAlgo {
       nLines, nBullet, nEllEnd, nStop))
   }
 
+  /** C4-style line retention (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning", §2.2; the public TFDS `c4_utils` pins the end-mark
+    * set to `. ? ! "`): a line is KEPT iff, after stripping leading and
+    * trailing line-whitespace (`[ \t\f\r]` — the [[isJavaWs]] class
+    * minus '\n', as an EXPLICIT set so the oracle replays it with a shared
+    * Java/RE2 regexp rather than String.trim's <= U+0020 rule), it
+    *  (a) ends in a terminal punctuation mark (`.`, `?`, `!`, `"`),
+    *  (b) has at least `minWords` whitespace-run words, and
+    *  (c) does not contain "javascript" (ASCII-only case fold — full
+    *      Unicode lowering is engine-divergent, see the unicode-tier note).
+    * Kept lines are rejoined with '\n' in order (STRIPPED form — the rule
+    * evaluated and the text emitted must agree, or downstream counts drift
+    * from what the gate saw). Page-level C4 rules (lorem ipsum, curly
+    * brace, minimum kept lines, caller blocklists) are cheap Column
+    * predicates over builtins — see `TextFunctions.c4Flags`.
+    */
+  def c4KeepLines(s: UTF8String, minWords: Int): UTF8String = {
+    val str = s.toString
+    val lines = str.split("\n", -1)
+    val sb = new java.lang.StringBuilder(str.length)
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val t = stripLineWs(lines(i))
+      if (c4LineKept(t, minWords)) {
+        if (!first) sb.append('\n')
+        sb.append(t)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  @inline private def isLineWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def stripLineWs(line: String): String = {
+    var a = 0
+    var b = line.length
+    while (a < b && isLineWs(line.charAt(a))) a += 1
+    while (b > a && isLineWs(line.charAt(b - 1))) b -= 1
+    line.substring(a, b)
+  }
+
+  private def c4LineKept(t: String, minWords: Int): Boolean = {
+    if (t.isEmpty) return false
+    val last = t.charAt(t.length - 1)
+    if (last != '.' && last != '?' && last != '!' && last != '"') return false
+    // word count: maximal non-line-whitespace runs (no '\n' inside a line)
+    var words = 0
+    var i = 0
+    val len = t.length
+    while (i < len && words < minWords) {
+      while (i < len && isLineWs(t.charAt(i))) i += 1
+      if (i < len) { words += 1; while (i < len && !isLineWs(t.charAt(i))) i += 1 }
+    }
+    if (words < minWords) return false
+    // ASCII-case-insensitive "javascript" scan, allocation-free
+    val needle = "javascript"
+    var p = 0
+    val limit = len - needle.length
+    while (p <= limit) {
+      var q = 0
+      var ok = true
+      while (ok && q < needle.length) {
+        var c = t.charAt(p + q)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != needle.charAt(q)) ok = false else q += 1
+      }
+      if (ok) return false
+      p += 1
+    }
+    true
+  }
+
   /** Order-preserving removal of repeated lines within one document (exact
     * string equality, first occurrence wins) — the within-doc half of
     * boilerplate removal in CCNet/RefinedWeb-style pipelines (nav bars,

@@ -344,6 +344,55 @@ object TextFunctions {
       (!fWords && !fWordLen && !fSymbol && !fBullet && !fEllipsis && !fAlpha && !fStop).as("pass"))
   }
 
+  /** C4 line retention ([[C4KeepLinesExpr]], compiled, zero shuffle): the
+    * kept lines of the page, stripped and rejoined with '\n'. See
+    * [[TextAlgo.c4KeepLines]] for the rule set.
+    */
+  def c4KeepLines(c: Column, minWords: Int = 5): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColC, expression => toExprC}
+    toColC(C4KeepLinesExpr(toExprC(c), minWords))
+  }
+
+  private val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** The C4 cleaning verdict (Raffel et al. 2020 §2.2) as a struct:
+    *
+    *   kept_text   lines surviving [[c4KeepLines]] (stripped, '\n'-joined)
+    *   n_lines     lines in the input page
+    *   n_kept      surviving lines
+    *   has_lorem   page contains "lorem ipsum" (ASCII case fold)
+    *   has_brace   page contains '{' (the C4 "no code" heuristic)
+    *   has_blocked page contains a `blocklist` term (ASCII case fold;
+    *               C4's dirty-word list is caller data, not engine data)
+    *   pass        none of the above and n_kept >= minKeptLines (the
+    *               paper's >= 3 sentence floor, at line granularity)
+    *
+    * The line rules run in one compiled kernel; the page rules are
+    * builtin predicates over an ASCII `translate` fold (full Unicode
+    * lowering is engine-divergent — same discipline as the unicode
+    * tokenization tier). Everything is a map stage: at 100 TB the gate
+    * filters before anything shuffles.
+    */
+  def c4Flags(c: Column, minWords: Int = 5, minKeptLines: Int = 3,
+      blocklist: Seq[String] = Nil): Column = {
+    require(blocklist.forall(t => t.nonEmpty && t == t.toLowerCase(java.util.Locale.ROOT)),
+      "blocklist terms must be non-empty and lowercase (matching is an ASCII case fold)")
+    val kept = c4KeepLines(c, minWords)
+    val folded = translate(c, AsciiUpper, AsciiLower)
+    val nLines = size(split(c, "\n", -1)).cast("long")
+    val nKept = when(kept === "", lit(0L))
+      .otherwise(size(split(kept, "\n", -1)).cast("long"))
+    val hasLorem = folded.contains("lorem ipsum")
+    val hasBrace = c.contains("{")
+    val hasBlocked = blocklist.foldLeft(lit(false))((acc, t) => acc || folded.contains(t))
+    struct(
+      kept.as("kept_text"), nLines.as("n_lines"), nKept.as("n_kept"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+      hasBlocked.as("has_blocked"),
+      (!hasLorem && !hasBrace && !hasBlocked && nKept >= minKeptLines).as("pass"))
+  }
+
   /** Order-preserving removal of repeated lines within each document
     * (exact equality, first occurrence wins; [[DedupLinesExpr]], compiled,
     * zero shuffle) — CCNet/RefinedWeb-style boilerplate stripping. The

@@ -744,6 +744,27 @@ case class GopherCountersExpr(child: Expression, unicode: Boolean = false)
     copy(child = newChild)
 }
 
+/** C4 line retention (terminal end mark + minimum words + no-javascript,
+  * evaluated on line-whitespace-stripped lines) — one compiled pass per
+  * document; the page-level C4 rules stay cheap Column predicates.
+  * See [[TextAlgo.c4KeepLines]] for the exact rule set and citations.
+  */
+case class C4KeepLinesExpr(child: Expression, minWords: Int = 5)
+    extends UnaryExpression {
+  require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "c4_keep_lines"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.c4KeepLines(input.asInstanceOf[UTF8String], minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.c4KeepLines($c, $minWords)")
+  override protected def withNewChildInternal(newChild: Expression): C4KeepLinesExpr =
+    copy(child = newChild)
+}
+
 /** Order-preserving within-document repeated-line removal (exact equality,
   * first occurrence wins) — map-side boilerplate stripping.
   */
