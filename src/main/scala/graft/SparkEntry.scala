@@ -1724,6 +1724,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q105: domain link graph + integer PageRank (graph.LinkGraph,
+    // SURVEY+ L66) — href extraction from HTML, eTLD+1 edge resolution
+    // (co.uk domains exercise the suffix ladder), self-loop drop (h=2
+    // links to itself by construction), then 5 PageRank iterations in
+    // scaled-integer arithmetic: Long sums are order-independent, so the
+    // ranks are bit-identical across partitionings and replay exactly in
+    // DuckDB's int64 arithmetic — a double-precision PageRank could
+    // never survive a value-hash oracle.
+    "q105_domain_pagerank" -> ((s, dir) => {
+      val id = col("doc_id")
+      def tldOf(d: Column) = when(d % 3 === 0, lit("co.uk")).otherwise(lit("com"))
+      def hostOf(d: Column) = concat(lit("dom"), d, lit("."), tldOf(d))
+      val h = id % 11
+      val a = (h + 1) % 11
+      val b = (h * 3 + 7) % 11
+      val pageUrl = concat(lit("https://www."), hostOf(h), lit("/page/"), id)
+      val html = concat(
+        lit("<html><body><p>Some page text.</p><a href=\"https://www."), hostOf(a),
+        lit("/x\">one</a><a class=\"nav\" href=\"HTTPS://"), hostOf(b),
+        lit(":443/y?q=1\">two</a><a href=\"/rel/path\">r</a>" +
+          "<a href=\"mailto:x@y.example\">m</a>"),
+        when(id % 4 === 0,
+          lit("<a href=\"https://cdn.shared-assets.com/lib.js\">s</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(pageUrl.as("page_url"), html.as("html"))
+      val edges = graft.graph.LinkGraph.domainEdges(pages, "page_url", "html")
+      graft.graph.LinkGraph.pageRank(edges, iters = 5)
+        .select(col("node").as("domain"), col("rank"))
+        .orderBy(col("domain"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -3438,6 +3471,53 @@ object SparkEntry {
         |SELECT doc_id, n_lines, n_kept, kept_chars, has_lorem, has_brace, has_blocked,
         |  (NOT has_lorem AND NOT has_brace AND NOT has_blocked AND n_kept >= 3) AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+    // PageRank replay: same decoration, href extraction via the same
+    // shared-syntax regexp, hosts via the q94 parse chain, domains via
+    // the eTLD+1 IN-ladder, then 5 UNROLLED iterations of the identical
+    // integer arithmetic (// is DuckDB's integral divide; every sum is
+    // CAST back to BIGINT because DuckDB sums integers into HUGEINT)
+    "q105_domain_pagerank" -> {
+      def hostSql(u: String): String =
+        raw"""nullif(lower(CASE WHEN starts_with(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '[')
+          |    THEN regexp_extract(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '^(\[[^\]]*\])', 1)
+          |    ELSE regexp_extract(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '^([^:]*)', 1) END), '')""".stripMargin
+      def iterSql(prev: String, cur: String): String =
+        raw"""$cur AS (SELECT nb.node, nb.b + (85 * coalesce(i.inc, 0)) // 100 AS rank
+          |  FROM nb LEFT JOIN (
+          |    SELECT e.dst, CAST(sum((r.rank * e.w) // o.out_w) AS BIGINT) AS inc
+          |    FROM $prev r JOIN e ON r.node = e.src JOIN outw o ON e.src = o.src
+          |    GROUP BY e.dst) i ON nb.node = i.dst)""".stripMargin
+      val iters = (1 to 5).map(k => iterSql(s"r${k - 1}", s"r$k")).mkString(",\n")
+      raw"""WITH d AS (SELECT doc_id,
+        |  'https://www.dom' || (doc_id % 11) || '.' ||
+        |    CASE WHEN (doc_id % 11) % 3 = 0 THEN 'co.uk' ELSE 'com' END || '/page/' || doc_id AS page_url,
+        |  '<html><body><p>Some page text.</p><a href="https://www.dom' || ((doc_id % 11 + 1) % 11) || '.' ||
+        |    CASE WHEN ((doc_id % 11 + 1) % 11) % 3 = 0 THEN 'co.uk' ELSE 'com' END ||
+        |    '/x">one</a><a class="nav" href="HTTPS://dom' || (((doc_id % 11) * 3 + 7) % 11) || '.' ||
+        |    CASE WHEN (((doc_id % 11) * 3 + 7) % 11) % 3 = 0 THEN 'co.uk' ELSE 'com' END ||
+        |    ':443/y?q=1">two</a><a href="/rel/path">r</a><a href="mailto:x@y.example">m</a>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<a href="https://cdn.shared-assets.com/lib.js">s</a>' ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |l AS (SELECT page_url,
+        |  unnest(regexp_extract_all(html, '<[Aa][ \t\r\n][^>]*[Hh][Rr][Ee][Ff][ \t\r\n]*=[ \t\r\n]*"([^"]*)"', 1)) AS href
+        |  FROM d),
+        |hh AS (SELECT
+        |  """.stripMargin + hostSql("page_url") + " AS src_host,\n  " +
+        hostSql("href") + " AS dst_host FROM l),\n" +
+        "dm AS (SELECT " + etld1OracleSql("src_host") + " AS src,\n  " +
+        etld1OracleSql("dst_host") + " AS dst FROM hh),\n" +
+        raw"""e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM dm
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |nb AS (SELECT node, ((1000000000000 * 15) // 100) // n AS b,
+        |  1000000000000 // n AS rr FROM nodes CROSS JOIN nn),
+        |r0 AS (SELECT node, rr AS rank FROM nb),
+        |""".stripMargin + iters + raw"""
+        |SELECT node AS domain, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY domain""".stripMargin
+    },
     // canonicalization replay: the q94 parse chain, then the SAME
     // tracking-strip regex chain + list_sort + default-port/path/query
     // assembly, aggregated by canonical key

@@ -1,0 +1,76 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractHrefs: double-quoted hrefs in order; attribute noise; case") {
+    val html = """<html><a href="https://a.example.com/x">1</a>
+      |<A CLASS="z" HREF="https://b.example.com/y">2</A>
+      |<a data-x="q" href = "https://c.example.com">3</a>
+      |<a href='https://single.example.com'>out of scope</a>
+      |<area href="https://not-an-a-tag.example.com">""".stripMargin
+    val hrefs = Seq(html).toDF("h")
+      .select(LinkGraph.extractHrefs(col("h")).as("l"))
+      .collect()(0).getSeq[String](0)
+    assert(hrefs === Seq(
+      "https://a.example.com/x", "https://b.example.com/y", "https://c.example.com"))
+  }
+
+  test("domainEdges: relative/mailto drop, self-loops drop, eTLD+1 keys, weights count") {
+    val pages = Seq(
+      ("https://news.bbc.co.uk/a",
+        """<a href="https://www.bbc.co.uk/self">s</a>
+          |<a href="https://one.example.com/x">1</a>
+          |<a href="http://two.example.org:8080/y">2</a>
+          |<a href="/relative">r</a><a href="mailto:a@b.c">m</a>""".stripMargin),
+      ("https://sport.bbc.co.uk/b",
+        """<a href="https://one.example.com/z">1</a>""")).toDF("page_url", "html")
+    val edges = LinkGraph.domainEdges(pages, "page_url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // bbc.co.uk -> bbc.co.uk is a self-loop (both pages share the registrable
+    // domain) and drops; example.com gets weight 2 across the two pages
+    assert(edges === Set(
+      ("bbc.co.uk", "example.com", 2L),
+      ("bbc.co.uk", "example.org", 1L)))
+  }
+
+  test("pageRank: hand-computed integer arithmetic on a 3-node cycle + sink") {
+    // a -> b, b -> a, a -> c (c dangling). scaleTotal=1000, damping 85/100.
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "n_links")
+    val r1 = LinkGraph.pageRank(edges, iters = 1, scaleTotal = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=3: base = ((1000*15)//100)//3 = 150//3 = 50; r0 = 1000//3 = 333
+    // contrib a->b = (333*1)//2 = 166, a->c = 166, b->a = (333*1)//1 = 333
+    // r1(a) = 50 + (85*333)//100 = 50 + 283 = 333
+    // r1(b) = 50 + (85*166)//100 = 50 + 141 = 191 ; r1(c) = 191
+    assert(r1 === Map("a" -> 333L, "b" -> 191L, "c" -> 191L))
+    // the dangling node c receives but never donates; a second iteration
+    // keeps it fed from a's rank only
+    val r2 = LinkGraph.pageRank(edges, iters = 2, scaleTotal = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // contrib from r1: a->b = (333)//2 = 166, a->c = 166, b->a = 191
+    // r2(a) = 50 + (85*191)//100 = 50 + 162 = 212; r2(b) = r2(c) = 50 + 141 = 191
+    assert(r2 === Map("a" -> 212L, "b" -> 191L, "c" -> 191L))
+  }
+
+  test("pageRank is bit-identical across partitionings (integer sums)") {
+    val edges = (0L until 200L)
+      .map(i => (s"d${i % 13}", s"d${(i * 7 + 3) % 13}", i % 5 + 1))
+      .toDF("src", "dst", "n_links")
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("n_links").as("n_links"))
+    def run(parts: Int) =
+      LinkGraph.pageRank(edges.repartition(parts), iters = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    assert(a === run(7))
+    assert(a === run(32))
+    // mass sanity: total rank stays within the initial scaled mass
+    assert(a.values.sum <= 1000000000000L)
+    assert(a.values.forall(_ > 0L))
+  }
+}
