@@ -1757,6 +1757,28 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // q106: FUZZY decontamination (Decontaminate.fuzzyOverlapReport,
+    // SURVEY+ L67) — MinHash-LSH near-dup matching of the corpus against
+    // a benchmark set, the tier above q61's exact-n-gram hygiene. The
+    // bench fixture takes every 83rd doc, perturbing odd multiples with
+    // an appended suffix (paraphrase-ish contamination exact n-grams at
+    // n=8 would still catch less reliably at shingle granularity). The
+    // PORTABLE md5 hash family makes signature, banding, candidate join
+    // and Jaccard verify all engine-replayable; the production kernel
+    // path shares every plan shape (bench bands + bench sets broadcast,
+    // candidate-id prune — the corpus never shuffles).
+    "q106_fuzzy_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 83 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 166 === 0, col("text"))
+            .otherwise(concat(col("text"),
+              lit(" benchmark held out split marker tokens"))).as("text"))
+      graft.text.Decontaminate.fuzzyOverlapReport(
+          docs, bench, "doc_id", "text", threshold = 0.5, portable = true)
+        .orderBy(col("doc_id"), col("bench_doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -2639,6 +2661,55 @@ object SparkEntry {
         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // cross-corpus portable-minhash replay: the q59 pipeline with a bench
+    // side (derived from the same corpus fixture), band join WITHOUT the
+    // id_a < id_b constraint (different relations), md5 shingle-set verify
+    "q106_fuzzy_decontam" -> {
+      val (as, bs) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
+      val constRows = (0 until 32).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(",\n  ")
+      s"""WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+         |btext AS (SELECT doc_id AS bench_id,
+         |    CASE WHEN doc_id % 166 = 0 THEN text
+         |      ELSE text || ' benchmark held out split marker tokens' END AS text
+         |  FROM documents WHERE doc_id % 83 = 0),
+         |bnorm AS (SELECT bench_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM btext),
+         |consts(i, a, b) AS (VALUES
+         |  $constRows),
+         |h AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) % 2147483647 AS hp
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+         |bh AS (SELECT bench_id,
+         |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) % 2147483647 AS hp
+         |  FROM (SELECT bench_id, t, unnest(range(1, len(t) - 3)) AS pos FROM bnorm) q),
+         |sig AS (SELECT h.doc_id, c.i, min((c.a * h.hp + c.b) % 2147483647) AS mh
+         |  FROM h CROSS JOIN consts c GROUP BY h.doc_id, c.i),
+         |bsig AS (SELECT bh.bench_id, c.i, min((c.a * bh.hp + c.b) % 2147483647) AS mh
+         |  FROM bh CROSS JOIN consts c GROUP BY bh.bench_id, c.i),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |bband AS (SELECT bench_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM bsig GROUP BY bench_id, i // 4),
+         |cand AS (SELECT DISTINCT t2.doc_id, b2.bench_id
+         |  FROM band t2 JOIN bband b2 ON t2.band = b2.band AND t2.key = b2.key),
+         |sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    pos -> CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT)))) AS sh
+         |  FROM norm),
+         |bsets AS (SELECT bench_id, list_sort(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    pos -> CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT)))) AS sh
+         |  FROM bnorm),
+         |p AS (SELECT c.doc_id, c.bench_id,
+         |    len(list_intersect(sa.sh, sb.sh)) AS i2,
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+         |  FROM cand c JOIN sets sa ON c.doc_id = sa.doc_id JOIN bsets sb ON c.bench_id = sb.bench_id)
+         |SELECT doc_id, bench_id AS bench_doc_id,
+         |  round(CAST(i2 AS DOUBLE) / u, 6) AS jaccard
+         |FROM p WHERE CAST(i2 AS DOUBLE) / u >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin
+    },
     "q59_minhash_portable" -> {
       val (as, bs) = graft.functions.TextAlgo.minhashPortableConsts(32, 42L)
       val constRows = (0 until 32).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(",\n  ")

@@ -36,7 +36,7 @@ object Dedup {
     */
   private val pendingCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pendingCaches.add(p)
     p

@@ -57,6 +57,80 @@ object Decontaminate {
         round(col("n_hits").cast("double") / col("n_ngrams").cast("double"), 6))
   }
 
+  /** FUZZY decontamination — near-duplicate matching of the corpus
+    * against a benchmark set via MinHash-LSH, the tier above
+    * [[overlapReport]]'s exact-n-gram hygiene: a benchmark item that was
+    * lightly paraphrased, truncated, or reformatted before landing in
+    * the crawl shares few exact n-grams but keeps high shingle Jaccard
+    * (the Llama/GPT-4-report style "near-dedup against evals").
+    *
+    * Plan shape for 100 TB — deliberately NOT q23's self-join: the
+    * benchmark side is tiny, so its banded signature table and its
+    * shingle sets both BROADCAST. The corpus computes signatures and
+    * band keys map-side, hash-joins the broadcast band table map-side,
+    * and only VERIFIED-candidate rows (bounded by the bench size times
+    * bucket occupancy) ever reach an exchange. The corpus is scanned
+    * once; raw text never shuffles.
+    *
+    * `portable = true` swaps the splitmix64 kernels for the md5-based
+    * portable family (q59's), making every stage — signature, banding,
+    * candidate join, Jaccard verify — replayable in an engine-
+    * independent oracle; production runs keep the (faster) default.
+    *
+    * Output: `(idCol, bench_<idCol>, jaccard)` for pairs at or above
+    * `threshold`.
+    */
+  def fuzzyOverlapReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleSize: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val nH = bands * rowsPerBand
+    def sigOf(c: org.apache.spark.sql.Column) =
+      if (portable) TextFunctions.minhashPortableSignature(c, shingleSize, nH, seed)
+      else TextFunctions.minhashSignature(c, shingleSize, nH, seed)
+    def setOf(c: org.apache.spark.sql.Column) =
+      if (portable) TextFunctions.shingleHashSetPortable(c, shingleSize)
+      else TextFunctions.shingleHashSet(c, shingleSize)
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val sig = df.select(col(id), sigOf(col(textCol)).as("__sig"))
+        .where(size(col("__sig")) > 0)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>")).as("key"))
+      }
+      sig.select(col(id), explode(array(bandCols: _*)).as("__bk"))
+        .select(col(id), col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    }
+    val benchBands = banded(bench.select(col(idCol).as("__bench_id"), col(textCol)), "__bench_id")
+    val benchSets = bench.select(col(idCol).as("__bench_id"), setOf(col(textCol)).as("__bsh"))
+    // persisted (tracked — see Dedup.unpersistCaches): read twice, for the
+    // candidate-id prune and the verify join
+    val cands = graft.dedup.Dedup.persistTracked(banded(train, idCol)
+      .join(broadcast(benchBands), Seq("__band", "__key"))
+      .select(col(idCol), col("__bench_id"))
+      .distinct())
+    // candidate-id prune: only flagged ids' shingle sets are computed into
+    // the verify join — the corpus itself never shuffles
+    val candIds = broadcast(cands.select(col(idCol)).distinct())
+    val trainSets = train.join(candIds, Seq(idCol))
+      .select(col(idCol), setOf(col(textCol)).as("__tsh"))
+    cands
+      .join(trainSets, Seq(idCol))
+      .join(broadcast(benchSets), Seq("__bench_id"))
+      .withColumn("jaccard", TextFunctions.jaccardSorted(col("__tsh"), col("__bsh")))
+      .where(col("jaccard") >= threshold)
+      .select(col(idCol), col("__bench_id").as(s"bench_$idCol"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** The corpus with contaminated documents REMOVED — `overlapReport`'s
     * flagged ids anti-joined out. The report side carries only ids, so
     * the anti-join ships ids; with a bounded benchmark the flagged set is
