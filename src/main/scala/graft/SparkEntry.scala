@@ -1779,6 +1779,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench_doc_id"))
     }),
 
+    // q107: NFC-normalized dedup keys (TextFunctions.fingerprint(nfc =
+    // true), SURVEY+ L68) — composed (U+00E9) and decomposed (e+U+0301)
+    // encodings of the same visible text are byte-distinct but ONE
+    // document; real web text mixes them (NFD from macOS/CMS exports).
+    // The fixture doubles the corpus into composed/decomposed twins;
+    // NFC-first fingerprinting must collapse every pair to its even
+    // (composed) twin. Oracle replays with DuckDB's nfc_normalize —
+    // both engines implement UAX #15, so NFC bytes are a portable
+    // contract (verified on combining/fullwidth/Hangul edge cases).
+    "q107_nfc_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val a = docs.select((col("doc_id") * 2).as("doc_id"),
+        concat(lit(NfcComposedPrefix), col("text")).as("text"))
+      val b = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+        concat(lit(NfcDecomposedPrefix), col("text")).as("text"))
+      graft.dedup.Dedup.exact(a.union(b), "text", "doc_id",
+          unicode = true, nfc = true)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -1967,6 +1988,17 @@ object SparkEntry {
     * runs. The CJK class is quoted from [[graft.functions.TextAlgo.CjkClass]]
     * so kernel and oracle can never disagree on the ranges.
     */
+  /** q107's fixture prefixes: the same visible string in NFC-composed and
+    * NFD-decomposed encodings (é=U+00E9 vs e+U+0301, à vs a+U+0300,
+    * ï vs i+U+0308). Normal (not triple-quoted) literals so the \\u
+    * escapes are processed; shared by the Spark query and the oracle SQL
+    * so both sides use byte-identical codepoints.
+    */
+  private[graft] val NfcComposedPrefix: String =
+    "Caf\u00E9 d\u00E9j\u00E0 vu na\u00EFve r\u00E9sum\u00E9 "
+  private[graft] val NfcDecomposedPrefix: String =
+    "Cafe\u0301 de\u0301ja\u0300 vu nai\u0308ve re\u0301sume\u0301 "
+
   private[graft] def unicodeToksSql(textExpr: String): String =
     "regexp_extract_all(translate(regexp_replace(" + textExpr + ", '(" +
       graft.functions.TextAlgo.CjkClass + ")', ' \\1 ', 'g'), " +
@@ -2661,6 +2693,19 @@ object SparkEntry {
         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // NFC dedup replay: DuckDB's nfc_normalize implements the same UAX
+    // #15 composition as java.text.Normalizer; the fingerprint is the
+    // q98 unicode-token formula over the normalized text, winners the
+    // same min-id-per-key rank
+    "q107_nfc_dedup" -> (
+      "WITH c AS (\n" +
+        s"  SELECT doc_id * 2 AS doc_id, '$NfcComposedPrefix' || text AS text FROM documents WHERE text IS NOT NULL\n" +
+        "  UNION ALL\n" +
+        s"  SELECT doc_id * 2 + 1 AS doc_id, '$NfcDecomposedPrefix' || text AS text FROM documents WHERE text IS NOT NULL),\n" +
+        "f AS (SELECT doc_id, text,\n" +
+        "  md5(array_to_string(" + unicodeToksSql("nfc_normalize(text)") + ", '')) AS fp FROM c),\n" +
+        "k AS (SELECT doc_id, text, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)\n" +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM k WHERE rn = 1 ORDER BY doc_id"),
     // cross-corpus portable-minhash replay: the q59 pipeline with a bench
     // side (derived from the same corpus fixture), band join WITHOUT the
     // id_a < id_b constraint (different relations), md5 shingle-set verify

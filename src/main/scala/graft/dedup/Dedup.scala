@@ -79,11 +79,13 @@ object Dedup {
     * ARE duplicates: identical normalized content is the definition here.
     */
   def exact(df: DataFrame, textCol: String, idCol: String,
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false, nfc: Boolean = false): DataFrame = {
     // unicode = true: the fingerprint keeps letters of every script —
     // the ascii normalization maps ALL CJK docs to "" (one giant
     // duplicate group); see TextFunctions.fingerprint
-    val fp = TextFunctions.fingerprint(col(textCol), unicode)
+    // nfc = true: canonical-compose before fingerprinting, so composed
+    // and decomposed encodings of the same visible text dedupe together
+    val fp = TextFunctions.fingerprint(col(textCol), unicode, nfc)
     val key = coalesce(fp, concat(lit("__graft_null__:"), col(idCol).cast("string")))
     val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__graft_rn", row_number().over(w))

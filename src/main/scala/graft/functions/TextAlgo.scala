@@ -1104,6 +1104,26 @@ object TextAlgo {
       nLines, nBullet, nEllEnd, nStop))
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK implements
+    * the same Unicode Standard Annex #15 algorithm DuckDB's utf8proc
+    * does, so NFC output is an engine-portable contract). Fast path:
+    * `isNormalized` is a cheap quick-check scan and almost all real text
+    * IS already NFC, so the common case allocates nothing.
+    *
+    * Why this matters for dedup: composed ("café" as U+00E9) and
+    * decomposed ("cafe" + U+0301) byte sequences render identically and
+    * appear interchangeably in web text (macOS filenames, some CMSes
+    * emit NFD), so a byte-level fingerprint splits what is visually ONE
+    * document into distinct dedup keys. NFC-first makes the key
+    * canonical — see `TextFunctions.fingerprint(nfc = true)`.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** C4-style line retention (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning", §2.2; the public TFDS `c4_utils` pins the end-mark
     * set to `. ? ! "`): a line is KEPT iff, after stripping leading and

@@ -282,9 +282,24 @@ object TextFunctions {
     * string, declaring a whole corpus one giant duplicate group (found
     * by the round-7 CurateCorpus --unicode spec).
     */
-  def fingerprint(c: Column, unicode: Boolean = false): Column =
-    if (unicode) md5(array_join(unicodeTokens(c), ""))
-    else md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+  def fingerprint(c: Column, unicode: Boolean = false, nfc: Boolean = false): Column = {
+    // nfc = true: canonical-compose FIRST ([[NfcNormalizeExpr]]), so
+    // composed and decomposed encodings of the same visible text get ONE
+    // key — NFD text would otherwise split (ascii tier: the base letter
+    // survives the strip only in decomposed form; unicode tier: \p{M}
+    // marks keep decomposed sequences byte-distinct)
+    val base = if (nfc) nfcNormalize(c) else c
+    if (unicode) md5(array_join(unicodeTokens(base), ""))
+    else md5(regexp_replace(lower(base), "[^a-z0-9]", ""))
+  }
+
+  /** Unicode NFC canonical composition ([[NfcNormalizeExpr]], compiled;
+    * no-op fast path for already-normalized text).
+    */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColN, expression => toExprN}
+    toColN(NfcNormalizeExpr(toExprN(c)))
+  }
 
   /** Raw counters for the Gopher rule-based quality gate (one compiled
     * pass, [[GopherCountersExpr]]; slot layout in

@@ -744,6 +744,24 @@ case class GopherCountersExpr(child: Expression, unicode: Boolean = false)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization ([[TextAlgo.nfc]]): canonical composition so
+  * byte-distinct but visually identical text maps to one dedup key.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** C4 line retention (terminal end mark + minimum words + no-javascript,
   * evaluated on line-whitespace-stripped lines) — one compiled pass per
   * document; the page-level C4 rules stay cheap Column predicates.
