@@ -3579,7 +3579,7 @@ object SparkEntry {
         |f AS (SELECT doc_id,
         |  CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars,
+        |  CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS BIGINT) AS kept_chars,
         |  contains(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum') AS has_lorem,
         |  contains(page, '{') AS has_brace,
         |  contains(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'badword99') AS has_blocked

@@ -1333,6 +1333,64 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_c4_lines", 5, { rng =>
+      // C4 line retention over the edge corpus (multi-line strings, CRLF,
+      // VT, exotic unicode whitespace, 500-char runs): kept_text is a
+      // BYTE compare, so the strip class, the end-mark set, the word
+      // count and the ascii-fold javascript scan must all agree
+      val minWords = 1 + rng.nextInt(5)
+      val fold = "translate(%s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.c4Flags(col("s"),
+              minWords = minWords, minKeptLines = 1).as("f"))
+          .select(col("id"), col("f.kept_text"), col("f.n_lines"),
+            col("f.n_kept"), col("f.has_lorem"), col("f.has_brace"), col("f.pass"))
+      val duck =
+        s"""WITH tl AS (SELECT id, s,
+           |  list_transform(string_split(s, chr(10)), l ->
+           |    regexp_replace(regexp_replace(l, '^[ \\t\\x0B\\f\\r]+', ''), '[ \\t\\x0B\\f\\r]+$$', '')) AS st
+           |  FROM fuzz_docs WHERE s IS NOT NULL),
+           |kp AS (SELECT id, s,
+           |  list_filter(st, l ->
+           |    regexp_matches(l, '[.?!"]$$')
+           |    AND len(list_filter(string_split_regex(l, '[ \\t\\x0B\\f\\r]+'), x -> x <> '')) >= $minWords
+           |    AND NOT contains(${fold.format("l")}, 'javascript')) AS kept
+           |  FROM tl)
+           |SELECT id, coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+           |  CAST(len(string_split(s, chr(10))) AS BIGINT) AS n_lines,
+           |  CAST(len(kept) AS BIGINT) AS n_kept,
+           |  contains(${fold.format("s")}, 'lorem ipsum') AS has_lorem,
+           |  contains(s, '{') AS has_brace,
+           |  (NOT contains(${fold.format("s")}, 'lorem ipsum') AND NOT contains(s, '{')
+           |    AND len(kept) >= 1) AS pass
+           |FROM kp""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_nfc_fp", 4, { _ =>
+      // NFC normalization + nfc-keyed unicode fingerprint over the edge
+      // corpus DECORATED with a decomposed suffix (the corpus itself is
+      // composed): both the raw NFC bytes and the md5 key must agree —
+      // JDK Normalizer vs DuckDB utf8proc, same UAX #15 contract
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.nfcNormalize(
+              concat(col("s"), lit(" " + graft.SparkEntry.NfcDecomposedPrefix))).as("nfc"),
+            graft.functions.TextFunctions.fingerprint(
+              concat(col("s"), lit(" " + graft.SparkEntry.NfcDecomposedPrefix)),
+              unicode = true, nfc = true).as("fp"))
+      val dec = " " + graft.SparkEntry.NfcDecomposedPrefix
+      val duck =
+        s"SELECT id, nfc_normalize(s || '$dec') AS nfc,\n" +
+          "  md5(array_to_string(" +
+          graft.SparkEntry.unicodeToksSql(s"nfc_normalize(s || '$dec')") +
+          ", '')) AS fp\nFROM fuzz_docs WHERE s IS NOT NULL"
+      (build, duck)
+    }),
+
     Template("fz_gzip", 5, { _ =>
       // gzip compress->decompress roundtrip over the edge corpus
       // (unicode, emoji, NBSP, VT, 500-char runs): the oracle is the
