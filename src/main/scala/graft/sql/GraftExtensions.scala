@@ -140,7 +140,12 @@ object GraftFunctions {
     fd("graft_unicode_tokens", classOf[UnicodeTokensExpr], 1)(a =>
       UnicodeTokensExpr(a(0))),
     fd("graft_sig_match_count", classOf[SigMatchCountExpr], 2)(a =>
-      SigMatchCountExpr(a(0), a(1))))
+      SigMatchCountExpr(a(0), a(1))),
+    // round-8 additions: C4 line retention and NFC canonical composition
+    fd("graft_c4_keep_lines", classOf[C4KeepLinesExpr], 2)(a =>
+      C4KeepLinesExpr(a(0), intLit("graft_c4_keep_lines", a, 1))),
+    fd("graft_nfc_normalize", classOf[NfcNormalizeExpr], 1)(a =>
+      NfcNormalizeExpr(a(0))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

@@ -57,6 +57,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Int]("m") === 3)
   }
 
+  test("round-8 scalar functions: c4 line retention and nfc from SQL") {
+    val r = sql.sql(
+      "SELECT\n" +
+        "  graft_c4_keep_lines('A good line with five words.\\nshort.', 5) AS c4,\n" +
+        "  graft_nfc_normalize('Cafe\u0301') AS n\n").collect()(0)
+    assert(r.getAs[String]("c4") === "A good line with five words.")
+    assert(r.getAs[String]("n") === "Caf\u00E9")
+  }
+
   test("kmv sketch aggregate works in SQL GROUP BY") {
     import sql.implicits._
     Seq((1L, "a"), (2L, "a"), (2L, "a"), (9L, "b"))
