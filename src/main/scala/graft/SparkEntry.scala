@@ -1800,6 +1800,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q108: per-domain anchor-term profile (LinkGraph.anchorTermProfile,
+    // SURVEY+ L69) — what the web calls each destination domain: anchor
+    // texts of incoming links, tokenized through the unicode tier,
+    // counted per (eTLD+1 domain, term), top-3 per domain with bytewise
+    // tie-break. Extraction and domain resolution are map-side; the rank
+    // filter is a map-side WindowGroupLimit. The oracle replays the zip
+    // of the two capture groups with list_zip + numeric struct access.
+    "q108_anchor_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      def tldOf(d: Column) = when(d % 3 === 0, lit("co.uk")).otherwise(lit("com"))
+      def hostOf(d: Column) = concat(lit("dom"), d, lit("."), tldOf(d))
+      val h = id % 11
+      val a = (h + 1) % 11
+      val b = (h * 3 + 7) % 11
+      val anchorA = element_at(array(
+        lit("spark tutorials portal"), lit("data catalog home"),
+        lit("fast queries portal")), (id % 3 + 1).cast("int"))
+      val html = concat(
+        lit("<html><body><a href=\"https://www."), hostOf(a), lit("/x\">"),
+        anchorA,
+        lit("</a><a class=\"nav\" href=\"HTTPS://"), hostOf(b),
+        lit(":443/y?q=1\">official site</a>"),
+        when(id % 4 === 0,
+          lit("<a href=\"https://cdn.shared-assets.com/lib.js\">static assets</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = t(s, dir, "documents").select(html.as("html"))
+      graft.graph.LinkGraph.anchorTermProfile(pages, "html", k = 3)
+        .orderBy(col("domain"), col("rank"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -2693,6 +2724,43 @@ object SparkEntry {
         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // anchor-profile replay: list_zip of the two capture groups (numeric
+    // struct access — DuckDB zip structs are unnamed), the q94 host
+    // chain, the eTLD+1 ladder, unicode-tier terms, count + rank
+    "q108_anchor_profile" -> {
+      val anchorRe =
+        "<[Aa][ \\t\\r\\n][^>]*[Hh][Rr][Ee][Ff][ \\t\\r\\n]*=[ \\t\\r\\n]*\"([^\"]*)\"[^>]*>([^<]*)</[Aa]>"
+      def hostSql(u: String): String =
+        raw"""nullif(lower(CASE WHEN starts_with(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '[')
+          |    THEN regexp_extract(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '^(\[[^\]]*\])', 1)
+          |    ELSE regexp_extract(regexp_extract(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#\r\n]*)', 1), '(?:[^@]*@)?([^@]*)$$', 1), '^([^:]*)', 1) END), '')""".stripMargin
+      raw"""WITH d AS (SELECT doc_id,
+        |  '<html><body><a href="https://www.dom' || ((doc_id % 11 + 1) % 11) || '.' ||
+        |    CASE WHEN ((doc_id % 11 + 1) % 11) % 3 = 0 THEN 'co.uk' ELSE 'com' END || '/x">' ||
+        |    ['spark tutorials portal','data catalog home','fast queries portal'][CAST(doc_id % 3 + 1 AS INT)] ||
+        |    '</a><a class="nav" href="HTTPS://dom' || (((doc_id % 11) * 3 + 7) % 11) || '.' ||
+        |    CASE WHEN (((doc_id % 11) * 3 + 7) % 11) % 3 = 0 THEN 'co.uk' ELSE 'com' END ||
+        |    ':443/y?q=1">official site</a>' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<a href="https://cdn.shared-assets.com/lib.js">static assets</a>' ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |z AS (SELECT unnest(list_zip(
+        |    regexp_extract_all(html, '$anchorRe', 1),
+        |    regexp_extract_all(html, '$anchorRe', 2))) AS z
+        |  FROM d),
+        |p AS (SELECT z[1] AS href, z[2] AS anchor FROM z),
+        |hh AS (SELECT
+        |  """.stripMargin + hostSql("href") + " AS dst_host, anchor FROM p),\n" +
+        "dm AS (SELECT " + etld1OracleSql("dst_host") + " AS domain, anchor FROM hh),\n" +
+        raw"""t2 AS (SELECT domain, unnest(""".stripMargin +
+        unicodeToksSql("anchor") + raw""") AS term FROM dm WHERE domain IS NOT NULL),
+        |c AS (SELECT domain, term, CAST(count(*) AS BIGINT) AS n_links FROM t2 GROUP BY 1, 2),
+        |r AS (SELECT domain, term, n_links,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY n_links DESC, term) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT domain, term, n_links, rank FROM r WHERE rank <= 3
+        |ORDER BY domain, rank""".stripMargin
+    },
     // NFC dedup replay: DuckDB's nfc_normalize implements the same UAX
     // #15 composition as java.text.Normalizer; the fingerprint is the
     // q98 unicode-token formula over the normalized text, winners the

@@ -51,6 +51,50 @@ object LinkGraph {
   def extractHrefs(html: Column): Column =
     regexp_extract_all(html, lit(HrefRe), lit(1))
 
+  /** `<a href="...">anchor</a>` pairs: href + the immediate anchor text
+    * (no nested markup — `[^<]*` stops at the first inner tag, the
+    * documented trade for staying inside one shared-syntax regexp).
+    * Both capture groups come from the SAME pattern, so the two
+    * `regexp_extract_all` passes yield aligned sequences and
+    * `arrays_zip` pairs them exactly.
+    */
+  val AnchorRe: String = HrefRe + "[^>]*>([^<]*)</[Aa]>"
+
+  def anchorPairs(html: Column): Column =
+    arrays_zip(
+      regexp_extract_all(html, lit(AnchorRe), lit(1)).as("href"),
+      regexp_extract_all(html, lit(AnchorRe), lit(2)).as("anchor"))
+
+  /** Per-target-domain anchor-term profile — the classic off-page
+    * relevance/quality signal (what the web CALLS a page, vs what the
+    * page says about itself): for each eTLD+1 destination, the top-`k`
+    * anchor terms by incoming-link count. Terms are the multilingual
+    * tokenization tier ([[graft.functions.TextFunctions.unicodeTokens]]).
+    * Ties break bytewise on the term, so the profile is deterministic.
+    *
+    * Plan: extraction/resolution map-side, one (domain, term) hash
+    * aggregate, then a map-side WindowGroupLimit keeps <= k rows per
+    * domain per task before the final exchange.
+    */
+  def anchorTermProfile(
+      df: DataFrame,
+      htmlCol: String,
+      suffixes: Seq[String] = PublicSuffix.Snapshot,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = df.select(explode(anchorPairs(col(htmlCol))).as("p"))
+      .select(Url.urlHost(col("p.href")).as("__dst_host"), col("p.anchor").as("__anchor"))
+    val terms = pairs
+      .select(Url.registrableDomainOfHost(col("__dst_host"), suffixes).as("domain"),
+        explode(graft.functions.TextFunctions.unicodeTokens(col("__anchor"))).as("term"))
+      .where(col("domain").isNotNull)
+    val counts = terms.groupBy(col("domain"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("n_links").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Weighted domain-level edge list `(src, dst, n_links)`: the page's
     * registrable domain links to each absolute href's registrable domain.
     * Hrefs that are not absolute URLs (relative paths, fragments,

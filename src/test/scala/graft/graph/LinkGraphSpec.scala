@@ -57,6 +57,36 @@ class LinkGraphSpec extends SparkSpec {
     assert(r2 === Map("a" -> 212L, "b" -> 191L, "c" -> 191L))
   }
 
+  test("anchorPairs aligns hrefs with their anchor texts; nested markup skips") {
+    val html = """<a href="https://a.example.com/">first anchor</a>
+      |<a class="x" href="https://b.example.com/">second</a>
+      |<a href="https://c.example.com/"><b>nested markup</b></a>""".stripMargin
+    val pairs = Seq(html).toDF("h")
+      .select(explode(LinkGraph.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // the nested-markup anchor does not match ([^<]* stops at the inner
+    // tag) — documented scope, the pair is skipped rather than misaligned
+    assert(pairs === Seq(
+      ("https://a.example.com/", "first anchor"),
+      ("https://b.example.com/", "second")))
+  }
+
+  test("anchorTermProfile counts terms per destination domain with stable ties") {
+    val pages = Seq(
+      """<a href="https://shop.example.com/a">buy cheap widgets</a>""",
+      """<a href="https://shop.example.com/b">buy premium widgets</a>""",
+      """<a href="https://news.example.org/">daily news</a>""").toDF("html")
+    val rows = LinkGraph.anchorTermProfile(pages, "html", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // example.com: buy=2, widgets=2 -> tie broken bytewise ("buy" < "widgets")
+    assert(rows.filter(_._1 == "example.com") === Seq(
+      ("example.com", "buy", 2L, 1), ("example.com", "widgets", 2L, 2)))
+    assert(rows.filter(_._1 == "example.org") === Seq(
+      ("example.org", "daily", 1L, 1), ("example.org", "news", 1L, 2)))
+  }
+
   test("pageRank is bit-identical across partitionings (integer sums)") {
     val edges = (0L until 200L)
       .map(i => (s"d${i % 13}", s"d${(i * 7 + 3) % 13}", i % 5 + 1))
