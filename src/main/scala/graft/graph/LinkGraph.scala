@@ -150,15 +150,27 @@ object LinkGraph {
       col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("long").as("__w"))
     val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__out_w"))
-    val eOut = e.join(outW, "__src")
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst"))).distinct()
+    // persisted (tracked — graft.dedup.Dedup.unpersistCaches): the edge
+    // derivation feeds EVERY iteration; without the cache each
+    // iteration's subplan re-embeds it, which both recomputes upstream
+    // work past what exchange-reuse covers and inflates the unrolled
+    // plan (analysis + codegen of k copies dominates small-graph runs).
+    // Caching the iteration inputs is the standard shape for iterative
+    // graph algorithms (GraphX does the same with its graph).
+    val eOut = graft.dedup.Dedup.persistTracked(e.join(outW, "__src"))
+    // nodes derive from the CACHED eOut, not the raw edges: a separate
+    // cache-fill plan cannot share exchanges with eOut's, so reading `e`
+    // here would recompute the whole upstream edge derivation a second
+    // time (measured 1.3x slower at sf100 when it did)
+    val nodes = eOut.select(col("__src").as("node"))
+      .union(eOut.select(col("__dst"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     // scalar broadcast: base and the initial rank are per-node constants
-    val nodesBase = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"),
-        expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
-        expr(s"$scaleTotal div __n").as("__r0"))
+    val nodesBase = graft.dedup.Dedup.persistTracked(
+      nodes.crossJoin(broadcast(nRow))
+        .select(col("node"),
+          expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
+          expr(s"$scaleTotal div __n").as("__r0")))
     var ranks = nodesBase.select(col("node"), col("__r0").as("rank"))
     var i = 0
     while (i < iters) {
