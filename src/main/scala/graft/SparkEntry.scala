@@ -1831,6 +1831,79 @@ object SparkEntry {
         .orderBy(col("domain"), col("rank"))
     }),
 
+    // q109: HyperLogLog per-source distinct-shingle accounting (SURVEY+
+    // L70) — fixed 2 KiB register state per source regardless of
+    // cardinality (the complement to q70's KMV: millions of group
+    // sketches stay resident and mergeable at 100 TB), ONE scan, one
+    // hash-agg shuffle of 2 KiB buffers. The '__all__' row re-aggregates
+    // the per-source REGISTER ARRAYS through Hll.mergeSketches
+    // (elementwise max == union sketch; HllSpec proves rollup == direct)
+    // without re-touching raw data. Registers are pure integer functions
+    // of the md5-60 hashes, so DuckDB replays them exactly (index = top
+    // 11 bits, rho via binary-string length); v_zero / s_int /
+    // reg_checksum pin the register content in exact integer arithmetic,
+    // and the estimate is deterministic double division of those integers
+    // (+ the standard linear-counting branch), compared after round(4).
+    "q109_hll_source_distinct" -> ((s, dir) => {
+      import graft.sketch.Hll
+      val p = 11
+      val sh = t(s, dir, "documents").select(col("source"),
+        TextFunctions.shingleHashSetPortable(col("text"), 5).as("hs"))
+      val perSrc = sh.groupBy(col("source")).agg(Hll.sketch(col("hs"), p).as("reg"))
+      val allRow = perSrc.agg(Hll.mergeSketches(col("reg"), p).as("reg"))
+        .select(lit("__all__").as("source"), col("reg"))
+      // exact distinct counts ride along as the accuracy yardstick (cheap
+      // at gate scale; the sketch exists so 100 TB runs can skip this)
+      val ex = sh.select(col("source"), explode(col("hs")).as("h"))
+      val exact = ex.groupBy(col("source"))
+        .agg(count_distinct(col("h")).as("exact_distinct"))
+        .unionByName(ex.agg(count_distinct(col("h")).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      perSrc.unionByName(allRow)
+        .select(col("source"),
+          Hll.zeroCount(col("reg")).as("v_zero"),
+          Hll.harmonicSum(col("reg"), p).as("s_int"),
+          Hll.checksum(col("reg")).as("reg_checksum"),
+          round(Hll.estimate(col("reg"), p), 4).as("est_distinct"))
+        .join(exact, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    // q110: positional phrase search (SURVEY+ L71) — exact consecutive
+    // token sequences over the inverted-index-with-positions shape: the
+    // corpus shuffles ONLY query-term postings (isin prefilter at the
+    // scan), slots broadcast, occurrences = an array_intersect fold of
+    // offset-shifted position arrays. Covers a repeated-term phrase
+    // ("table table") and 2-/3-gram phrases. The oracle is the direct
+    // definition: a windowed adjacency scan over the same tokenization
+    // (regexp_extract_all + list_filter over start positions) — two
+    // completely different plans, same rows.
+    "q110_phrase_search" -> ((s, dir) => {
+      graft.text.Search.phraseMatches(
+        t(s, dir, "documents"), "doc_id", "text", q110Phrases)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // q111: perceptual image near-dup (SURVEY+ L72) — dHash (integer
+    // box-average to 9x8 + adjacent-bucket comparisons, a pure integer
+    // function of the pixels) over a deterministic 18x16 image fixture
+    // keyed by doc_id (families of 3: base PGM, one-bucket-perturbed
+    // GRAYSCALE PNG — so the planted pair's value rides the real
+    // ImageIO decode path — and an unrelated image). Pair search is the
+    // blocked Hamming join shared with SimHash (pigeonhole-complete at
+    // d <= 3); the oracle recomputes pixels from the same formula in
+    // DuckDB int math and compares ALL pairs via bit SETS — different
+    // plan and different hash representation, same pairs.
+    "q111_image_dhash_neardup" -> ((s, dir) => {
+      val imgs = graft.multimodal.ImageHash.syntheticImages(
+        t(s, dir, "documents").select(col("doc_id")))
+      // bucket cap effectively off: the oracle is an uncapped all-pairs
+      // scan, and gate scales keep blocks far below any real skew guard
+      graft.multimodal.ImageHash.nearDupPairs(imgs, "doc_id", "bytes",
+        maxHamming = 3, maxBucketSize = 1 << 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -2087,6 +2160,14 @@ object SparkEntry {
   }
 
   private lazy val q39PlaneLits: Seq[String] = planeLits(4)
+
+  /** q110 phrase set, shared by the Spark query and the generated oracle:
+    * 2-grams, 3-grams and a repeated-term phrase over the corpus
+    * vocabulary.
+    */
+  private val q110Phrases: Seq[String] = Seq(
+    "fast table", "table table", "batch part value",
+    "spark order data", "the line sort", "scan query big")
 
   /** The sign-sketch bucket expression over `numBits` embedded planes —
     * bit i weighted 2^i, matching `TextAlgo.hyperplaneBucket`.
@@ -3219,6 +3300,97 @@ object SparkEntry {
         |  round(CASE WHEN len(g.g) < 256 THEN CAST(len(g.g) AS DOUBLE)
         |        ELSE 255.0 * 1152921504606846976.0 / CAST(g.g[256] AS DOUBLE) END, 4) AS est_distinct_shingles
         |FROM g, ns""".stripMargin,
+    // q109: full HLL register replay — the same md5-60 shingle hashes as
+    // q70, register index = top 11 bits (h // 2^49), rho = 50 minus the
+    // bit length of the 49-bit suffix (format('{:b}') is exact string
+    // formatting — no float log). The '__all__' row is computed from ALL
+    // hashes directly: by the elementwise-max merge property that equals
+    // the Spark side's register rollup. v_zero/s_int/reg_checksum are
+    // exact integer pins of the register content; the estimator repeats
+    // the identical double arithmetic (alpha literal with the same
+    // left-assoc op order) and rounds to 4.
+    "q109_hll_source_distinct" ->
+      """WITH norm AS (SELECT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+        |h AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+        |hs AS (SELECT source, h FROM h UNION ALL SELECT '__all__' AS source, h FROM h),
+        |rho AS (SELECT source, h // 562949953421312 AS idx,
+        |    CASE WHEN h % 562949953421312 = 0 THEN 50
+        |         ELSE 50 - length(format('{:b}', h % 562949953421312)) END AS rho
+        |  FROM hs),
+        |reg0 AS (SELECT source, idx, max(rho) AS mj FROM rho GROUP BY source, idx),
+        |grid AS (SELECT s.source, g.idx FROM (SELECT DISTINCT source FROM hs) s,
+        |         (SELECT unnest(range(0, 2048)) AS idx) g),
+        |reg AS (SELECT grid.source, grid.idx, coalesce(reg0.mj, 0) AS mj
+        |  FROM grid LEFT JOIN reg0 ON grid.source = reg0.source AND grid.idx = reg0.idx),
+        |agg AS (SELECT source,
+        |    CAST(count(*) FILTER (mj = 0) AS INTEGER) AS v_zero,
+        |    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS s_int,
+        |    CAST(sum((idx + 1) * mj) AS BIGINT) AS reg_checksum
+        |  FROM reg GROUP BY source),
+        |ex AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM hs GROUP BY source),
+        |est AS (SELECT source, v_zero, s_int, reg_checksum,
+        |    0.7213/(1+1.079/2048.0)*2048*2048*1125899906842624.0 / CAST(s_int AS DOUBLE) AS raw
+        |  FROM agg)
+        |SELECT e.source, e.v_zero, e.s_int, e.reg_checksum,
+        |  round(CASE WHEN e.v_zero > 0 AND e.raw <= 5120.0
+        |        THEN 2048.0 * ln(2048.0 / CAST(e.v_zero AS DOUBLE))
+        |        ELSE e.raw END, 4) AS est_distinct,
+        |  ex.exact_distinct
+        |FROM est e JOIN ex ON e.source = ex.source
+        |ORDER BY e.source""".stripMargin,
+    // q110: the direct phrase definition — for each start position i,
+    // does every phrase slot match tk[i + offset]? Generated per phrase
+    // (slot count differs), same tokenization as the Spark side's
+    // compiled asciiTokens kernel. The Spark plan (filtered positional
+    // postings + broadcast slots + array_intersect fold) shares nothing
+    // with this scan except the answer.
+    "q110_phrase_search" -> {
+      val blocks = q110Phrases.zipWithIndex.map { case (p, qi) =>
+        val ts = p.split(" ").toSeq
+        val conds = ts.zipWithIndex
+          .map { case (t, o) => s"tk[i + $o] = '$t'" }.mkString(" AND ")
+        s"""SELECT $qi AS query_id, '$p' AS phrase, doc_id,
+           |  len(list_filter(range(1, len(tk) - ${ts.length - 2}), i -> $conds)) AS n_occ
+           |FROM toks""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents)
+         |SELECT query_id, phrase, doc_id, n_occ FROM (
+         |$blocks
+         |) WHERE n_occ > 0 ORDER BY query_id, doc_id""".stripMargin
+    },
+    // q111: pixel synthesis replayed from the shared fixture formula
+    // (ImageHash.fixturePixel), box-average via grouped integer
+    // division (x*9/18 == x//2 at the fixture size), dHash kept as a
+    // SORTED BIT SET per doc, and an all-pairs scan with set-arithmetic
+    // Hamming — deliberately nothing in common with the Spark plan
+    // (packed 64-bit hashes, 16-bit-block LSH join) except the answer.
+    "q111_image_dhash_neardup" ->
+      """WITH xs AS (SELECT unnest(range(0, 18)) AS x),
+        |ys AS (SELECT unnest(range(0, 16)) AS y),
+        |px AS (SELECT d.doc_id, d.doc_id // 3 AS g, d.doc_id % 3 AS r, xs.x, ys.y
+        |  FROM documents d, xs, ys),
+        |vals AS (SELECT doc_id, x, y,
+        |    CASE WHEN r = 0 THEN base
+        |         WHEN r = 1 THEN least(base + CASE WHEN x < 2 AND y < 2 THEN 60 ELSE 0 END, 255)
+        |         ELSE (base * 3 + x * y + 17) % 256 END AS v
+        |  FROM (SELECT *, (g * 31 + (x * 7 + y * 11) * (1 + ((x + y + g) % 5))) % 256 AS base
+        |        FROM px)),
+        |bk AS (SELECT doc_id, y // 2 AS gy, x // 2 AS gx,
+        |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS b
+        |  FROM vals GROUP BY doc_id, y // 2, x // 2),
+        |bits AS (SELECT l.doc_id, l.gy * 8 + l.gx AS bit
+        |  FROM bk l JOIN bk rr ON l.doc_id = rr.doc_id AND l.gy = rr.gy AND rr.gx = l.gx + 1
+        |  WHERE l.b < rr.b),
+        |dh AS (SELECT d.doc_id,
+        |    list_sort(list(b.bit) FILTER (WHERE b.bit IS NOT NULL)) AS bits
+        |  FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id GROUP BY d.doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(coalesce(len(a.bits), 0) + coalesce(len(b.bits), 0)
+        |      - 2 * coalesce(len(list_intersect(a.bits, b.bits)), 0) AS INTEGER) AS hamming
+        |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // q72: the cap is a plain rank filter over the portable md5 rank —
     // the Spark side differs only in WHERE the rank is computed (map-side
     // WindowGroupLimit), never in which rows survive.

@@ -304,6 +304,25 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), TextFunctions.simhash64(col(textCol)).as("sim"))
+    hammingPairs64(sh, "id", "sim", maxHamming, maxBucketSize)
+  }
+
+  /** Hamming-ball pair join over ANY 64-bit signature column — the
+    * blocking engine behind [[simhashPairs]], shared with perceptual
+    * image hashing (graft.multimodal L72): four 16-bit blocks as LSH
+    * join keys, so any pair within Hamming distance 3 shares at least
+    * one block (pigeonhole — complete for maxHamming <= 3; above that
+    * the block join is a recall-bearing prefilter, same contract as
+    * banded MinHash). Input: (idCol, hashCol long). Output: (id_a,
+    * id_b, hamming <= maxHamming) distinct pairs.
+    */
+  def hammingPairs64(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("sim"))
     // four 16-bit blocks as LSH join keys
     val withBlocks = sh.select(
       col("id"), col("sim"),

@@ -97,6 +97,12 @@ object Multimodal {
     Some(PnmHeader(b(1).toChar, w, h, mv, i))
   }
 
+  /** Header fields for [[ImageHash]]'s pixel-level decode:
+    * (magic, w, h, maxval, pixel offset).
+    */
+  private[multimodal] def pnmHeaderFor(b: Array[Byte]): Option[(Char, Int, Int, Int, Int)] =
+    parsePnmHeader(b).map(h => (h.magic, h.w, h.h, h.maxval, h.offset))
+
   /** Mean luminance in [0, 1] of a P5/P6 payload; None if not PNM or
     * truncated.
     */

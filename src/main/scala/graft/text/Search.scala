@@ -232,4 +232,76 @@ object Search {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Positional phrase search (SURVEY+ L71): documents containing each
+    * phrase as an EXACT consecutive token sequence, with occurrence
+    * counts — the retrieval tier AND-of-terms cannot express ("new york
+    * times" vs documents merely containing all three words).
+    *
+    * Output: (query_id, phrase, doc_id, n_occ) for every document with
+    * at least one occurrence.
+    *
+    * Plan — the inverted-index-with-positions shape, ONE corpus scan,
+    * two shuffles of query-term postings only:
+    *  - tokenize once (compiled [[TextFunctions.asciiTokens]] kernel or
+    *    the unicode tier), posexplode to (doc, term, pos), and FILTER to
+    *    the union of all phrase terms before any exchange — the posting
+    *    stream that shuffles is |phrase terms| postings, not the corpus;
+    *  - aggregate to per-(doc, term) sorted position arrays (map-side
+    *    combine applies);
+    *  - broadcast-join the (query_id, term, offset) slot table: each
+    *    posting row fans out to the phrase slots using its term,
+    *    shifting positions by the slot offset (`transform`, map-side);
+    *  - group by (query, doc): the phrase matches where ALL slots are
+    *    present (row count == slot count) and the shifted position
+    *    arrays intersect; n_occ = |intersection| (a fold of
+    *    `array_intersect` — occurrence starts where every slot aligns).
+    *
+    * A phrase with a REPEATED term contributes one slot row per offset
+    * joined from the same posting row, so repeats ("table table") align
+    * correctly. Per-(doc,term) position arrays are bounded by document
+    * length; no all-pairs or cartesian anywhere.
+    */
+  def phraseMatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      unicode: Boolean = false): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parsed: Seq[(Long, String, Seq[String])] =
+      phrases.zipWithIndex.map { case (p, qi) =>
+        val terms: Seq[String] =
+          if (unicode) graft.functions.TextAlgo.unicodeTokenize(p).toSeq
+          else p.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        require(terms.nonEmpty, s"phrase tokenizes to nothing: '$p'")
+        requireValidTerms(terms, unicode)
+        (qi.toLong, p, terms)
+      }
+    val slots = parsed.flatMap { case (qi, p, ts) =>
+      ts.zipWithIndex.map { case (t, off) => (qi, p, ts.length, t, off) }
+    }
+    val slotDf = slots.toDF("query_id", "phrase", "n_slots", "term", "offset")
+    val allTerms = slots.map(_._4).distinct
+    val tokens =
+      if (unicode) TextFunctions.unicodeTokens(col(textCol))
+      else TextFunctions.asciiTokens(col(textCol))
+    val postings = df.select(col(idCol).as("doc_id"), posexplode(tokens))
+      .toDF("doc_id", "pos", "term")
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    postings.join(broadcast(slotDf), Seq("term"))
+      .select(col("query_id"), col("phrase"), col("n_slots"), col("doc_id"),
+        transform(col("positions"), pp => pp - col("offset")).as("shifted"))
+      .groupBy(col("query_id"), col("phrase"), col("n_slots"), col("doc_id"))
+      .agg(count(lit(1)).as("n_present"), collect_list(col("shifted")).as("arrs"))
+      .where(col("n_present") === col("n_slots"))
+      .select(col("query_id"), col("phrase"), col("doc_id"),
+        size(aggregate(col("arrs"), element_at(col("arrs"), 1),
+          (acc, a) => array_intersect(acc, a))).as("n_occ"))
+      .where(col("n_occ") > 0)
+  }
 }

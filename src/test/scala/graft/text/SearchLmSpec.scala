@@ -154,4 +154,74 @@ class SearchLmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(99L) > out(0L), "rare-token doc must have higher cross-entropy")
   }
+
+  private def phraseRows(docs: Seq[(Long, String)], phrases: Seq[String],
+      unicode: Boolean = false): Map[(Long, Long), Int] = {
+    import spark.implicits._
+    Search.phraseMatches(docs.toDF("id", "body"), "id", "body", phrases, unicode)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(3)).toMap
+  }
+
+  test("phraseMatches: adjacency, overlap counting, repeated terms") {
+    val docs = Seq(
+      (0L, "new york times reports new york weather"), // 2x "new york", 1x 3-gram
+      (1L, "york new times"),                          // all words, wrong order
+      (2L, "new shiny york"),                          // not adjacent
+      (3L, "a a a a"),                                 // overlapping repeats
+      (4L, "New York!"),                               // case/punct folding
+      (5L, "nothing relevant"))
+    val out = phraseRows(docs,
+      Seq("new york", "new york times", "a a"))
+    assert(out === Map(
+      (0L, 0L) -> 2, (0L, 4L) -> 1,  // "new york" in docs 0 and 4
+      (1L, 0L) -> 1,                 // "new york times" in doc 0
+      (2L, 3L) -> 3))                // "a a" in doc 3 overlaps: starts 0,1,2
+  }
+
+  test("phraseMatches: phrase longer than doc, and single-token phrase") {
+    val docs = Seq((0L, "x y"), (1L, "x"), (2L, "z x z x"))
+    val out = phraseRows(docs, Seq("x y z", "x"))
+    assert(out === Map((1L, 0L) -> 1, (1L, 1L) -> 1, (1L, 2L) -> 2))
+  }
+
+  test("phraseMatches: unicode tier matches CJK adjacency") {
+    // CJK codepoints tokenize as single tokens in the unicode tier, so a
+    // two-ideograph phrase is an adjacency test
+    val docs = Seq((0L, "訓練 データ を 読む"), (1L, "データ 訓練"))
+    val out = phraseRows(docs, Seq("訓練 データ"), unicode = true)
+    assert(out.keySet === Set((0L, 0L)))
+  }
+
+  test("phraseMatches: invalid phrase terms fail loud") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b")).toDF("id", "body")
+    intercept[IllegalArgumentException] {
+      Search.phraseMatches(docs, "id", "body", Seq("  !! "))
+    }
+  }
+
+  test("phraseMatches: posting filter happens before the exchange") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c")).toDF("id", "body")
+    val plan = Search.phraseMatches(docs, "id", "body", Seq("a b"))
+      .queryExecution.executedPlan
+    val exchanges = graft.tools.PlanWalk.collectDeep(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      // the pushed-down filter references the pre-rename generate output
+      // (col#N IN (a,b)), so match on the isin shape, not the column name
+      val hasFilter = graft.tools.PlanWalk.collectDeep(e.child) {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("IN (a,b)") => f
+      }.nonEmpty
+      assert(hasFilter, "phrase-term filter must be pushed below the shuffle")
+    }
+    val broadcasts = graft.tools.PlanWalk.collectDeep(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.nonEmpty, "slot table must broadcast")
+  }
 }
