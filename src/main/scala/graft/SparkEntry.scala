@@ -1853,12 +1853,15 @@ object SparkEntry {
       val allRow = perSrc.agg(Hll.mergeSketches(col("reg"), p).as("reg"))
         .select(lit("__all__").as("source"), col("reg"))
       // exact distinct counts ride along as the accuracy yardstick (cheap
-      // at gate scale; the sketch exists so 100 TB runs can skip this)
-      val ex = sh.select(col("source"), explode(col("hs")).as("h"))
-      val exact = ex.groupBy(col("source"))
+      // at gate scale; the sketch exists so 100 TB runs can skip this).
+      // cube(source) computes the per-source AND global rollup in ONE
+      // shingle pass — two separate aggregates each re-shingled the
+      // corpus (measured 4.5s -> ~2.5s at sf0.1)
+      val exact = sh.select(col("source"), explode(col("hs")).as("h"))
+        .cube(col("source"))
         .agg(count_distinct(col("h")).as("exact_distinct"))
-        .unionByName(ex.agg(count_distinct(col("h")).as("exact_distinct"))
-          .select(lit("__all__").as("source"), col("exact_distinct")))
+        .select(coalesce(col("source"), lit("__all__")).as("source"),
+          col("exact_distinct"))
       perSrc.unionByName(allRow)
         .select(col("source"),
           Hll.zeroCount(col("reg")).as("v_zero"),

@@ -214,7 +214,11 @@ object ImageHash {
       while (x < w) { px(y * w + x) = fixturePixel(docId, x, y); x += 1 }
       y += 1
     }
-    if (docId % 3 == 1) {
+    // PNG-encode a third of the perturbed variants (id % 9 == 1 implies
+    // id % 3 == 1): enough to keep the ImageIO decode path load-bearing
+    // in every gate while ImageIO's ~ms-per-image ENCODE cost doesn't
+    // dominate fixture synthesis at bench scale
+    if (docId % 9 == 1) {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
