@@ -1898,8 +1898,13 @@ object SparkEntry {
     // DuckDB int math and compares ALL pairs via bit SETS — different
     // plan and different hash representation, same pairs.
     "q111_image_dhash_neardup" -> ((s, dir) => {
+      // fixture bounded to 3000 images at ANY scale: the oracle is an
+      // all-pairs scan by design (different plan than the blocked join),
+      // so an unbounded fixture would hand DuckDB 50k^2 pairs at the sf1
+      // gate. Operator-level scale decades are measured separately on
+      // the unbounded corpus (BENCHNOTES round 8).
       val imgs = graft.multimodal.ImageHash.syntheticImages(
-        t(s, dir, "documents").select(col("doc_id")))
+        t(s, dir, "documents").select(col("doc_id")).where(col("doc_id") < 3000))
       // bucket cap effectively off: the oracle is an uncapped all-pairs
       // scan, and gate scales keep blocks far below any real skew guard
       graft.multimodal.ImageHash.nearDupPairs(imgs, "doc_id", "bytes",
@@ -3373,7 +3378,7 @@ object SparkEntry {
       """WITH xs AS (SELECT unnest(range(0, 18)) AS x),
         |ys AS (SELECT unnest(range(0, 16)) AS y),
         |px AS (SELECT d.doc_id, d.doc_id // 3 AS g, d.doc_id % 3 AS r, xs.x, ys.y
-        |  FROM documents d, xs, ys),
+        |  FROM documents d, xs, ys WHERE d.doc_id < 3000),
         |vals AS (SELECT doc_id, x, y,
         |    CASE WHEN r = 0 THEN base
         |         WHEN r = 1 THEN least(base + CASE WHEN x < 2 AND y < 2 THEN 60 ELSE 0 END, 255)
@@ -3388,7 +3393,8 @@ object SparkEntry {
         |  WHERE l.b < rr.b),
         |dh AS (SELECT d.doc_id,
         |    list_sort(list(b.bit) FILTER (WHERE b.bit IS NOT NULL)) AS bits
-        |  FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id GROUP BY d.doc_id),
+        |  FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id
+        |  WHERE d.doc_id < 3000 GROUP BY d.doc_id),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(coalesce(len(a.bits), 0) + coalesce(len(b.bits), 0)
         |      - 2 * coalesce(len(list_intersect(a.bits, b.bits)), 0) AS INTEGER) AS hamming
