@@ -309,36 +309,97 @@ object Dedup {
 
   /** Hamming-ball pair join over ANY 64-bit signature column — the
     * blocking engine behind [[simhashPairs]], shared with perceptual
-    * image hashing (graft.multimodal L72): four 16-bit blocks as LSH
-    * join keys, so any pair within Hamming distance 3 shares at least
-    * one block (pigeonhole — complete for maxHamming <= 3; above that
-    * the block join is a recall-bearing prefilter, same contract as
-    * banded MinHash). Input: (idCol, hashCol long). Output: (id_a,
-    * id_b, hamming <= maxHamming) distinct pairs.
+    * image hashing (graft.multimodal L72). Input: (idCol, hashCol long).
+    * Output: (id_a, id_b, hamming <= maxHamming) distinct pairs.
+    *
+    * Two complete blocking schemes, occupancy-routed:
+    *  - `block4`: four 16-bit blocks as LSH join keys; any pair within
+    *    Hamming distance 3 shares at least one block (pigeonhole).
+    *    Cheapest explode (4x), but candidate volume grows as
+    *    ~4*n^2/2^16 once n >> 65k — the birthday regime every
+    *    corpus-scale run of ~uniform hashes hits.
+    *  - `combo20`: six ~11-bit blocks, keyed on every C(6,3)=20
+    *    3-block combination (~32-bit keys) — the multi-table design of
+    *    Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling"
+    *    (WWW 2007). d <= 3 differing bits dirty at most 3 of 6 blocks,
+    *    so some keyed triple is clean on both sides: complete for
+    *    maxHamming <= 3. Spurious candidates ~20*n^2/2^32 — four
+    *    orders of magnitude below block4 at the cost of a 5x wider
+    *    explode of (id, 8-byte hash) rows.
+    *
+    * `blockScheme`: "block4" | "combo20" | "auto". Auto persists the
+    * (id, hash) projection (8+8 bytes/row — tracked, see
+    * [[unpersistCaches]]), counts it, and routes to combo20 at
+    * n >= max(2^18, 4096 * maxBucketSize). The binding constraint is
+    * RECALL, not wall-clock: block4's spurious candidates are in-stage
+    * integer compares (the hamming filter sits below the distinct), so
+    * it stays FASTER than combo20's 5x-wider explode well past 5M rows
+    * (measured 20 s vs 53 s at 5M) — but its 16-bit buckets fill as
+    * n/2^16, and once the occupancy tail crosses `maxBucketSize` the
+    * skew guard starts dropping whole buckets (measured: 29 of 1.67M
+    * planted pairs lost at 5M with cap 1000; at ~65M rows EVERY bucket
+    * would be over a 1000-cap and recall collapses entirely), while
+    * combo20's ~32-bit keys keep buckets near-empty at any plausible
+    * corpus size (lossless at every measured scale). The 4096 factor
+    * switches when expected occupancy n/2^16 is within 16x of the cap
+    * — before the non-uniform tail (dHash bits are correlated) reaches
+    * it; the 2^18 floor keeps tiny-cap calls from paying the explode
+    * overhead at trivial n. maxHamming > 3 always takes block4, where
+    * the block join is a recall-bearing prefilter (same contract as
+    * banded MinHash); combo20 is complete only to d = 3 and refuses
+    * larger radii.
     */
   def hammingPairs64(
       hashed: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      blockScheme: String = "auto"): DataFrame = {
+    require(Set("auto", "block4", "combo20")(blockScheme),
+      s"blockScheme must be auto|block4|combo20, got $blockScheme")
+    require(blockScheme != "combo20" || maxHamming <= 3,
+      s"combo20 blocking is complete only for maxHamming <= 3, got $maxHamming")
     val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("sim"))
-    // four 16-bit blocks as LSH join keys
-    val withBlocks = sh.select(
-      col("id"), col("sim"),
-      (col("sim").bitwiseAND(lit(0xFFFFL))).as("b0"),
-      (shiftrightunsigned(col("sim"), 16).bitwiseAND(lit(0xFFFFL))).as("b1"),
-      (shiftrightunsigned(col("sim"), 32).bitwiseAND(lit(0xFFFFL))).as("b2"),
-      (shiftrightunsigned(col("sim"), 48).bitwiseAND(lit(0xFFFFL))).as("b3"))
-    val keyed = withBlocks.select(col("id"), col("sim"),
-      explode(array(
-        struct(lit(0).as("blk"), col("b0").as("key")),
-        struct(lit(1).as("blk"), col("b1").as("key")),
-        struct(lit(2).as("blk"), col("b2").as("key")),
-        struct(lit(3).as("blk"), col("b3").as("key")))).as("bk"))
-      .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
+    val scheme = blockScheme match {
+      case "auto" if maxHamming > 3 => "block4"
+      case "auto" =>
+        val p = persistTracked(sh)
+        val comboThreshold = math.max(1L << 18, 4096L * maxBucketSize)
+        if (p.count() >= comboThreshold) "combo20" else "block4"
+      case s => s
+    }
+    val keyed =
+      if (scheme == "block4") {
+        // four 16-bit blocks as LSH join keys
+        sh.select(col("id"), col("sim"),
+          explode(array((0 until 4).map { i =>
+            struct(lit(i).as("blk"),
+              shiftrightunsigned(col("sim"), i * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("key"))
+          }: _*)).as("bk"))
+          .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
+      } else {
+        // six blocks (11,11,11,11,10,10 bits, low to high), keyed on
+        // every 3-block combination packed into 11-bit slots
+        val widths = Seq(11, 11, 11, 11, 10, 10)
+        val offsets = widths.scanLeft(0)(_ + _).init
+        val block = (i: Int) => shiftrightunsigned(col("sim"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+        val combos = for {
+          i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+        } yield (i, j, k)
+        sh.select(col("id"), col("sim"),
+          explode(array(combos.zipWithIndex.map { case ((i, j, k), idx) =>
+            struct(lit(idx).as("blk"),
+              (shiftleft(block(i), 22)
+                .bitwiseOR(shiftleft(block(j), 11))
+                .bitwiseOR(block(k))).as("key"))
+          }: _*)).as("bk"))
+          .select(col("id"), col("sim"), col("bk.blk"), col("bk.key"))
+      }
     // skew guard: templated corpora can put thousands of docs in one
-    // 16-bit block bucket -> quadratic pair blowup; cap like minhash LSH
+    // block bucket -> quadratic pair blowup; cap like minhash LSH
     val capped = dropHotKeys(keyed, Seq("blk", "key"), maxBucketSize)
     val l = capped.alias("hl")
     val r = capped.alias("hr")

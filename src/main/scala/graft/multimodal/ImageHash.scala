@@ -44,6 +44,16 @@ object ImageHash {
   private val GridW = 9
   private val GridH = 8
 
+  // ImageIO's default stream cache is a TEMP FILE per decode call —
+  // ImageIO.read(InputStream) wraps the in-memory byte stream in a
+  // FileCacheImageInputStream when useCache = true (the JDK default),
+  // costing a file create/write/delete per image and serializing on
+  // tmpfs metadata under 32 concurrent decode threads (measured: the
+  // 5M-image sf100 run spent most of its wall time here). Payloads are
+  // already fully in memory; a disk cache can never help this engine.
+  // JVM-global, set once at first use of any decode path.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Grayscale pixel matrix from an image payload: (w, h, row-major
     * gray values in [0, 255]). None when the payload is not a decodable
     * image.
@@ -170,10 +180,12 @@ object ImageHash {
       idCol: String,
       bytesCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      blockScheme: String = "auto"): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), dhash64(col(bytesCol)).as("dhash"))
       .where(col("dhash").isNotNull)
-    graft.dedup.Dedup.hammingPairs64(hashed, "id", "dhash", maxHamming, maxBucketSize)
+    graft.dedup.Dedup.hammingPairs64(hashed, "id", "dhash", maxHamming,
+      maxBucketSize, blockScheme)
   }
 
   // ------------------------------------------------------------------

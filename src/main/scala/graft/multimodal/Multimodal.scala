@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // No temp-file stream cache for in-memory payload decodes — see the
+  // rationale in [[ImageHash]] (JVM-global; set in both objects so
+  // whichever decode surface is touched first applies it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata accompanying every media payload. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -121,6 +121,42 @@ object Hll {
       .when(v > 0 && raw <= lit(2.5 * m), lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
       .otherwise(raw)
   }
+
+  /** [[estimate]] as ONE compiled scalar kernel ([[HllEstimateExpr]]) —
+    * the SQL-surface route (`graft_hll_estimate`); bit-identical to the
+    * builtin composition (spec-enforced).
+    */
+  def estimateCompiled(reg: Column, p: Int): Column =
+    toCol(HllEstimateExpr(toExpr(reg), p))
+
+  /** JVM twin of [[estimate]]'s arithmetic for [[HllEstimateExpr]]:
+    * IDENTICAL operation order (alpha * m * m * 2^maxRho, then one
+    * double division of the exact integer harmonic sum), so compiled
+    * and builtin-composed estimates agree bit-for-bit. Register values
+    * outside [0, maxRho] get the same Java shift semantics the builtin
+    * ShiftLeft applies; a NULL element nulls the whole estimate, like
+    * the builtin aggregate's null propagation.
+    */
+  def estimateFromRegisters(arr: ArrayData, p: Int): java.lang.Double = {
+    if (arr == null) return null
+    val m = 1 << p
+    val cap = maxRho(p)
+    var s = 0L
+    var v = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val r = arr.getInt(i)
+      if (r == 0) v += 1
+      s += 1L << (cap - r)
+      i += 1
+    }
+    val num = alpha(m) * m * m * math.pow(2.0, cap)
+    val raw = num / s.toDouble
+    if (v > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / v)
+    else raw
+  }
 }
 
 /** Fixed-size register buffer: m bytes, slot-max semantics. */
@@ -292,5 +328,46 @@ case class HllMergeAgg(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hll_merge"
   override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
+}
+
+/** Compiled estimator kernel over a stored register array — the scalar
+  * SQL surface (`graft_hll_estimate`). Arithmetic is the JVM twin of the
+  * builtin-composed [[Hll.estimate]] with the identical operation order,
+  * so the two surfaces agree bit-for-bit (spec-enforced); a NULL array
+  * or a NULL register element yields NULL, mirroring the builtin
+  * composition's null propagation.
+  */
+case class HllEstimateExpr(child: Expression, p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(p >= 4 && p <= 16, s"precision must be in [4, 16], got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<int> register column, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hll_estimate"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Hll.estimateFromRegisters(v.asInstanceOf[ArrayData], p)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Double ${ev.value}Boxed =
+      |  graft.sketch.Hll.estimateFromRegisters($c, $p);
+      |if (${ev.value}Boxed == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Boxed.doubleValue();
+      |}""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): HllEstimateExpr =
     copy(child = newChild)
 }

@@ -145,7 +145,17 @@ object GraftFunctions {
     fd("graft_c4_keep_lines", classOf[C4KeepLinesExpr], 2)(a =>
       C4KeepLinesExpr(a(0), intLit("graft_c4_keep_lines", a, 1))),
     fd("graft_nfc_normalize", classOf[NfcNormalizeExpr], 1)(a =>
-      NfcNormalizeExpr(a(0))))
+      NfcNormalizeExpr(a(0))),
+    // round-8 late additions: the HLL sketch surface and perceptual
+    // image hashing (dedup over binary payloads straight from SQL)
+    fd("graft_hll_sketch", classOf[graft.sketch.HllSketchAgg], 2)(a =>
+      graft.sketch.HllSketchAgg(a(0), intLit("graft_hll_sketch", a, 1))),
+    fd("graft_hll_merge", classOf[graft.sketch.HllMergeAgg], 2)(a =>
+      graft.sketch.HllMergeAgg(a(0), intLit("graft_hll_merge", a, 1))),
+    fd("graft_hll_estimate", classOf[graft.sketch.HllEstimateExpr], 2)(a =>
+      graft.sketch.HllEstimateExpr(a(0), intLit("graft_hll_estimate", a, 1))),
+    fd("graft_image_dhash64", classOf[graft.multimodal.DHash64Expr], 1)(a =>
+      graft.multimodal.DHash64Expr(a(0))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

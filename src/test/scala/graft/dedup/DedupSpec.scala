@@ -196,6 +196,47 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("hammingPairs64: combo20 is complete at d <= 3 and matches block4 exactly") {
+    import spark.implicits._
+    // planted corpus: pair (2i, 2i+1) at exact Hamming distance i % 5
+    // (distinct flip positions -> exact distance). d <= 3 pairs must
+    // surface under BOTH complete schemes; d = 4 pairs must not; random
+    // cross-pairs sit at distance ~32 and can't collide within d=3.
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).flatMap { i =>
+      val base = rng.nextLong()
+      val d = i % 5
+      val flips = rng.shuffle((0 until 64).toList).take(d)
+      val twin = flips.foldLeft(base)((h, b) => h ^ (1L << b))
+      Seq((2L * i, base), (2L * i + 1, twin))
+    }.toDF("id", "h")
+    val expected = (0 until 200).collect {
+      case i if i % 5 <= 3 => (2L * i, 2L * i + 1)
+    }.toSet
+    def run(scheme: String) =
+      Dedup.hammingPairs64(rows, "id", "h", maxHamming = 3,
+          maxBucketSize = 1000, blockScheme = scheme)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val b4 = run("block4")
+    val c20 = run("combo20")
+    assert(b4.keySet === expected)
+    assert(c20 === b4) // same pairs AND same hamming values
+    // reported distance is the planted flip count
+    expected.foreach { case p @ (a, _) =>
+      assert(c20(p) === ((a / 2) % 5).toInt)
+    }
+    // auto (small n) routes block4 and must agree too
+    assert(run("auto") === b4)
+  }
+
+  test("hammingPairs64: combo20 refuses maxHamming > 3") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, 1L)).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(df, "id", "h", maxHamming = 4, blockScheme = "combo20")
+    }
+  }
+
   test("winnowing candidate pairs surface near-dups, not unrelated docs") {
     val pairs = Dedup.winnowingCandidatePairs(docs, "text", "doc_id", minShared = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -104,6 +104,28 @@ class HllSpec extends SparkSpec {
     assert(row.getLong(3) === c)
   }
 
+  test("compiled estimator kernel is bit-identical to the builtin composition") {
+    // cardinalities straddling the linear-counting / raw-estimator
+    // switch (2.5 * m = 5120 at p = 11)
+    for (n <- Seq(1, 40, 900, 5000, 20000)) {
+      val df = (1 to n).map(i => s"cmp-$n-$i").toDF("s")
+        .select(Kmv.hash60(col("s")).as("h"))
+      val row = df.agg(Hll.sketch(col("h"), P).as("reg"))
+        .select(Hll.estimate(col("reg"), P).as("builtin"),
+          Hll.estimateCompiled(col("reg"), P).as("compiled"))
+        .collect()(0)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)), s"n=$n")
+    }
+    // NULL array -> NULL on both surfaces
+    val nullRow = spark.range(1)
+      .select(lit(null).cast("array<int>").as("reg"))
+      .select(Hll.estimate(col("reg"), P).as("builtin"),
+        Hll.estimateCompiled(col("reg"), P).as("compiled"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
   test("null hashes are skipped; null register rows are skipped in merge") {
     val df = Seq[java.lang.Long](1L, null, 7L).toDF("h")
     val reg = df.agg(Hll.sketch(col("h"), P).as("reg")).collect()(0)

@@ -2,6 +2,7 @@ package graft.sql
 
 import graft.SparkSpec
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.ExtensionsBridge
 
 /** The SQL registration surface: every graft function callable from
@@ -108,6 +109,38 @@ class GraftSqlSpec extends SparkSpec {
         |""".stripMargin).collect()(0)
     assert(r.getAs[Double]("d") === 2.0 * math.pow(2, 60) / 400.0)
     assert(r.getAs[Double]("j") === 0.5)
+  }
+
+  test("round-8 late: hll sketch/merge/estimate and image dhash from SQL") {
+    import sql.implicits._
+    (0 until 600).map(i => (s"src${i % 3}", s"val-${i % 150}"))
+      .toDF("source", "s").createOrReplaceTempView("hll_in")
+    // per-source sketches in SQL, rolled up by the merge aggregate; the
+    // estimate must equal the Column-API composition bit-for-bit
+    val sqlRows = sql.sql(
+      """SELECT graft_hll_estimate(graft_hll_merge(reg, 11), 11) AS est
+        |FROM (SELECT source,
+        |        graft_hll_sketch(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT), 11) AS reg
+        |      FROM hll_in GROUP BY source)""".stripMargin).collect()
+    val colRow = sql.table("hll_in")
+      .select(graft.sketch.Kmv.hash60(col("s")).as("h"))
+      .agg(graft.sketch.Hll.estimate(
+        graft.sketch.Hll.sketch(col("h"), 11), 11).as("est")).collect()(0)
+    assert(sqlRows.length === 1)
+    assert(sqlRows(0).getAs[Double]("est") === colRow.getAs[Double]("est"))
+    // image dhash: the SQL function and the Column API agree on the
+    // synthetic fixture (PGM and PNG variants both decode)
+    graft.multimodal.ImageHash.syntheticImages(
+        sql.range(0, 12).select(col("id").as("doc_id")))
+      .createOrReplaceTempView("dhash_in")
+    val pairs = sql.sql(
+      "SELECT doc_id, graft_image_dhash64(bytes) AS h FROM dhash_in ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val colPairs = sql.table("dhash_in")
+      .select(col("doc_id"), graft.multimodal.ImageHash.dhash64(col("bytes")).as("h"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(pairs.nonEmpty)
+    assert(pairs === colPairs)
   }
 
   test("README quick-start SQL: sketch + estimator compose in GROUP BY") {
