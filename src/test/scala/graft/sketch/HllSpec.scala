@@ -126,6 +126,34 @@ class HllSpec extends SparkSpec {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("streaming: hll sketch aggregates across micro-batches, registers == batch") {
+    // the scaladoc's "streaming-capable" claim, proven: an update-mode
+    // grouped aggregation over micro-batches must land on BIT-IDENTICAL
+    // registers to one batch pass over the union of the data
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch1 = (1 to 400).map(i => ("a", s"s-$i")) ++ (1 to 50).map(i => ("b", s"t-$i"))
+    val batch2 = (200 to 700).map(i => ("a", s"s-$i")) ++ (1 to 50).map(i => ("b", s"t-$i"))
+    val in = MemoryStream[(String, String)]
+    val agg = in.toDF().toDF("grp", "s")
+      .select(col("grp"), Kmv.hash60(col("s")).as("h"))
+      .groupBy(col("grp")).agg(Hll.sketch(col("h"), P).as("reg"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val streamed = spark.sql("SELECT grp, reg FROM hll_stream").collect()
+        .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Int]]("reg").toSeq).toMap
+      val direct = (batch1 ++ batch2).toDF("grp", "s")
+        .select(col("grp"), Kmv.hash60(col("s")).as("h"))
+        .groupBy(col("grp")).agg(Hll.sketch(col("h"), P).as("reg")).collect()
+        .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Int]]("reg").toSeq).toMap
+      assert(streamed === direct)
+    } finally q.stop()
+  }
+
   test("null hashes are skipped; null register rows are skipped in merge") {
     val df = Seq[java.lang.Long](1L, null, 7L).toDF("h")
     val reg = df.agg(Hll.sketch(col("h"), P).as("reg")).collect()(0)
