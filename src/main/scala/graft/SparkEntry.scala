@@ -1912,6 +1912,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q112: blocklist filtering (SURVEY+ L73) — the C4-style "page
+    // contains a listed word" gate as ONE compiled Aho-Corasick pass
+    // over the whole pattern set (vs K contains/regexp scans). Patterns
+    // here are single alnum words under the word-bounded convention, so
+    // the oracle replays the EXACT semantics as token equality: fold
+    // A-Z, extract [a-z0-9]+ runs, join against a pattern VALUES table
+    // — a completely different plan (explode + join vs automaton scan),
+    // same counts. Phrase/substring modes are spec-pinned JVM-side
+    // (BlocklistSpec randomized naive-reference sweep).
+    "q112_blocklist_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.blocklistHits(
+            col("text"), q112Patterns, wordBounded = true).as("n_hits"))
+        .withColumn("blocked", (col("n_hits") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -2176,6 +2195,13 @@ object SparkEntry {
   private val q110Phrases: Seq[String] = Seq(
     "fast table", "table table", "batch part value",
     "spark order data", "the line sort", "scan query big")
+
+  /** q112's blocklist: single alnum words (so the oracle's token-equality
+    * replay is EXACT — see the q112 comment), mixing corpus-frequent
+    * terms, a mid-frequency term, and one absent term.
+    */
+  private val q112Patterns: Seq[String] = Seq(
+    "customer", "data", "vector", "stream", "zzznotpresent")
 
   /** The sign-sketch bucket expression over `numBits` embedded planes —
     * bit i weighted 2^i, matching `TextAlgo.hyperplaneBucket`.
@@ -4051,6 +4077,27 @@ object SparkEntry {
     // unicode-tokenizer replay: same decoration, the codepoint-class
     // formula (CJK spacing + ASCII translate + \p{L}\p{M}\p{N} runs)
     // standing in for the compiled kernel, same CJK class constant
+    // q112: word-bounded single-word blocklist hits == token-equality
+    // counts (the matched span must be non-alnum-bounded on both sides,
+    // i.e. it IS a full [a-z0-9]+ token after the ASCII fold) — a
+    // different plan (explode + join) than the automaton scan.
+    "q112_blocklist_filter" ->
+      ("WITH pats(p) AS (VALUES " +
+        q112Patterns.map(p => s"('$p')").mkString(", ") + "),\n" +
+        "tok AS (SELECT d.doc_id, t.w\n" +
+        "  FROM documents d,\n" +
+        "    unnest(regexp_extract_all(translate(d.text,\n" +
+        "      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),\n" +
+        "      '[a-z0-9]+')) AS t(w)\n" +
+        "  WHERE d.text IS NOT NULL),\n" +
+        "h AS (SELECT tok.doc_id, count(*) AS n\n" +
+        "  FROM tok JOIN pats ON tok.w = pats.p GROUP BY tok.doc_id)\n" +
+        "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits,\n" +
+        "  CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS blocked\n" +
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id\n" +
+        "WHERE d.text IS NOT NULL\n" +
+        "ORDER BY d.doc_id"),
+
     "q98_unicode_tokens" ->
       ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +
         " || ' ' || text || ' 終了 end' AS t\n" +

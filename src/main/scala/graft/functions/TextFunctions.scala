@@ -359,6 +359,18 @@ object TextFunctions {
       (!fWords && !fWordLen && !fSymbol && !fBullet && !fEllipsis && !fAlpha && !fStop).as("pass"))
   }
 
+  /** Blocklist occurrence count ([[BlocklistHitsExpr]], compiled, zero
+    * shuffle): one Aho-Corasick pass over ALL patterns — the C4-style
+    * "page contains a listed word" gate without K text scans. See
+    * [[AcAutomaton]] for the fold/boundary conventions; `hits > 0` is
+    * exact containment.
+    */
+  def blocklistHits(c: Column, patterns: Seq[String],
+      wordBounded: Boolean = true): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColC, expression => toExprC}
+    toColC(BlocklistHitsExpr(toExprC(c), patterns, wordBounded))
+  }
+
   /** C4 line retention ([[C4KeepLinesExpr]], compiled, zero shuffle): the
     * kept lines of the page, stripped and rejoined with '\n'. See
     * [[TextAlgo.c4KeepLines]] for the rule set.

@@ -71,6 +71,30 @@ object GraftFunctions {
         s"$fn: argument ${pos + 1} must be a string literal, got $other")
     }
 
+  private def strArrayLit(fn: String, args: Seq[Expression], pos: Int): Seq[String] =
+    args(pos) match {
+      // array('a', 'b') arrives as CreateArray of string literals
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _)
+          if items.forall {
+            case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+            case _ => false
+          } =>
+        items.map { case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString }
+      // a folded/pre-evaluated literal array
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(t, _)) if t.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+        v.toObjectArray(t).toSeq.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an array of string literals, got $other")
+    }
+
+  private def boolLit(fn: String, args: Seq[Expression], pos: Int): Boolean =
+    args(pos) match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a boolean literal, got $other")
+    }
+
   private def fd(name: String, clazz: Class[_], arity: Int)(
       builder: Seq[Expression] => Expression): FunctionDescription =
     (FunctionIdentifier(name),
@@ -155,7 +179,10 @@ object GraftFunctions {
     fd("graft_hll_estimate", classOf[graft.sketch.HllEstimateExpr], 2)(a =>
       graft.sketch.HllEstimateExpr(a(0), intLit("graft_hll_estimate", a, 1))),
     fd("graft_image_dhash64", classOf[graft.multimodal.DHash64Expr], 1)(a =>
-      graft.multimodal.DHash64Expr(a(0))))
+      graft.multimodal.DHash64Expr(a(0))),
+    fd("graft_blocklist_hits", classOf[BlocklistHitsExpr], 3)(a =>
+      BlocklistHitsExpr(a(0), strArrayLit("graft_blocklist_hits", a, 1),
+        boolLit("graft_blocklist_hits", a, 2))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

@@ -1369,6 +1369,33 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_blocklist", 5, { rng =>
+      // word-bounded blocklist hits over the edge corpus: the automaton's
+      // byte conventions (ASCII fold, [a-z0-9] word boundary) must agree
+      // with the oracle's token-equality replay across CRLF/VT/unicode
+      // garbage; patterns are single alnum words so the replay is exact
+      val pool = Seq("data", "the", "a", "x1", "scan", "query",
+        "value", "0", "zzzabsent")
+      val pats = rng.shuffle(pool).take(2 + rng.nextInt(4))
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.functions.TextFunctions.blocklistHits(
+              col("s"), pats, wordBounded = true).as("n_hits"))
+      val duck =
+        s"""WITH pats(p) AS (VALUES ${pats.map(p => s"('$p')").mkString(", ")}),
+           |tok AS (SELECT id, t.w
+           |  FROM fuzz_docs, unnest(regexp_extract_all(
+           |    translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+           |    '[a-z0-9]+')) AS t(w)
+           |  WHERE s IS NOT NULL),
+           |h AS (SELECT id, count(*) AS n FROM tok JOIN pats ON tok.w = pats.p GROUP BY id)
+           |SELECT d.id, CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits
+           |FROM fuzz_docs d LEFT JOIN h ON d.id = h.id
+           |WHERE d.s IS NOT NULL""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_nfc_fp", 4, { _ =>
       // NFC normalization + nfc-keyed unicode fingerprint over the edge
       // corpus DECORATED with a decomposed suffix (the corpus itself is
