@@ -1931,6 +1931,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q113: per-domain boilerplate line removal (SURVEY+ L74) — lines
+    // recurring in >= minFrac of a domain's pages are site chrome and
+    // get stripped. Fixture decorates every doc with a universal nav
+    // line + copyright footer (frac 1.0 -> removed), a 1/3-frequency
+    // banner (kept at minFrac 0.5), the doc body and a unique line
+    // (kept). Counting shuffles only (domain, md5-60 fp, id); removal
+    // is one compiled kernel pass against the broadcast per-domain
+    // sorted fp array. The oracle replays the whole contract (strip
+    // class, fp convention, inclusive frac, minDocs floor, blank-line
+    // immunity) via list_filter + list_contains — explode/join-free on
+    // the removal side, a different plan shape than the Spark join.
+    "q113_domain_boilerplate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val dom = concat(lit("dom"), id % 7)
+      val decorated = concat(
+        lit("Home | About | Contact - "), dom, lit("\n"),
+        when(id % 3 === 0, concat(lit("Subscribe banner "), dom, lit("\n")))
+          .otherwise(lit("")),
+        col("text"), lit("\n"),
+        lit("unique doc line "), id, lit("\n"),
+        lit("(c) copyright "), dom, lit(" all rights reserved"))
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(id, dom.as("domain"), decorated.as("text"))
+      graft.dedup.Boilerplate.stripDomainBoilerplate(
+          docs, "text", "domain", "doc_id", minFrac = 0.5, minDocs = 2)
+        .select(col("doc_id"), col("domain"), col("cleaned"),
+          col("n_lines"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -4097,6 +4127,42 @@ object SparkEntry {
         "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id\n" +
         "WHERE d.text IS NOT NULL\n" +
         "ORDER BY d.doc_id"),
+
+    // q113: the strip regex is built with plain-string escapes so the
+    // SQL carries literal backslash classes (Java/RE2-shared syntax)
+    "q113_domain_boilerplate" -> {
+      val strip = (x: String) =>
+        "regexp_replace(regexp_replace(" + x +
+          ", '^[ \\t\\x0B\\f\\r]+', ''), '[ \\t\\x0B\\f\\r]+$', '')"
+      val fp = (x: String) =>
+        "CAST(concat('0x', substr(md5(" + x + "), 1, 15)) AS BIGINT)"
+      "WITH d AS (SELECT doc_id, 'dom' || (doc_id % 7) AS domain,\n" +
+        "    'Home | About | Contact - dom' || (doc_id % 7) || chr(10) ||\n" +
+        "    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe banner dom' || (doc_id % 7) || chr(10) ELSE '' END ||\n" +
+        "    text || chr(10) ||\n" +
+        "    'unique doc line ' || doc_id || chr(10) ||\n" +
+        "    '(c) copyright dom' || (doc_id % 7) || ' all rights reserved' AS t\n" +
+        "  FROM documents WHERE text IS NOT NULL),\n" +
+        "votes AS (SELECT DISTINCT domain, doc_id, " + fp("u.sl") + " AS f\n" +
+        "  FROM (SELECT doc_id, domain, list_transform(string_split(t, chr(10)), l -> " +
+        strip("l") + ") AS sls FROM d), unnest(sls) AS u(sl)\n" +
+        "  WHERE u.sl <> ''),\n" +
+        "freq AS (SELECT domain, f, count(*) AS df FROM votes GROUP BY 1, 2),\n" +
+        "nd AS (SELECT domain, count(*) AS n FROM d GROUP BY 1),\n" +
+        "boiler AS (SELECT freq.domain, list(freq.f) AS bf\n" +
+        "  FROM freq JOIN nd ON freq.domain = nd.domain\n" +
+        "  WHERE df >= 2 AND CAST(df AS DOUBLE) >= 0.5 * n\n" +
+        "  GROUP BY freq.domain),\n" +
+        "res AS (SELECT d.doc_id, d.domain,\n" +
+        "    list_filter(string_split(d.t, chr(10)), l ->\n" +
+        "      " + strip("l") + " = ''\n" +
+        "      OR NOT list_contains(coalesce(b.bf, []), " + fp(strip("l")) + ")) AS kept,\n" +
+        "    len(string_split(d.t, chr(10))) AS nl\n" +
+        "  FROM d LEFT JOIN boiler b ON d.domain = b.domain)\n" +
+        "SELECT doc_id, domain, coalesce(array_to_string(kept, chr(10)), '') AS cleaned,\n" +
+        "  CAST(nl AS INTEGER) AS n_lines, CAST(nl - len(kept) AS INTEGER) AS n_removed\n" +
+        "FROM res ORDER BY doc_id"
+    },
 
     "q98_unicode_tokens" ->
       ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +

@@ -182,7 +182,9 @@ object GraftFunctions {
       graft.multimodal.DHash64Expr(a(0))),
     fd("graft_blocklist_hits", classOf[BlocklistHitsExpr], 3)(a =>
       BlocklistHitsExpr(a(0), strArrayLit("graft_blocklist_hits", a, 1),
-        boolLit("graft_blocklist_hits", a, 2))))
+        boolLit("graft_blocklist_hits", a, 2))),
+    fd("graft_strip_lines_by_fp", classOf[graft.dedup.StripLinesByFpExpr], 2)(a =>
+      graft.dedup.StripLinesByFpExpr(a(0), a(1))))
 
   /** Catalyst twin of [[graft.sketch.Kmv.distinctEstimate]] — keep the two
     * in lockstep (KmvSpec asserts SQL/Column parity).

@@ -209,6 +209,12 @@ object FuzzDiff {
     */
   private final case class Template(key: String, weight: Int, gen: Random => (SparkSession => DataFrame, String))
 
+  /** DuckDB string literal: quote-doubled, newlines via chr(10) (DuckDB
+    * standard literals do no backslash processing, so tabs etc. embed raw).
+    */
+  private def sqlStr(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
   private val numCols = Map(
     "lineitem" -> Seq(("l_quantity", 1.0, 51.0), ("l_extendedprice", 900.0, 105000.0),
       ("l_discount", 0.0, 0.1), ("l_tax", 0.0, 0.08)),
@@ -1393,6 +1399,44 @@ object FuzzDiff {
            |SELECT d.id, CAST(coalesce(h.n, 0) AS INTEGER) AS n_hits
            |FROM fuzz_docs d LEFT JOIN h ON d.id = h.id
            |WHERE d.s IS NOT NULL""".stripMargin
+      (build, duck)
+    }),
+
+    Template("fz_boiler_strip", 4, { rng =>
+      // boilerplate strip kernel over the edge corpus decorated with
+      // planted bait lines: the fp convention (md5-60 of the ASCII-
+      // stripped line) is recomputed INDEPENDENTLY on the DuckDB side
+      // from the bait strings, so strip class, fp derivation, blank-line
+      // immunity and the count contract must all agree byte-for-byte
+      val baitPool = Seq("data", "the end.", "x 1", "  padded bait\t", "zz")
+      val bait = rng.shuffle(baitPool).take(1 + rng.nextInt(3))
+      val fps = bait.map(b => graft.dedup.Boilerplate.lineFp60(
+        graft.dedup.Boilerplate.stripAscii(b))).sorted
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").where(col("s").isNotNull)
+          .select(col("id"),
+            graft.dedup.Boilerplate.stripLinesByFp(
+              concat(lit(bait.head + "\n"), col("s"), lit("\n" + bait.last)),
+              lit(fps.toArray)).as("r"))
+          .select(col("id"), col("r.cleaned"), col("r.n_lines"), col("r.n_removed"))
+      val strip = (x: String) =>
+        "regexp_replace(regexp_replace(" + x +
+          ", '^[ \\t\\x0B\\f\\r]+', ''), '[ \\t\\x0B\\f\\r]+$', '')"
+      val baitSql = bait.map(b =>
+        "CAST(concat('0x', substr(md5(" + strip(sqlStr(b)) + "), 1, 15)) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val duck =
+        "WITH d AS (SELECT id, " + sqlStr(bait.head + "\n") + " || s || " +
+          sqlStr("\n" + bait.last) + " AS t FROM fuzz_docs WHERE s IS NOT NULL),\n" +
+          "res AS (SELECT id,\n" +
+          "    list_filter(string_split(t, chr(10)), l ->\n" +
+          "      " + strip("l") + " = ''\n" +
+          "      OR NOT list_contains(" + baitSql + ",\n" +
+          "        CAST(concat('0x', substr(md5(" + strip("l") + "), 1, 15)) AS BIGINT))) AS kept,\n" +
+          "    len(string_split(t, chr(10))) AS nl FROM d)\n" +
+          "SELECT id, coalesce(array_to_string(kept, chr(10)), '') AS cleaned,\n" +
+          "  CAST(nl AS INTEGER) AS n_lines, CAST(nl - len(kept) AS INTEGER) AS n_removed\n" +
+          "FROM res"
       (build, duck)
     }),
 
