@@ -1961,6 +1961,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q114: temperature-resampled corpus mix (SURVEY+ L75) — the
+    // multilingual-LM flattening rule (share proportional to count^0.5;
+    // Arivazhagan et al. 2019, mT5) over the lang strata. Exactness
+    // chain: sqrt is IEEE-correctly-rounded in BOTH engines, the 2^20
+    // weight scale + floor are exact, so integer weights, the
+    // largest-remainder split and the availability cap replay
+    // bit-identically; row choice is the shared portable md5 rank.
+    "q114_temperature_mix" -> ((s, dir) => {
+      graft.etl.Stratified.exactTemperatureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          "lang", "doc_id", total = 90, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -4163,6 +4177,28 @@ object SparkEntry {
         "  CAST(nl AS INTEGER) AS n_lines, CAST(nl - len(kept) AS INTEGER) AS n_removed\n" +
         "FROM res ORDER BY doc_id"
     },
+
+    // q114: q66's integer largest-remainder replay with the temperature
+    // weight CTE in front (sqrt exact-rounded, power-of-two scale, floor
+    // — all engine-exact) and the availability cap via least()
+    "q114_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS wt FROM cnt),
+        |tw AS (SELECT sum(wt) AS tw FROM w),
+        |q0 AS (SELECT lang, c, (90 * wt) // tw AS base, (90 * wt) % tw AS rem FROM w, tw),
+        |deficit AS (SELECT 90 - sum(base) AS d FROM q0),
+        |q AS (SELECT lang,
+        |    least(c, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= d
+        |                         THEN 1 ELSE 0 END) AS quota
+        |  FROM q0, deficit),
+        |r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.source
+        |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q98_unicode_tokens" ->
       ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +

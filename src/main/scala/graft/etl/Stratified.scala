@@ -53,6 +53,47 @@ object Stratified {
     bumped.sortBy(_._1)
   }
 
+  /** Temperature-weighted largest-remainder quotas: the multilingual-LM
+    * mixing rule (share_s proportional to count_s^alpha — Arivazhagan et
+    * al. 2019; mT5/mC4) as EXACT integer arithmetic. Weights are
+    * floor(count^alpha * weightScale): at the default alpha = 0.5,
+    * sqrt is IEEE-754 correctly ROUNDED in every conforming engine and
+    * the power-of-two scale + floor are exact, so the integer weight —
+    * and hence every quota — replays bit-identically in DuckDB (the
+    * q114 oracle does). Other alphas are supported but pow is not a
+    * correctly-rounded operation, so cross-engine exactness is only
+    * near-certain, not contractual. Quotas are capped at stratum
+    * availability (an up-weighted rare stratum cannot be stretched past
+    * its rows — no silent replication, no redistribution; the result
+    * may then hold fewer than `total` rows, deterministically).
+    */
+  private[etl] def temperatureQuotas(
+      counts: Seq[(String, Long)],
+      total: Long,
+      alpha: Double,
+      weightScale: Long): Seq[(String, Long)] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(weightScale > 0, s"weightScale must be positive, got $weightScale")
+    require(counts.nonEmpty, "no strata")
+    val t = counts.map(_._2).sum
+    require(total <= t, s"cannot sample $total rows from $t")
+    val w = counts.map { case (k, c) =>
+      val pw = if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+      (k, math.floor(pw * weightScale).toLong)
+    }
+    val bigW = w.map(x => BigInt(x._2)).sum
+    val base = w.map { case (k, wt) =>
+      val num = BigInt(total) * BigInt(wt)
+      (k, (num / bigW).toLong, num % bigW)
+    }
+    val leftover = total - base.map(_._2).sum
+    val bumped = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .zipWithIndex
+      .map { case ((k, b, _), i) => (k, if (i < leftover) b + 1 else b) }
+    val avail = counts.toMap
+    bumped.map { case (k, q) => (k, math.min(q, avail(k))) }.sortBy(_._1)
+  }
+
   /** Exactly `total` rows of `df`, proportionally stratified over the
     * string column `stratumCol`, rows chosen by [[md5Rank]] of `idCol`
     * (ties by id). Adds nothing and drops nothing else — output schema is
@@ -63,7 +104,31 @@ object Stratified {
       stratumCol: String,
       idCol: String,
       total: Long,
-      saltBuckets: Int = 32): DataFrame = {
+      saltBuckets: Int = 32): DataFrame =
+    sampleByQuotas(df, stratumCol, idCol, quotas(_, total), saltBuckets)
+
+  /** Temperature-resampled corpus mix: [[temperatureQuotas]] quotas over
+    * `stratumCol`, rows chosen by the same portable [[md5Rank]] order —
+    * the flattening step of multilingual-LM data mixing as one
+    * deterministic, oracle-replayable operator.
+    */
+  def exactTemperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      total: Long,
+      alpha: Double = 0.5,
+      weightScale: Long = 1L << 20,
+      saltBuckets: Int = 32): DataFrame =
+    sampleByQuotas(df, stratumCol, idCol,
+      temperatureQuotas(_, total, alpha, weightScale), saltBuckets)
+
+  private def sampleByQuotas(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      quotaFn: Seq[(String, Long)] => Seq[(String, Long)],
+      saltBuckets: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // NULL strata get a sentinel key so they are sampled like any other
@@ -76,7 +141,7 @@ object Stratified {
     val keyed = df.withColumn(skey, coalesce(col(stratumCol).cast("string"), lit(sentinel)))
     val counts: Seq[(String, Long)] = keyed.groupBy(col(skey)).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val q = quotas(counts, total)
+    val q = quotaFn(counts)
     val qDf = broadcast(q.toDF(skey, "__graft_quota"))
 
     val originalCols = df.columns.toSeq

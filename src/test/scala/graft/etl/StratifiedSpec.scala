@@ -75,4 +75,48 @@ class StratifiedSpec extends SparkSpec {
       .select($"id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("temperatureQuotas: alpha = 1 equals proportional quotas") {
+    val rng = new scala.util.Random(7)
+    (0 until 100).foreach { _ =>
+      val counts = (0 until 1 + rng.nextInt(8)).map(i =>
+        (s"s$i", 1L + rng.nextInt(5000))).toSeq
+      val total = 1L + rng.nextInt(counts.map(_._2).sum.toInt)
+      // alpha = 1: weights = c * scale, identical shares to raw counts
+      assert(Stratified.temperatureQuotas(counts, total, 1.0, 1L << 20) ===
+        Stratified.quotas(counts, total))
+    }
+  }
+
+  test("temperatureQuotas: alpha = 0.5 flattens — rare strata gain, capped at availability") {
+    val counts = Seq(("big", 9000L), ("mid", 900L), ("rare", 100L))
+    val prop = Stratified.quotas(counts, 500L).toMap
+    val temp = Stratified.temperatureQuotas(counts, 500L, 0.5, 1L << 20).toMap
+    assert(temp("rare") > prop("rare"))
+    assert(temp("big") < prop("big"))
+    assert(temp.values.sum === 500L) // no cap hit here
+    // a tiny stratum up-weighted past its size is capped, total shrinks
+    val capped = Stratified.temperatureQuotas(
+      Seq(("big", 100000L), ("tiny", 4L)), 5000L, 0.5, 1L << 20).toMap
+    assert(capped("tiny") === 4L)
+    assert(capped.values.sum < 5000L)
+  }
+
+  test("exactTemperatureSample lands exactly on the temperature quotas") {
+    val df = ((0L until 800L).map(i => (i, "big")) ++
+      (800L until 880L).map(i => (i, "mid")) ++
+      (880L until 890L).map(i => (i, "rare"))).toDF("id", "stratum")
+    val expected = Stratified.temperatureQuotas(
+      Seq(("big", 800L), ("mid", 80L), ("rare", 10L)), 100L, 0.5, 1L << 20).toMap
+    val got = Stratified.exactTemperatureSample(df, "stratum", "id", 100L)
+      .groupBy($"stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected.filter(_._2 > 0))
+    // deterministic across salt buckets, like the proportional path
+    val a = Stratified.exactTemperatureSample(df, "stratum", "id", 100L, saltBuckets = 1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val b = Stratified.exactTemperatureSample(df, "stratum", "id", 100L, saltBuckets = 16)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
 }
