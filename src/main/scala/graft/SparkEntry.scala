@@ -1975,6 +1975,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q115: CCNet perplexity bucketing (SURVEY+ L76) — per-language
+    // head/middle/tail terciles of the q57 cross-entropy score. Bucket
+    // assignment is RANK-based (round(xent,6), doc_id total order +
+    // exact integer NTILE arithmetic), never cut-value-based — float
+    // cuts are knife-edged across engines. The oracle replays the q57
+    // score chain then a plain ntile(3) window; the Spark side uses the
+    // scalable grouped-ntile (global range-split rank + broadcast
+    // per-language extents), a completely different plan.
+    "q115_perplexity_buckets" -> ((s, dir) => {
+      graft.text.PerplexityBuckets.partition(
+          t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -4199,6 +4217,28 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.source
         |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    // q115: the q57 score chain + a plain per-language ntile window
+    "q115_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(DISTINCT term) AS v FROM tf),
+        |p AS (SELECT term,
+        |    CAST(sum(tf) + 1 AS DOUBLE) / CAST((SELECT t + v FROM tot) AS DOUBLE) AS prob
+        |  FROM tf GROUP BY term),
+        |x AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf.tf * -ln(p.prob)) / sum(tf.tf), 6) AS xent
+        |  FROM tf JOIN p USING (term) GROUP BY tf.doc_id),
+        |s AS (SELECT x.doc_id, d.lang, x.n_tokens, x.xent
+        |  FROM x JOIN documents d ON x.doc_id = d.doc_id),
+        |b AS (SELECT s.*, ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS bkt
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens, xent,
+        |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q98_unicode_tokens" ->
       ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +

@@ -77,6 +77,45 @@ object Ranking {
     ranked.withColumn(outCol, bucket.cast("int")).drop(rnCol)
   }
 
+  /** SQL `ntile(k) OVER (PARTITION BY groupCols ORDER BY sortCols)`
+    * without a per-group window: groups are contiguous in the global
+    * (groupCols ++ sortCols) order, so one scalable global row number +
+    * a tiny per-group (min-rank, count) broadcast join recovers the
+    * 0-based within-group rank, and the exact NTILE arithmetic (first
+    * n mod k buckets take one extra row) is plain column math. A
+    * partitionBy(group) window would put every group in ONE task —
+    * skew-prone for few-large-group shapes like per-language corpora;
+    * this stays range-split regardless of group sizes. Requires the
+    * number of DISTINCT groups to be broadcast-small (the per-group
+    * extent frame has one row per group).
+    */
+  def withGroupedNtile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      k: Int,
+      outCol: String,
+      numPartitions: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val rnCol = "__graft_global_rn"
+    val ranked = withGlobalRowNumber(df,
+      groupCols.map(col) ++ sortCols, rnCol, numPartitions, seed)
+    val ext = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col(rnCol)).as("__g0"), count(lit(1)).as("__gn"))
+    val joined = ranked.join(broadcast(ext), groupCols)
+    val r0 = col(rnCol) - col("__g0") // 0-based within-group rank
+    val n = col("__gn")
+    val rem = n % k
+    val base = (n - rem) / k // exact: numerator divisible by k
+    val bucket = when(base === 0, r0 + 1) // fewer rows than buckets
+      .when(r0 < rem * (base + 1), floor(r0 / (base + 1)) + 1)
+      .otherwise(rem + floor((r0 - rem * (base + 1)) / base) + 1)
+    joined.withColumn(outCol, bucket.cast("int"))
+      .drop(rnCol, "__g0", "__gn")
+  }
+
   /** Assign each row a data-derived RANGE id in `sortCols` order: 0-based,
     * at most `numPartitions` ranges, a pure function of the row (stable
     * across jobs — see the class doc for why `repartitionByRange` is not).

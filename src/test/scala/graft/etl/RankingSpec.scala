@@ -70,4 +70,25 @@ class RankingSpec extends SparkSpec {
     assert(Ranking.withGlobalRowNumber(empty, Seq(col("v")), "rn").count() === 0)
     assert(Ranking.withNtile(empty, Seq(col("v")), 4, "b").count() === 0)
   }
+
+  test("withGroupedNtile equals the window ntile on randomized group shapes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (trial <- 0 until 5; k <- Seq(2, 3, 7)) {
+      // uneven groups, duplicate sort keys, group counts above and below k
+      val rows = (0 until 4 + rng.nextInt(6)).flatMap { g =>
+        (0 until 1 + rng.nextInt(40)).map { i =>
+          (s"g$g", rng.nextInt(12).toDouble, (g * 1000 + i).toLong)
+        }
+      }
+      val df = rows.toDF("grp", "v", "id")
+      val viaScalable = Ranking.withGroupedNtile(df, Seq("grp"),
+          Seq(col("v"), col("id")), k, "b")
+        .select($"id", $"b").as[(Long, Int)].collect().toMap
+      val viaWindow = df.withColumn("b", ntile(k).over(
+          Window.partitionBy($"grp").orderBy($"v", $"id")))
+        .select($"id", $"b").as[(Long, Int)].collect().toMap
+      assert(viaScalable === viaWindow, s"trial=$trial k=$k")
+    }
+  }
 }
