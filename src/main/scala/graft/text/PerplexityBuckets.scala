@@ -42,8 +42,16 @@ object PerplexityBuckets {
       roundDigits: Int = 6): DataFrame = {
     val scored = UnigramLm.crossEntropy(df, idCol, textCol, unicode)
       .withColumn("xent", round(col("xent"), roundDigits))
-    val withLang = scored.join(
-      df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+    // PERSIST the scored frame (one slim row per doc) before ranking:
+    // the range-split rank machinery evaluates its input several times
+    // (boundary-sample job, per-range counts, group extents, final
+    // output) — the right trade for a cheap scan, a 3x wall-clock
+    // multiplier on the expensive LM chain (measured 226 s -> the
+    // re-measured figure in BENCHNOTES at 5M docs). Tracked in the
+    // shared cache queue — callers running many partitions in one
+    // session should call Dedup.unpersistCaches after materializing.
+    val withLang = graft.dedup.Dedup.persistTracked(scored.join(
+      df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id"))
     Ranking.withGroupedNtile(withLang, Seq("lang"),
       Seq(col("xent"), col("doc_id")), k, "bucket")
   }
