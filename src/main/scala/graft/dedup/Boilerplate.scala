@@ -69,14 +69,44 @@ object Boilerplate {
     h >>> 4
   }
 
+  /** Binary search over the ArrayData in place — no materialization. */
+  @inline private def containsFp(fps: ArrayData, n: Int, key: Long): Boolean = {
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = fps.getLong(mid)
+      if (v < key) lo = mid + 1
+      else if (v > key) hi = mid - 1
+      else return true
+    }
+    false
+  }
+
   /** Kernel body: drop lines whose stripped form is non-blank and whose
     * fp is in `fps`; keep original bytes/order. Returns
     * (cleaned, n_lines, n_removed) — counts computed here so an
     * all-lines-removed result is not confused with one kept blank line.
+    *
+    * CONTRACT: `fps` must be sorted ascending — both producers
+    * ([[domainBoilerplateFps]] via `sort_array`, and any caller of
+    * [[stripLinesByFp]]) are required to pass sorted arrays, and the
+    * kernel binary-searches the ArrayData directly with no per-row
+    * allocation. A cheap O(k) is-sorted scan guards the contract; on
+    * the (out-of-contract) unsorted path it falls back to a one-off
+    * copy + sort rather than returning silently wrong results.
     */
   def stripByFp(text: UTF8String, fps: ArrayData): InternalRow = {
-    val sorted = fps.toLongArray().clone()
-    java.util.Arrays.sort(sorted)
+    val nFps = fps.numElements()
+    var sortedIn = true
+    var j = 1
+    while (sortedIn && j < nFps) {
+      if (fps.getLong(j - 1) > fps.getLong(j)) sortedIn = false
+      j += 1
+    }
+    val fallback: Array[Long] =
+      if (sortedIn) null
+      else { val a = fps.toLongArray(); java.util.Arrays.sort(a); a }
     val lines = text.toString.split("\n", -1)
     val kept = new StringBuilder
     var removed = 0
@@ -84,8 +114,9 @@ object Boilerplate {
     var i = 0
     while (i < lines.length) {
       val sl = stripAscii(lines(i))
-      val drop = sl.nonEmpty && sorted.length > 0 &&
-        java.util.Arrays.binarySearch(sorted, lineFp60(sl)) >= 0
+      val drop = sl.nonEmpty && nFps > 0 &&
+        (if (sortedIn) containsFp(fps, nFps, lineFp60(sl))
+         else java.util.Arrays.binarySearch(fallback, lineFp60(sl)) >= 0)
       if (drop) removed += 1
       else {
         if (!first) kept.append('\n')

@@ -22,33 +22,21 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Candidate-pair caches created by [[nearDuplicatePairs]],
-    * [[jaccardPairs]] and [[containmentPairs]]. Those operators persist
-    * the (id_a, id_b) candidate frame because the candidate-id prune
-    * reads it twice, and the RETURNED plan is lazy — unpersisting inside
-    * the function would evict the cache before the caller ever ran the
-    * query. Spark's CacheManager holds such entries for the session
-    * lifetime, so a long-lived session issuing many dedup calls should
-    * call [[unpersistCaches]] after MATERIALIZING each result (write/
-    * collect); calling it earlier is safe but downgrades the cached
-    * reads to recomputation. One-shot jobs can ignore this entirely —
-    * the cache dies with the session.
+  /** The candidate-pair prunes in [[nearDuplicatePairs]], [[jaccardPairs]]
+    * and [[containmentPairs]] persist their (id_a, id_b) candidate frame
+    * (read twice by the returned lazy plan) through the shared
+    * [[graft.etl.CacheTracker]] registry; see its scaladoc for the
+    * unpersist-after-materializing contract. Kept here as a delegate so
+    * dedup callers have the sweep next to the operators that need it.
     */
-  private val pendingCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private[graft] def persistTracked(df: DataFrame): DataFrame =
+    graft.etl.CacheTracker.persistTracked(df)
 
-  private[graft] def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pendingCaches.add(p)
-    p
-  }
-
-  /** Unpersist every candidate-pair cache created since the last call —
-    * see [[pendingCaches]] for the contract (call after materializing).
+  /** Unpersist every tracked operator cache — delegates to
+    * [[graft.etl.CacheTracker.unpersistCaches]].
     */
-  def unpersistCaches(blocking: Boolean = false): Unit = {
-    var d = pendingCaches.poll()
-    while (d != null) { d.unpersist(blocking); d = pendingCaches.poll() }
-  }
+  def unpersistCaches(blocking: Boolean = false): Unit =
+    graft.etl.CacheTracker.unpersistCaches(blocking)
 
   /** Drop rows whose `keys` tuple occurs more than `cap` times — the skew
     * guard for LSH-style candidate joins. The hot-key set is a partial-

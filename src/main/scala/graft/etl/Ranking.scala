@@ -88,6 +88,13 @@ object Ranking {
     * this stays range-split regardless of group sizes. Requires the
     * number of DISTINCT groups to be broadcast-small (the per-group
     * extent frame has one row per group).
+    *
+    * NULL group keys form their own partition, matching the window
+    * `ntile(k) OVER (PARTITION BY g)` semantics: null-keyed rows always
+    * fall in range 0 of the global rank (every bound comparison is
+    * null -> false) and the range window orders nulls first, so the
+    * null group is contiguous like any other; the extent join-back is
+    * null-safe (`<=>`) so those rows are bucketed, not dropped.
     */
   def withGroupedNtile(
       df: DataFrame,
@@ -102,9 +109,15 @@ object Ranking {
     val rnCol = "__graft_global_rn"
     val ranked = withGlobalRowNumber(df,
       groupCols.map(col) ++ sortCols, rnCol, numPartitions, seed)
+    val jk = groupCols.indices.map(i => s"__gjk_$i")
     val ext = ranked.groupBy(groupCols.map(col): _*)
       .agg(min(col(rnCol)).as("__g0"), count(lit(1)).as("__gn"))
-    val joined = ranked.join(broadcast(ext), groupCols)
+      .select(groupCols.zip(jk).map { case (g, j) => col(g).as(j) } :+
+        col("__g0") :+ col("__gn"): _*)
+    val cond = groupCols.zip(jk)
+      .map { case (g, j) => ranked(g) <=> ext(j) }
+      .reduce(_ && _)
+    val joined = ranked.join(broadcast(ext), cond).drop(jk: _*)
     val r0 = col(rnCol) - col("__g0") // 0-based within-group rank
     val n = col("__gn")
     val rem = n % k

@@ -19,8 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * chained `contains` calls, or K regexps), and the classic automaton
   * is exactly the collapse of those K scans into one. The automaton is
   * built ONCE per plan on the driver and ships to executors inside the
-  * expression (a few hundred KB for thousand-word lists — reference-
-  * object plumbing, not per-row state); matching allocates nothing.
+  * expression (reference-object plumbing, not per-row state); matching
+  * allocates nothing. Transitions are stored over a COMPACT alphabet —
+  * one class per distinct folded pattern byte plus one shared class
+  * for every byte no pattern contains (all such bytes provably reset
+  * toward the root identically) — so a node costs (A+1)*4 bytes for A
+  * distinct pattern bytes, ~1.3 MB for a thousand-word English list
+  * (~8k nodes x ~40 classes), not the 1 KiB/node of a full 256-way
+  * table. The pattern-byte cap (2^18) bounds the worst case (~242 MB
+  * at the impossible all-230-classes extreme, tens of MB realistically)
+  * well under executor broadcast budgets.
   *
   * Matching conventions (engine-portable, shared with the C4 kernels):
   *  - ASCII case fold only (A-Z -> a-z), applied bytewise to the text;
@@ -33,10 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ASCII-word convention as the [a-z0-9]+ tokenizer).
   *  - every (pattern, position) occurrence counts, including overlaps
   *    between patterns and self-overlapping patterns ("aa" hits "aaa"
-  *    twice) — the count is the exhaustive occurrence count, so a >0
+  *    twice) — the count is the exhaustive occurrence count over the
+  *    DISTINCT folded patterns (duplicate list entries are collapsed at
+  *    build, so listing a word twice cannot double its hits), and a >0
   *    test is exact containment.
   */
 final class AcAutomaton private (
+    byteClass: Array[Int],
     delta: Array[Array[Int]],
     outLens: Array[Array[Int]]) extends Serializable {
 
@@ -59,7 +70,7 @@ final class AcAutomaton private (
     var hits = 0
     var i = 0
     while (i < len) {
-      val c = fold(bytes(i))
+      val c = byteClass(fold(bytes(i)))
       state = delta(state)(c)
       val lens = outLens(state)
       if (lens.length > 0) {
@@ -84,8 +95,12 @@ final class AcAutomaton private (
 
 object AcAutomaton {
 
-  /** Build the goto/fail automaton (as a full byte-indexed DFA, with
-    * fail-closure output lists) over the ASCII-folded patterns.
+  /** Build the goto/fail automaton (as a compact-alphabet DFA with
+    * fail-closure output lists) over the DISTINCT ASCII-folded patterns.
+    * Bytes that appear in no pattern all share one alphabet class: from
+    * any state such a byte's transition resolves along the fail chain
+    * to the root's (which is the root itself), so one column represents
+    * all of them exactly.
     */
   def build(patterns: Seq[String]): AcAutomaton = {
     require(patterns.nonEmpty, "blocklist must contain at least one pattern")
@@ -94,20 +109,27 @@ object AcAutomaton {
       p.getBytes("UTF-8").map { b =>
         val c = b & 0xFF
         (if (c >= 'A' && c <= 'Z') c + 32 else c).toByte
-      }
-    }
+      }.toSeq
+    }.distinct.map(_.toArray) // collapse duplicate entries: one output per distinct pattern
     val totalLen = pats.map(_.length).sum
-    require(totalLen <= (1 << 22),
-      s"blocklist too large: $totalLen pattern bytes (max ${1 << 22})")
-    // trie
-    val goto = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
+    require(totalLen <= (1 << 18),
+      s"blocklist too large: $totalLen pattern bytes (max ${1 << 18})")
+    // compact alphabet: class 0 = "no pattern contains this byte"
+    val byteClass = new Array[Int](256)
+    var nClasses = 1
+    pats.foreach(_.foreach { b =>
+      val c = b & 0xFF
+      if (byteClass(c) == 0) { byteClass(c) = nClasses; nClasses += 1 }
+    })
+    // trie over classes
+    val goto = scala.collection.mutable.ArrayBuffer(Array.fill(nClasses)(-1))
     val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     pats.foreach { p =>
       var s = 0
       p.foreach { b =>
-        val c = b & 0xFF
+        val c = byteClass(b & 0xFF)
         if (goto(s)(c) < 0) {
-          goto += Array.fill(256)(-1)
+          goto += Array.fill(nClasses)(-1)
           ends += Nil
           goto(s)(c) = goto.length - 1
         }
@@ -119,7 +141,7 @@ object AcAutomaton {
     val n = goto.length
     val fail = new Array[Int](n)
     val queue = scala.collection.mutable.Queue.empty[Int]
-    (0 until 256).foreach { c =>
+    (0 until nClasses).foreach { c =>
       val t = goto(0)(c)
       if (t < 0) goto(0)(c) = 0
       else { fail(t) = 0; queue += t }
@@ -127,13 +149,13 @@ object AcAutomaton {
     while (queue.nonEmpty) {
       val s = queue.dequeue()
       ends(s) = ends(s) ::: ends(fail(s))
-      (0 until 256).foreach { c =>
+      (0 until nClasses).foreach { c =>
         val t = goto(s)(c)
         if (t < 0) goto(s)(c) = goto(fail(s))(c)
         else { fail(t) = goto(fail(s))(c); queue += t }
       }
     }
-    new AcAutomaton(goto.toArray, ends.map(_.toArray).toArray)
+    new AcAutomaton(byteClass, goto.toArray, ends.map(_.toArray).toArray)
   }
 }
 

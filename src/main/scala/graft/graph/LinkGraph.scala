@@ -133,6 +133,10 @@ object LinkGraph {
     * with `n` = node count (a scalar aggregate broadcast into the plan,
     * never a driver-side collect). Returns `(node, rank)` with ranks in
     * units of `scaleTotal` total initial mass.
+    *
+    * Registers two iteration-input caches with
+    * [[graft.etl.CacheTracker]] — long-lived sessions should call
+    * `CacheTracker.unpersistCaches()` after materializing the result.
     */
   def pageRank(
       edges: DataFrame,
@@ -150,14 +154,14 @@ object LinkGraph {
       col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("long").as("__w"))
     val outW = e.groupBy(col("__src")).agg(sum(col("__w")).as("__out_w"))
-    // persisted (tracked — graft.dedup.Dedup.unpersistCaches): the edge
+    // persisted (tracked — graft.etl.CacheTracker.unpersistCaches): the edge
     // derivation feeds EVERY iteration; without the cache each
     // iteration's subplan re-embeds it, which both recomputes upstream
     // work past what exchange-reuse covers and inflates the unrolled
     // plan (analysis + codegen of k copies dominates small-graph runs).
     // Caching the iteration inputs is the standard shape for iterative
     // graph algorithms (GraphX does the same with its graph).
-    val eOut = graft.dedup.Dedup.persistTracked(e.join(outW, "__src"))
+    val eOut = graft.etl.CacheTracker.persistTracked(e.join(outW, "__src"))
     // nodes derive from the CACHED eOut, not the raw edges: a separate
     // cache-fill plan cannot share exchanges with eOut's, so reading `e`
     // here would recompute the whole upstream edge derivation a second
@@ -166,7 +170,7 @@ object LinkGraph {
       .union(eOut.select(col("__dst"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     // scalar broadcast: base and the initial rank are per-node constants
-    val nodesBase = graft.dedup.Dedup.persistTracked(
+    val nodesBase = graft.etl.CacheTracker.persistTracked(
       nodes.crossJoin(broadcast(nRow))
         .select(col("node"),
           expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),

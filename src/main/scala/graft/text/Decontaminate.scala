@@ -79,6 +79,10 @@ object Decontaminate {
     *
     * Output: `(idCol, bench_<idCol>, jaccard)` for pairs at or above
     * `threshold`.
+    *
+    * Registers the candidate-pair cache with
+    * [[graft.etl.CacheTracker]] — long-lived sessions should call
+    * `CacheTracker.unpersistCaches()` after materializing the result.
     */
   def fuzzyOverlapReport(
       train: DataFrame,
@@ -111,9 +115,10 @@ object Decontaminate {
     }
     val benchBands = banded(bench.select(col(idCol).as("__bench_id"), col(textCol)), "__bench_id")
     val benchSets = bench.select(col(idCol).as("__bench_id"), setOf(col(textCol)).as("__bsh"))
-    // persisted (tracked — see Dedup.unpersistCaches): read twice, for the
+    // persisted (tracked — see graft.etl.CacheTracker.unpersistCaches):
+    // read twice, for the
     // candidate-id prune and the verify join
-    val cands = graft.dedup.Dedup.persistTracked(banded(train, idCol)
+    val cands = graft.etl.CacheTracker.persistTracked(banded(train, idCol)
       .join(broadcast(benchBands), Seq("__band", "__key"))
       .select(col(idCol), col("__bench_id"))
       .distinct())

@@ -29,6 +29,10 @@ import graft.etl.Ranking
   * Output: (doc_id, lang, n_tokens, xent, bucket 1..k) — one row per
   * document that HAS tokens (token-less docs carry no score, same
   * contract as q57).
+  *
+  * [[partition]] registers the scored-frame cache with
+  * [[graft.etl.CacheTracker]] — long-lived sessions should call
+  * `CacheTracker.unpersistCaches()` after materializing the result.
   */
 object PerplexityBuckets {
 
@@ -49,8 +53,9 @@ object PerplexityBuckets {
     // multiplier on the expensive LM chain (measured 226 s -> the
     // re-measured figure in BENCHNOTES at 5M docs). Tracked in the
     // shared cache queue — callers running many partitions in one
-    // session should call Dedup.unpersistCaches after materializing.
-    val withLang = graft.dedup.Dedup.persistTracked(scored.join(
+    // session should call graft.etl.CacheTracker.unpersistCaches after
+    // materializing (see its scaladoc for the contract).
+    val withLang = graft.etl.CacheTracker.persistTracked(scored.join(
       df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id"))
     Ranking.withGroupedNtile(withLang, Seq("lang"),
       Seq(col("xent"), col("doc_id")), k, "bucket")

@@ -82,4 +82,26 @@ class BoilerplateSpec extends SparkSpec {
     assert(Boilerplate.stripAscii(" \t x \u000B ") === "x")
     assert(Boilerplate.stripAscii("\u00A0x\u00A0") === "\u00A0x\u00A0")
   }
+
+  test("stripByFp kernel: sorted fast path and unsorted fallback agree") {
+    // the kernel contract is sorted fps (both producers emit sorted
+    // arrays); an out-of-contract unsorted array must still strip
+    // correctly via the one-off fallback sort
+    val text = "keep me\nNAV a\nNAV b\nalso keep"
+    val fpA = Boilerplate.lineFp60("NAV a")
+    val fpB = Boilerplate.lineFp60("NAV b")
+    val sorted = Seq(fpA, fpB).sorted
+    val unsorted = sorted.reverse
+    def strip(fps: Seq[Long]): (String, Int, Int) = {
+      val r = Seq(Tuple1(text)).toDF("t")
+        .select(Boilerplate.stripLinesByFp(col("t"),
+          typedLit(fps)).as("r"))
+        .select(col("r.cleaned"), col("r.n_lines"), col("r.n_removed"))
+        .collect()(0)
+      (r.getString(0), r.getInt(1), r.getInt(2))
+    }
+    val want = ("keep me\nalso keep", 4, 2)
+    assert(strip(sorted) === want)
+    assert(strip(unsorted) === want)
+  }
 }

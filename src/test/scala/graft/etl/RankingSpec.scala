@@ -91,4 +91,24 @@ class RankingSpec extends SparkSpec {
       assert(viaScalable === viaWindow, s"trial=$trial k=$k")
     }
   }
+
+  test("withGroupedNtile keeps NULL group keys as their own partition") {
+    import spark.implicits._
+    // null lang rows must be bucketed like any other group (window
+    // PARTITION BY semantics: NULL forms its own partition), not dropped
+    val rows = Seq(
+      (null.asInstanceOf[String], 1.0, 1L), (null.asInstanceOf[String], 2.0, 2L),
+      (null.asInstanceOf[String], 3.0, 3L), (null.asInstanceOf[String], 4.0, 4L),
+      ("en", 1.0, 10L), ("en", 2.0, 11L), ("en", 3.0, 12L),
+      ("fr", 5.0, 20L))
+    val df = rows.toDF("grp", "v", "id").repartition(3)
+    val viaScalable = Ranking.withGroupedNtile(df, Seq("grp"),
+        Seq(col("v"), col("id")), 3, "b")
+      .select($"id", $"b").as[(Long, Int)].collect().toMap
+    val viaWindow = df.withColumn("b", ntile(3).over(
+        Window.partitionBy($"grp").orderBy($"v", $"id")))
+      .select($"id", $"b").as[(Long, Int)].collect().toMap
+    assert(viaScalable.size === 8, "no rows may be dropped")
+    assert(viaScalable === viaWindow)
+  }
 }

@@ -75,6 +75,24 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("duplicate list entries are collapsed: hits count DISTINCT patterns") {
+    // the same pattern listed twice (or in different case, which folds
+    // to the same byte sequence) must not double-count occurrences
+    assert(hits("data data", Seq("data", "data"), bounded = false) === 2)
+    assert(hits("data data", Seq("data", "DATA", "Data"), bounded = true) === 2)
+    assert(hits("aaaa", Seq("aa", "aa", "aa"), bounded = false) === 3)
+  }
+
+  test("pattern-byte cap fails fast; a large distinct list still builds") {
+    val big = (0 until 3000).map(i => s"pattern$i") // ~30 KB: fine
+    assert(hits("pattern42 and pattern2999", big, bounded = true) === 2)
+    val over = (0 until 30000).map(i => s"p${i}_padding_padding_padding")
+    val e = intercept[IllegalArgumentException] {
+      AcAutomaton.build(over)
+    }
+    assert(e.getMessage.contains("blocklist too large"))
+  }
+
   test("null text yields null; invalid pattern lists fail fast") {
     val r = Seq[(java.lang.Long, String)]((1L, null), (2L, "data")).toDF("id", "t")
       .select(col("id"), TextFunctions.blocklistHits(col("t"), Seq("data")).as("h"))
