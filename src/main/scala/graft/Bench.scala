@@ -28,7 +28,11 @@ object Bench {
     // yardstick for its bucketed sibling q39, which IS timed. A quadratic
     // plan has no business in a throughput contract meant to extrapolate to
     // 100 TB — see tools/CrossoverBench for the measured q35/q39 crossover.
-    val timedQueries = (SparkEntry.queries - "q35_cosine_neardup_exact")
+    // q109v is q109's exact-distinct accuracy yardstick: a corpus-wide
+    // exploded count_distinct, valid only at gate/validation scale —
+    // timing it would measure exactly the cost the HLL sketch avoids.
+    val timedQueries = (SparkEntry.queries
+        - "q35_cosine_neardup_exact" - "q109v_hll_accuracy")
       .filter { case (name, _) => onlySet.forall(_.contains(name)) }
     require(timedQueries.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries")
     // Best-of-N (default 2) per query: a single pass can record a host

@@ -1844,6 +1844,10 @@ object SparkEntry {
     // reg_checksum pin the register content in exact integer arithmetic,
     // and the estimate is deterministic double division of those integers
     // (+ the standard linear-counting branch), compared after round(4).
+    // This is the SKETCH-ONLY plan — the exact-distinct accuracy
+    // yardstick lives in q109v (untimed, Bench-excluded like q35): a
+    // corpus-wide exploded count_distinct riding the timed query would
+    // be exactly the cost the sketch exists to avoid at 100 TB.
     "q109_hll_source_distinct" -> ((s, dir) => {
       import graft.sketch.Hll
       val p = 11
@@ -1852,11 +1856,31 @@ object SparkEntry {
       val perSrc = sh.groupBy(col("source")).agg(Hll.sketch(col("hs"), p).as("reg"))
       val allRow = perSrc.agg(Hll.mergeSketches(col("reg"), p).as("reg"))
         .select(lit("__all__").as("source"), col("reg"))
-      // exact distinct counts ride along as the accuracy yardstick (cheap
-      // at gate scale; the sketch exists so 100 TB runs can skip this).
-      // cube(source) computes the per-source AND global rollup in ONE
-      // shingle pass — two separate aggregates each re-shingled the
-      // corpus (measured 4.5s -> ~2.5s at sf0.1)
+      perSrc.unionByName(allRow)
+        .select(col("source"),
+          Hll.zeroCount(col("reg")).as("v_zero"),
+          Hll.harmonicSum(col("reg"), p).as("s_int"),
+          Hll.checksum(col("reg")).as("reg_checksum"),
+          round(Hll.estimate(col("reg"), p), 4).as("est_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // q109v: the HLL ACCURACY yardstick — sketch estimate joined to the
+    // exact distinct count, per source and global. Untimed validation
+    // (Bench-excluded, the q35 pattern): the exact side is a corpus-wide
+    // exploded count_distinct, affordable only at gate/validation scale
+    // and deliberately kept OUT of q109's timed plan. cube(source)
+    // computes the per-source AND global rollup in ONE shingle pass —
+    // two separate aggregates each re-shingled the corpus (measured
+    // 4.5s -> ~2.5s at sf0.1).
+    "q109v_hll_accuracy" -> ((s, dir) => {
+      import graft.sketch.Hll
+      val p = 11
+      val sh = t(s, dir, "documents").select(col("source"),
+        TextFunctions.shingleHashSetPortable(col("text"), 5).as("hs"))
+      val perSrc = sh.groupBy(col("source")).agg(Hll.sketch(col("hs"), p).as("reg"))
+      val allRow = perSrc.agg(Hll.mergeSketches(col("reg"), p).as("reg"))
+        .select(lit("__all__").as("source"), col("reg"))
       val exact = sh.select(col("source"), explode(col("hs")).as("h"))
         .cube(col("source"))
         .agg(count_distinct(col("h")).as("exact_distinct"))
@@ -1864,9 +1888,6 @@ object SparkEntry {
           col("exact_distinct"))
       perSrc.unionByName(allRow)
         .select(col("source"),
-          Hll.zeroCount(col("reg")).as("v_zero"),
-          Hll.harmonicSum(col("reg"), p).as("s_int"),
-          Hll.checksum(col("reg")).as("reg_checksum"),
           round(Hll.estimate(col("reg"), p), 4).as("est_distinct"))
         .join(exact, Seq("source"))
         .orderBy(col("source"))
@@ -3404,7 +3425,8 @@ object SparkEntry {
     // the Spark side's register rollup. v_zero/s_int/reg_checksum are
     // exact integer pins of the register content; the estimator repeats
     // the identical double arithmetic (alpha literal with the same
-    // left-assoc op order) and rounds to 4.
+    // left-assoc op order) and rounds to 4. Sketch-only — the exact-
+    // distinct yardstick is q109v's.
     "q109_hll_source_distinct" ->
       """WITH norm AS (SELECT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
         |h AS (SELECT source,
@@ -3425,11 +3447,42 @@ object SparkEntry {
         |    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS s_int,
         |    CAST(sum((idx + 1) * mj) AS BIGINT) AS reg_checksum
         |  FROM reg GROUP BY source),
-        |ex AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM hs GROUP BY source),
         |est AS (SELECT source, v_zero, s_int, reg_checksum,
         |    0.7213/(1+1.079/2048.0)*2048*2048*1125899906842624.0 / CAST(s_int AS DOUBLE) AS raw
         |  FROM agg)
-        |SELECT e.source, e.v_zero, e.s_int, e.reg_checksum,
+        |SELECT source, v_zero, s_int, reg_checksum,
+        |  round(CASE WHEN v_zero > 0 AND raw <= 5120.0
+        |        THEN 2048.0 * ln(2048.0 / CAST(v_zero AS DOUBLE))
+        |        ELSE raw END, 4) AS est_distinct
+        |FROM est
+        |ORDER BY source""".stripMargin,
+    // q109v: the accuracy yardstick — same register replay reduced to
+    // the estimate, joined to the exact distinct count per source and
+    // global.
+    "q109v_hll_accuracy" ->
+      """WITH norm AS (SELECT source, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents),
+        |h AS (SELECT source,
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(pos AS INTEGER), 5)), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS pos FROM norm) q),
+        |hs AS (SELECT source, h FROM h UNION ALL SELECT '__all__' AS source, h FROM h),
+        |rho AS (SELECT source, h // 562949953421312 AS idx,
+        |    CASE WHEN h % 562949953421312 = 0 THEN 50
+        |         ELSE 50 - length(format('{:b}', h % 562949953421312)) END AS rho
+        |  FROM hs),
+        |reg0 AS (SELECT source, idx, max(rho) AS mj FROM rho GROUP BY source, idx),
+        |grid AS (SELECT s.source, g.idx FROM (SELECT DISTINCT source FROM hs) s,
+        |         (SELECT unnest(range(0, 2048)) AS idx) g),
+        |reg AS (SELECT grid.source, grid.idx, coalesce(reg0.mj, 0) AS mj
+        |  FROM grid LEFT JOIN reg0 ON grid.source = reg0.source AND grid.idx = reg0.idx),
+        |agg AS (SELECT source,
+        |    CAST(count(*) FILTER (mj = 0) AS INTEGER) AS v_zero,
+        |    CAST(sum(1::BIGINT << (50 - mj)) AS BIGINT) AS s_int
+        |  FROM reg GROUP BY source),
+        |ex AS (SELECT source, count(DISTINCT h) AS exact_distinct FROM hs GROUP BY source),
+        |est AS (SELECT source, v_zero,
+        |    0.7213/(1+1.079/2048.0)*2048*2048*1125899906842624.0 / CAST(s_int AS DOUBLE) AS raw
+        |  FROM agg)
+        |SELECT e.source,
         |  round(CASE WHEN e.v_zero > 0 AND e.raw <= 5120.0
         |        THEN 2048.0 * ln(2048.0 / CAST(e.v_zero AS DOUBLE))
         |        ELSE e.raw END, 4) AS est_distinct,
