@@ -137,6 +137,30 @@ object LinkGraph {
     * Registers two iteration-input caches with
     * [[graft.etl.CacheTracker]] — long-lived sessions should call
     * `CacheTracker.unpersistCaches()` after materializing the result.
+    *
+    * The loop re-embeds the rank subplan each iteration, so every
+    * `checkpointEvery` iterations the rank frame is `localCheckpoint`ed
+    * (the [[graft.similarity.Similarity.kCenterSelect]] pattern): plan
+    * depth — and hence analysis + codegen cost, which would otherwise
+    * dominate long runs — stays bounded regardless of `iters`. Ranks
+    * are integers, so checkpointing cannot perturb values (and
+    * [[LinkGraphSpec]] proves bit-identity across cadences). Measured
+    * at iters=20 (tools/PageRankIterBench, sf10-derived graph): no
+    * checkpoint 47.8 s, every 10 28.0 s, every 5 ~21 s — that fixture
+    * is plan-overhead-dominated, so smaller cadences keep winning
+    * there; on a BILLION-node graph each checkpoint materializes the
+    * rank frame, which argues against very small cadences. 5 is the
+    * middle default.
+    *
+    * `redistributeDangling = true` adds the classic dangling-mass
+    * correction: each iteration, the rank mass sitting on nodes with no
+    * out-edges is shared uniformly (integer div) across all nodes
+    * inside the damped term, so total mass is conserved up to div
+    * truncation instead of leaking. Off by default — the q105 oracle
+    * replays the plain variant — and exact-integer like everything
+    * else: rank'(d) = base + (dampNum * (inc(d) + dangMass div n)) div
+    * dampDen. Costs one extra scalar aggregate per iteration (the
+    * dangling ids are precomputed once).
     */
   def pageRank(
       edges: DataFrame,
@@ -146,8 +170,11 @@ object LinkGraph {
       iters: Int = 5,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      scaleTotal: Long = 1000000000000L): DataFrame = {
+      scaleTotal: Long = 1000000000000L,
+      checkpointEvery: Int = 5,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
     val e = edges.select(
@@ -175,6 +202,11 @@ object LinkGraph {
         .select(col("node"),
           expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
           expr(s"$scaleTotal div __n").as("__r0")))
+    // dangling nodes (no out-edges) — only materialized for the
+    // redistribution variant; anti-join against the cached eOut
+    lazy val danglingIds = graft.etl.CacheTracker.persistTracked(
+      nodesBase.select(col("node"))
+        .join(eOut.select(col("__src").as("node")).distinct(), Seq("node"), "left_anti"))
     var ranks = nodesBase.select(col("node"), col("__r0").as("rank"))
     var i = 0
     while (i < iters) {
@@ -182,11 +214,29 @@ object LinkGraph {
         .join(eOut, ranks("node") === eOut("__src"))
         .select(col("__dst"), expr("(rank * __w) div __out_w").as("__c"))
       val incoming = contribs.groupBy(col("__dst")).agg(sum(col("__c")).as("__inc"))
-      ranks = nodesBase
+      val updated = nodesBase
         .join(incoming, nodesBase("node") === incoming("__dst"), "left")
-        .select(col("node"),
-          (col("__base") + expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"))
+      ranks =
+        if (!redistributeDangling)
+          updated.select(col("node"),
+            (col("__base") + expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"))
+        else {
+          // per-node dangling share as a 1-row scalar broadcast:
+          // (sum of dangling rank) div n, exact integer arithmetic
+          val ds = ranks.join(danglingIds, Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
+            .crossJoin(broadcast(nRow))
+            .select(expr("__dm div __n").as("__ds"))
+          updated.crossJoin(broadcast(ds))
+            .select(col("node"),
+              (col("__base") +
+                expr(s"($dampNum * (coalesce(__inc, 0L) + __ds)) div $dampDen")).as("rank"))
+        }
       i += 1
+      // truncate lineage before the plan grows past ~checkpointEvery
+      // iterations of join/agg nesting; eager (the default) so the
+      // checkpoint materializes here, not lazily inside a deeper plan
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -103,4 +103,48 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.values.sum <= 1000000000000L)
     assert(a.values.forall(_ > 0L))
   }
+
+  test("pageRank at iters=20 is bit-identical across checkpoint cadences") {
+    // real link-graph runs use tens of iterations; the periodic
+    // localCheckpoint that keeps the unrolled plan bounded must not
+    // perturb a single integer rank, whatever the cadence
+    val edges = (0L until 300L)
+      .map(i => (s"d${i % 17}", s"d${(i * 11 + 5) % 17}", i % 4 + 1))
+      .toDF("src", "dst", "n_links")
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("n_links").as("n_links"))
+    def run(every: Int) =
+      LinkGraph.pageRank(edges, iters = 20, checkpointEvery = every)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = run(1000) // effectively no checkpoint
+    assert(base === run(10))
+    assert(base === run(3))
+    assert(base === run(1))
+  }
+
+  test("redistributeDangling: hand-computed 2-node example; mass conserved") {
+    // a -> b, b dangling. n=2, scaleTotal=1000, damping 85/100:
+    //   base = ((1000*15) div 100) div 2 = 75, r0 = 500 each
+    // plain iter 1: rank(a)=75, rank(b)=75+(85*500) div 100=500 (575 total:
+    //   the dangling mass leaks)
+    // redistributed: ds = 500 div 2 = 250;
+    //   rank(a) = 75 + (85*250) div 100  = 287
+    //   rank(b) = 75 + (85*750) div 100  = 712 (999 total: conserved mod div)
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "n_links")
+    val plain = LinkGraph.pageRank(edges, iters = 1, scaleTotal = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain === Map("a" -> 75L, "b" -> 500L))
+    val redis = LinkGraph.pageRank(edges, iters = 1, scaleTotal = 1000L,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(redis === Map("a" -> 287L, "b" -> 712L))
+    // multi-iteration conservation on a sink-heavy graph: total mass stays
+    // within div-truncation of the initial scaled mass instead of leaking
+    val sinky = Seq(("a", "s1", 1L), ("a", "s2", 2L), ("b", "a", 1L))
+      .toDF("src", "dst", "n_links")
+    val total = LinkGraph.pageRank(sinky, iters = 5, redistributeDangling = true)
+      .agg(sum(col("rank"))).collect()(0).getLong(0)
+    assert(total > 999999990000L && total <= 1000000000000L,
+      s"mass should be conserved up to integer truncation, got $total")
+  }
 }
