@@ -1481,8 +1481,10 @@ object SparkEntry {
     // shared-syntax discipline, so the oracle replays the parse
     // byte-for-byte from the same construction — including the eTLD+1
     // public-suffix ladder (the suffix snapshot becomes IN lists in the
-    // oracle) over ccTLD (co.uk) and 3-label private
-    // (s3.amazonaws.com) suffixes.
+    // oracle) over ccTLD (co.uk), 3-label private
+    // (s3.amazonaws.com), wildcard (*.ck -> '...example.ck' is itself a
+    // public suffix) and exception (!www.ck -> registrable domain is the
+    // rule itself, prevailing over the wildcard) rules.
     "q94_url_parts" -> ((s, dir) => {
       val id = col("doc_id")
       val url = concat(
@@ -1491,8 +1493,8 @@ object SparkEntry {
         lit("://"),
         when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
         lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
-        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com")),
-          (id % 4 + 1).cast("int")),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com"),
+          lit("ck"), lit("www.ck")), (id % 6 + 1).cast("int")),
         when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
         lit("/p/"), id,
         when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
@@ -1526,8 +1528,8 @@ object SparkEntry {
         lit("://"),
         when(id % 7 === 0, lit("user:pw@")).otherwise(lit("")),
         lit("Sub"), id % 5, lit(".host"), id % 11, lit(".example."),
-        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com")),
-          (id % 4 + 1).cast("int")),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("s3.amazonaws.com"),
+          lit("ck"), lit("www.ck")), (id % 6 + 1).cast("int")),
         when(id % 4 === 0, lit(":8080")).otherwise(lit("")),
         lit("/p/"), id,
         when(id % 2 === 0, lit("?q=x&n=1")).otherwise(lit("")),
@@ -2227,17 +2229,31 @@ object SparkEntry {
     * already-lowercased host.
     */
   private[graft] def etld1OracleSql(host: String): String = {
-    val byLen = graft.functions.PublicSuffix.Snapshot.distinct
-      .groupBy(_.count(_ == '.') + 1)
-    val maxK = byLen.keys.max
+    // the same rule split as both Spark tiers (Url.splitRules), so the
+    // oracle ladder cannot drift from the engine's
+    val (excRules, wildTails, normals) =
+      graft.functions.Url.splitRules(graft.functions.PublicSuffix.Snapshot)
+    val byLen = normals.groupBy(_.count(_ == '.') + 1)
+    val wildByLen = wildTails.groupBy(_.count(_ == '.') + 2)
+    val maxK = (byLen.keys ++ wildByLen.keys).foldLeft(2)(math.max)
     def lastK(k: Int) =
       s"regexp_extract($host, '([^.]+(?:[.][^.]+){${k - 1}})$$', 1)"
-    val whens = (maxK to 2 by -1).flatMap { k =>
-      byLen.get(k).map { set =>
-        val inList = set.sorted.map(s => s"'$s'").mkString(", ")
-        s"WHEN ${lastK(k)} IN ($inList)\n      THEN nullif(${lastK(k + 1)}, '')"
+    def inList(set: Seq[String]) = set.sorted.map(s => s"'$s'").mkString(", ")
+    // exception rules first (they prevail over every other match), then
+    // descending k with normal IN-sets and wildcard tail matches OR'd
+    val excWhens = excRules.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(-_._1)
+      .map { case (n, rules) =>
+        s"WHEN ${lastK(n)} IN (${inList(rules)})\n      THEN ${lastK(n)}"
       }
-    }.mkString("\n    ")
+    val kWhens = (maxK to 2 by -1).flatMap { k =>
+      val conds =
+        byLen.get(k).map(set => s"${lastK(k)} IN (${inList(set)})").toSeq ++
+          wildByLen.get(k).map(tails =>
+            s"(${lastK(k - 1)} IN (${inList(tails)}) AND ${lastK(k)} <> '')")
+      if (conds.isEmpty) None
+      else Some(s"WHEN ${conds.mkString(" OR ")}\n      THEN nullif(${lastK(k + 1)}, '')")
+    }
+    val whens = (excWhens ++ kWhens).mkString("\n    ")
     s"CASE WHEN NOT starts_with($host, '[') THEN\n  CASE $whens\n" +
       s"    ELSE nullif(${lastK(2)}, '') END\nEND"
   }
@@ -3893,7 +3909,7 @@ object SparkEntry {
         |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
         |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
         |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
-        |  ['com','org','co.uk','s3.amazonaws.com'][CAST(doc_id % 4 + 1 AS INT)] ||
+        |  ['com','org','co.uk','s3.amazonaws.com','ck','www.ck'][CAST(doc_id % 6 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
         |  '/p/' || doc_id ||
         |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||
@@ -4086,7 +4102,7 @@ object SparkEntry {
         |  ['https','HTTP','ftp'][CAST(doc_id % 3 + 1 AS INT)] || '://' ||
         |  CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
         |  'Sub' || (doc_id % 5) || '.host' || (doc_id % 11) || '.example.' ||
-        |  ['com','org','co.uk','s3.amazonaws.com'][CAST(doc_id % 4 + 1 AS INT)] ||
+        |  ['com','org','co.uk','s3.amazonaws.com','ck','www.ck'][CAST(doc_id % 6 + 1 AS INT)] ||
         |  CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END ||
         |  '/p/' || doc_id ||
         |  CASE WHEN doc_id % 2 = 0 THEN '?q=x&n=1' ELSE '' END ||

@@ -14,12 +14,13 @@ package graft.functions
   *    correct PSL default for them.
   *  - This is a curated SNAPSHOT subset of publicsuffix.org (the
   *    common ccTLD second-level registries plus a few high-volume
-  *    private suffixes), not the full ~10k-rule list; wildcard
-  *    (`*.ck`) and exception (`!www.ck`) rules are out of scope.
-  *    Callers with the full list pass their own `Seq[String]` (column
-  *    tier, [[Url.registrableDomain]]) or a DataFrame (broadcast-join
-  *    tier, [[Url.withRegistrableDomain]]) — the resolution logic is
-  *    identical.
+  *    private suffixes and the live wildcard sections), not the full
+  *    ~10k-rule list. Wildcard (`*.ck`) and exception (`!www.ck`)
+  *    rules are supported with full PSL semantics in both resolution
+  *    tiers. Callers with the full list pass their own `Seq[String]`
+  *    (column tier, [[Url.registrableDomain]]) or a DataFrame
+  *    (broadcast-join tier, [[Url.withRegistrableDomain]]) — the
+  *    resolution logic is identical.
   */
 object PublicSuffix {
 
@@ -102,6 +103,15 @@ object PublicSuffix {
     "s3.amazonaws.com", "compute.amazonaws.com", "elb.amazonaws.com",
     "cdn.cloudflare.net")
 
-  /** The default snapshot: registry + private sections. */
-  val Snapshot: Seq[String] = CcSecondLevel ++ PrivateSection
+  /** Wildcard and exception rules, from the PSL's live wildcard
+    * sections: every label directly under these ccTLDs is itself a
+    * public suffix (`*.ck` — any `<x>.ck` is a registry), except the
+    * explicitly carved-out registrants (`!www.ck`).
+    */
+  val WildcardRules: Seq[String] = Seq(
+    "*.ck", "!www.ck", // Cook Islands: the canonical PSL example pair
+    "*.er", "*.kh", "*.mm", "*.np")
+
+  /** The default snapshot: registry + private + wildcard sections. */
+  val Snapshot: Seq[String] = CcSecondLevel ++ PrivateSection ++ WildcardRules
 }

@@ -109,9 +109,19 @@ object Url {
     * heuristic, which mis-keys every `*.co.uk`-style host to the suffix
     * itself and lumps all UK sites into one per-domain-cap bucket.
     *
-    * Resolution (longest-match ladder, PSL semantics minus wildcards):
+    * Resolution (longest-match ladder, full PSL rule semantics):
     *  - a k-label suffix match keys the domain as the host's last k+1
     *    labels; NULL when the host IS the suffix (no registrant);
+    *  - a WILDCARD rule `*.ck` (k labels counting `*`) matches any host
+    *    whose last k-1 labels equal the tail and that has at least k
+    *    labels — the wildcarded label is part of the public suffix, so
+    *    the domain is the last k+1 labels (under `*.ck`, host
+    *    `t.example.ck` has public suffix `example.ck` and registrable
+    *    domain `t.example.ck`; host `example.ck` IS a suffix -> NULL);
+    *  - an EXCEPTION rule `!www.ck` prevails over every other match
+    *    (PSL algorithm): the public suffix is the rule minus its
+    *    leftmost label, so the registrable domain is the rule itself
+    *    for any host ending in it;
     *  - no listed suffix matching = the PSL's implicit `*` rule: the
     *    TLD alone is the public suffix, domain = last two labels —
     *    which is why `suffixes` only needs MULTI-label rules
@@ -139,25 +149,57 @@ object Url {
     */
   def registrableDomainOfHost(h: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column = {
     require(suffixes.nonEmpty, "suffix list must be non-empty")
-    require(suffixes.forall(s => !s.startsWith(".") && !s.endsWith(".") && !s.contains("*")),
-      "suffixes must be bare dotted labels (no leading/trailing dot, no wildcards)")
     // the host side is always lowercased (urlHost lowers; the scaladoc
     // contract for raw host columns requires it) — lower the suffix side
     // too, so a mixed-case entry like "CO.UK" matches exactly like the
     // DataFrame tier (withRegistrableDomain), which lowers its suffix column
-    val byLen = suffixes.map(_.toLowerCase).distinct.groupBy(_.count(_ == '.') + 1)
-    val maxK = byLen.keys.max
+    val (excRules, wildTails, normals) = splitRules(suffixes)
+    val byLen = normals.groupBy(_.count(_ == '.') + 1)
+    // wildcard rule length counts the `*` label
+    val wildByLen = wildTails.groupBy(_.count(_ == '.') + 2)
+    val maxK = (byLen.keys ++ wildByLen.keys).foldLeft(2)(math.max)
     val fallback = nullif(lastLabels(h, 2), lit("")) // implicit `*` rule
     // ascending fold nests so the LONGEST suffix length is checked first
     val ladder = (2 to maxK).foldLeft(fallback) { (els, k) =>
-      byLen.get(k) match {
-        case Some(set) =>
-          when(lastLabels(h, k).isin(set: _*), nullif(lastLabels(h, k + 1), lit("")))
-            .otherwise(els)
-        case None => els
-      }
+      val conds =
+        byLen.get(k).map(set => lastLabels(h, k).isin(set: _*)).toSeq ++
+          // `*.tail`: last k-1 labels equal the tail AND a k-th label exists
+          wildByLen.get(k).map(tails =>
+            lastLabels(h, k - 1).isin(tails: _*) && lastLabels(h, k) =!= "")
+      if (conds.isEmpty) els
+      else when(conds.reduce(_ || _), nullif(lastLabels(h, k + 1), lit(""))).otherwise(els)
     }
-    when(!h.startsWith("["), ladder)
+    // exception rules prevail over EVERY other match (PSL algorithm);
+    // the domain is the rule itself whenever the host ends in it
+    val withExc = excRules.groupBy(_.count(_ == '.') + 1)
+      .foldLeft(ladder) { case (els, (n, rules)) =>
+        when(lastLabels(h, n).isin(rules: _*), lastLabels(h, n)).otherwise(els)
+      }
+    when(!h.startsWith("["), withExc)
+  }
+
+  /** Lower, dedupe and split a PSL rule list into (exception rules
+    * without `!`, wildcard tails without `*.`, normal rules), validating
+    * each class. Shared by both resolution tiers and the oracle-SQL
+    * generator so the three can never disagree on rule parsing.
+    */
+  private[graft] def splitRules(
+      suffixes: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val lowered = suffixes.map(_.toLowerCase).distinct
+    val (excRaw, rest) = lowered.partition(_.startsWith("!"))
+    val (wildRaw, normals) = rest.partition(_.startsWith("*."))
+    def bare(s: String): Boolean =
+      s.nonEmpty && !s.startsWith(".") && !s.endsWith(".") &&
+        !s.contains("*") && !s.contains("!")
+    val excRules = excRaw.map(_.substring(1))
+    val wildTails = wildRaw.map(_.substring(2))
+    require(normals.forall(bare),
+      "suffixes must be bare dotted labels, '*.<suffix>' wildcards or '!<suffix>' exceptions")
+    require(wildTails.forall(bare),
+      "wildcard rules must be '*.<bare dotted suffix>' (one leading '*.' only)")
+    require(excRules.forall(r => bare(r) && r.contains(".")),
+      "exception rules must be '!<multi-label suffix>' (the rule minus '!' is the domain)")
+    (excRules, wildTails, normals)
   }
 
   /** Tracking parameters stripped by [[canonicalize]] — the common
@@ -225,10 +267,12 @@ object Url {
 
   /** DataFrame tier of [[registrableDomain]] for full-size suffix tables
     * (the real PSL is ~10k rules — too big to inline as plan literals):
-    * one broadcast LEFT join per suffix label-count against the host's
-    * last-k-labels candidate, then the same longest-match ladder.
-    * `suffixDf` needs a string column `suffixCol`; everything stays
-    * map-side (the suffix table broadcasts, nothing shuffles).
+    * one broadcast LEFT join per suffix label-count and rule kind
+    * (normal / `*.` wildcard / `!` exception) against the host's
+    * last-k-labels candidate, then the same longest-match ladder with
+    * exceptions prevailing. `suffixDf` needs a string column
+    * `suffixCol`; everything stays map-side (the suffix table
+    * broadcasts, nothing shuffles).
     */
   def withRegistrableDomain(
       df: org.apache.spark.sql.DataFrame,
@@ -236,29 +280,52 @@ object Url {
       outCol: String,
       suffixDf: org.apache.spark.sql.DataFrame,
       suffixCol: String = "suffix"): org.apache.spark.sql.DataFrame = {
-    val sfx = suffixDf
-      .select(lower(col(suffixCol)).as("__sfx"),
-        size(split(col(suffixCol), "[.]")).as("__sfx_k"))
+    val low = suffixDf.select(lower(col(suffixCol)).as("__raw")).distinct()
+    val exc = low.where(col("__raw").startsWith("!"))
+      .select(expr("substring(__raw, 2)").as("__sfx"))
+      .select(col("__sfx"), size(split(col("__sfx"), "[.]")).as("__sfx_k"))
+    // wildcard rule length counts the `*` label; the join key is the tail
+    val wild = low.where(col("__raw").startsWith("*."))
+      .select(expr("substring(__raw, 3)").as("__tail"))
+      .select(col("__tail"), (size(split(col("__tail"), "[.]")) + 1).as("__sfx_k"))
+    val norm = low
+      .where(!col("__raw").startsWith("!") && !col("__raw").startsWith("*."))
+      .select(col("__raw").as("__sfx"),
+        size(split(col("__raw"), "[.]")).as("__sfx_k"))
       .where(col("__sfx_k") >= 2) // single-label rules == the fallback
-      .distinct()
     // the suffix table is small by contract; one tiny job for the max k
-    val ks = sfx.agg(coalesce(max(col("__sfx_k")), lit(2)).as("m")).first().getInt(0)
+    val ks = norm.select(col("__sfx_k"))
+      .union(wild.select(col("__sfx_k")))
+      .union(exc.select(col("__sfx_k")))
+      .agg(coalesce(max(col("__sfx_k")), lit(2)).as("m")).first().getInt(0)
     val host = urlHost(col(urlCol))
     var out = df.withColumn("__host", host)
     (2 to ks).foreach { k =>
       out = out
         .withColumn(s"__last$k", lastLabels(col("__host"), k))
         .join(
-          broadcast(sfx.where(col("__sfx_k") === k).select(col("__sfx").as(s"__m$k"))),
+          broadcast(norm.where(col("__sfx_k") === k).select(col("__sfx").as(s"__m$k"))),
           col(s"__last$k") === col(s"__m$k"), "left")
+        .join(
+          broadcast(wild.where(col("__sfx_k") === k).select(col("__tail").as(s"__w$k"))),
+          lastLabels(col("__host"), k - 1) === col(s"__w$k"), "left")
+        .join(
+          broadcast(exc.where(col("__sfx_k") === k).select(col("__sfx").as(s"__e$k"))),
+          col(s"__last$k") === col(s"__e$k"), "left")
     }
     val fallback = nullif(lastLabels(col("__host"), 2), lit(""))
-    val ladder = (2 to ks).foldLeft(fallback) { (els, k) =>
-      when(col(s"__m$k").isNotNull,
+    val base = (2 to ks).foldLeft(fallback) { (els, k) =>
+      when(col(s"__m$k").isNotNull ||
+          (col(s"__w$k").isNotNull && col(s"__last$k") =!= ""),
         nullif(lastLabels(col("__host"), k + 1), lit(""))).otherwise(els)
+    }
+    // exceptions prevail over every other match (PSL algorithm)
+    val ladder = (2 to ks).foldLeft(base) { (els, k) =>
+      when(col(s"__e$k").isNotNull, col(s"__last$k")).otherwise(els)
     }
     out
       .withColumn(outCol, when(!col("__host").startsWith("["), ladder))
-      .drop((Seq("__host") ++ (2 to ks).flatMap(k => Seq(s"__last$k", s"__m$k"))): _*)
+      .drop((Seq("__host") ++
+        (2 to ks).flatMap(k => Seq(s"__last$k", s"__m$k", s"__w$k", s"__e$k"))): _*)
   }
 }

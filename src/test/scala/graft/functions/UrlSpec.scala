@@ -84,6 +84,36 @@ class UrlSpec extends SparkSpec {
     assert(etld1("https://amazonaws.com/") === "amazonaws.com")
   }
 
+  test("eTLD+1: wildcard rules make every next label a public suffix") {
+    // *.ck: any <x>.ck is a registry, so the registrable domain is one
+    // label deeper than the last-two heuristic
+    assert(etld1("https://www.example.ck/x") === "www.example.ck")
+    assert(etld1("https://deep.www.example.ck/x") === "www.example.ck")
+    // a host that IS a wildcard-matched suffix has no registrant
+    assert(etld1("https://example.ck/") === null)
+    assert(etld1("https://ck/") === null) // bare TLD: nothing to key
+    // the other live wildcard sections resolve the same way
+    assert(etld1("https://a.gov.np/") === "a.gov.np")
+    assert(etld1("https://b.a.gov.mm/") === "a.gov.mm")
+  }
+
+  test("eTLD+1: exception rules prevail over their wildcard") {
+    // !www.ck carves www.ck out of *.ck: the rule itself is registrable
+    assert(etld1("https://www.ck/") === "www.ck")
+    assert(etld1("https://anything.www.ck/") === "www.ck")
+    assert(etld1("https://deep.anything.www.ck/") === "www.ck")
+    // neighbouring labels still follow the wildcard
+    assert(etld1("https://wwww.ck/") === null)
+    assert(etld1("https://x.wwww.ck/") === "x.wwww.ck")
+  }
+
+  test("eTLD+1: malformed rule lists fail fast") {
+    intercept[IllegalArgumentException] { etld1("https://a.b/", Seq("*.")) }
+    intercept[IllegalArgumentException] { etld1("https://a.b/", Seq("!ck")) }
+    intercept[IllegalArgumentException] { etld1("https://a.b/", Seq("a.*.b")) }
+    intercept[IllegalArgumentException] { etld1("https://a.b/", Seq(".co.uk")) }
+  }
+
   test("eTLD+1: unknown TLD falls back to the implicit * rule (last two labels)") {
     assert(etld1("https://a.b.example.zz/") === "example.zz")
     assert(etld1("http://localhost/") === null) // no dot, no domain
@@ -145,7 +175,11 @@ class UrlSpec extends SparkSpec {
     val urls = Seq(
       "https://news.bbc.co.uk/x", "https://sub.host7.example.com/x",
       "https://mybucket.s3.amazonaws.com/key", "https://co.uk/",
-      "https://a.b.example.zz/", "http://[2001:db8::1]/p", "junk")
+      "https://a.b.example.zz/", "http://[2001:db8::1]/p", "junk",
+      // wildcard + exception rules must agree across tiers too
+      "https://www.example.ck/x", "https://example.ck/",
+      "https://www.ck/", "https://deep.anything.www.ck/",
+      "https://a.gov.np/")
     val df = urls.toDF("u")
     val joined = Url.withRegistrableDomain(
         df, "u", "etld1", PublicSuffix.Snapshot.toDF("suffix"))
