@@ -2016,6 +2016,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q117: TRIGRAM cross-entropy (SURVEY+ L77) — the q68 shape one
+    // conditioning level up: P(w3|w1 w2) with add-one smoothing, prefix
+    // counts c(w1 w2 ·) aggregated FROM the trigram counts, V from the
+    // same compiled tokenizer. Oracle replays the full double
+    // arithmetic (q68 pattern: exact-integer counts, identical cast/op
+    // order, round 6).
+    "q117_trigram_xent" -> ((s, dir) =>
+      graft.text.UnigramLm.trigramCrossEntropy(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        .select(col("doc_id"), col("n_trigrams"), round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))),
+
+    // q118: the q115 bucketing on the TRIGRAM score (ngramOrder = 3) —
+    // same rank-based tercile machinery, sharper LM (closer to CCNet's
+    // 5-gram KenLM); oracle = the q117 scoring CTEs + the q115 window
+    // ntile, a different plan end to end.
+    "q118_perplexity_buckets_trigram" -> ((s, dir) => {
+      graft.text.PerplexityBuckets.partition(
+          t(s, dir, "documents"), "doc_id", "text", "lang", ngramOrder = 3)
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").as("n_trigrams"), col("xent"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -4306,6 +4333,59 @@ object SparkEntry {
         |b AS (SELECT s.*, ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS bkt
         |  FROM s)
         |SELECT doc_id, lang, n_tokens, xent,
+        |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q117: trigram LM replay — the q68 CTE chain with a second lead();
+    // prefix counts summed from the trigram counts exactly like the
+    // Spark plan, identical double cast/op order, round 6
+    "q117_trigram_xent" ->
+      """WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM raw),
+        |tk AS (SELECT doc_id, term, pos FROM tok WHERE term <> ''),
+        |tg AS (SELECT doc_id, term AS w1,
+        |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tk),
+        |g AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE w3 IS NOT NULL),
+        |tf3 AS (SELECT doc_id, w1, w2, w3, count(*) AS tf FROM g GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3 FROM tf3 GROUP BY 1, 2, 3),
+        |cp AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cp FROM c3 GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tk),
+        |p AS (SELECT c3.w1, c3.w2, c3.w3,
+        |    CAST(c3.c3 + 1 AS DOUBLE) / CAST(cp.cp + (SELECT v FROM v) AS DOUBLE) AS prob
+        |  FROM c3 JOIN cp USING (w1, w2))
+        |SELECT tf3.doc_id, CAST(sum(tf3.tf) AS BIGINT) AS n_trigrams,
+        |  round(sum(tf3.tf * -ln(p.prob)) / sum(tf3.tf), 6) AS xent
+        |FROM tf3 JOIN p ON tf3.w1 = p.w1 AND tf3.w2 = p.w2 AND tf3.w3 = p.w3
+        |GROUP BY tf3.doc_id ORDER BY tf3.doc_id""".stripMargin,
+
+    // q118: q117's trigram score feeding q115's plain window ntile
+    "q118_perplexity_buckets_trigram" ->
+      """WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS a FROM documents),
+        |tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM raw),
+        |tk AS (SELECT doc_id, term, pos FROM tok WHERE term <> ''),
+        |tg AS (SELECT doc_id, term AS w1,
+        |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        |  FROM tk),
+        |g AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE w3 IS NOT NULL),
+        |tf3 AS (SELECT doc_id, w1, w2, w3, count(*) AS tf FROM g GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3 FROM tf3 GROUP BY 1, 2, 3),
+        |cp AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS cp FROM c3 GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tk),
+        |p AS (SELECT c3.w1, c3.w2, c3.w3,
+        |    CAST(c3.c3 + 1 AS DOUBLE) / CAST(cp.cp + (SELECT v FROM v) AS DOUBLE) AS prob
+        |  FROM c3 JOIN cp USING (w1, w2)),
+        |x AS (SELECT tf3.doc_id, CAST(sum(tf3.tf) AS BIGINT) AS n_trigrams,
+        |    round(sum(tf3.tf * -ln(p.prob)) / sum(tf3.tf), 6) AS xent
+        |  FROM tf3 JOIN p ON tf3.w1 = p.w1 AND tf3.w2 = p.w2 AND tf3.w3 = p.w3
+        |  GROUP BY tf3.doc_id),
+        |s AS (SELECT x.doc_id, d.lang, x.n_trigrams, x.xent
+        |  FROM x JOIN documents d ON x.doc_id = d.doc_id),
+        |b AS (SELECT s.*, ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS bkt
+        |  FROM s)
+        |SELECT doc_id, lang, n_trigrams, xent,
         |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM b ORDER BY doc_id""".stripMargin,
 

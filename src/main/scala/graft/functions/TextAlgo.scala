@@ -712,6 +712,32 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** All consecutive space-joined word n-grams IN ORDER, non-distinct
+    * (same tokenization family as [[wordBigrams]]; n = 2 produces its
+    * exact output) — the map-side n-gram stream for higher-order LM
+    * estimation. Distinct-set semantics live in [[wordNgrams]]; this is
+    * the occurrence stream. Space-joining is unambiguous because tokens
+    * never contain spaces.
+    */
+  def wordNgramStream(s: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val toks = if (unicode) unicodeTokenize(s.toString) else asciiTokenize(s.toString)
+    if (toks.length < n) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    var j = 0
+    while (j < out.length) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Overlapping passage chunks in one compiled pass: windows of
     * `window` whitespace tokens advancing by `stride`, single-space
     * rejoined, as array<struct<n_tokens, chunk_text>> in chunk order

@@ -82,6 +82,17 @@ object TextFunctions {
     toColB(WordBigramsExpr(toExprB(c), unicode))
   }
 
+  /** All consecutive space-joined word n-grams IN ORDER, non-distinct
+    * ([[WordNgramStreamExpr]]; same tokenization family as
+    * [[wordBigrams]], which it reproduces at n = 2; [[wordNgrams]] is
+    * the distinct-set sibling) — the map-side stream for order-n LM
+    * estimation.
+    */
+  def wordNgramStream(c: Column, n: Int, unicode: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColS, expression => toExprS}
+    toColS(WordNgramStreamExpr(toExprS(c), n, unicode))
+  }
+
   /** Sentence array of a text column — the RAG-chunking companion to
     * [[graft.text.Chunker]]'s token windows. The simple-and-DETERMINISTIC
     * tier of sentence segmentation (the htmlToText philosophy, not a

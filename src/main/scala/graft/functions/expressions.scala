@@ -386,6 +386,26 @@ case class WordBigramsExpr(child: Expression, unicode: Boolean = false)
     copy(child = newChild)
 }
 
+/** All consecutive space-joined word n-grams as array<string> (in
+  * order, non-distinct — the LM occurrence stream; [[WordNgramsExpr]]
+  * is the distinct-set sibling); see [[TextAlgo.wordNgramStream]].
+  */
+case class WordNgramStreamExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngram_stream"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.wordNgramStream(input.asInstanceOf[UTF8String], n, unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.wordNgramStream($c, $n, $unicode)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramStreamExpr =
+    copy(child = newChild)
+}
+
 /** Overlapping passage chunks as array<struct<n_tokens, chunk_text>> in
   * chunk order — one compiled pass per document; see
   * [[TextAlgo.passageChunks]].

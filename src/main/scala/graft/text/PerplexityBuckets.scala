@@ -12,11 +12,13 @@ import graft.etl.Ranking
   * score — the standard web-corpus quality partition (head = most
   * fluent; downstream mixes sample the tiers differently).
   *
-  * Composition of two verified pieces: [[UnigramLm.crossEntropy]] (the
-  * q57 score; CCNet proper uses a KenLM 5-gram — the bigram tier L32
-  * is the same shape one conditioning level up) and
-  * [[Ranking.withGroupedNtile]] (exact per-language NTILE from the
-  * scalable global rank — no per-language window task).
+  * Composition of two verified pieces: an n-gram cross-entropy score
+  * (`ngramOrder` 1/2/3 -> [[UnigramLm.crossEntropy]] /
+  * [[UnigramLm.bigramCrossEntropy]] / [[UnigramLm.trigramCrossEntropy]];
+  * CCNet proper uses a KenLM 5-gram — the trigram tier is the same
+  * compiled-kernel shape two conditioning levels up from q57's
+  * unigram) and [[Ranking.withGroupedNtile]] (exact per-language NTILE
+  * from the scalable global rank — no per-language window task).
   *
   * Bucket assignment is RANK-based, never cut-value-based: comparing
   * raw double scores against a percentile cut is knife-edged across
@@ -27,8 +29,11 @@ import graft.etl.Ranking
   * with a plain `ntile(3) OVER (PARTITION BY lang ORDER BY ...)`.
   *
   * Output: (doc_id, lang, n_tokens, xent, bucket 1..k) — one row per
-  * document that HAS tokens (token-less docs carry no score, same
-  * contract as q57).
+  * document that HAS scoreable units (token-less docs — or, at higher
+  * orders, docs shorter than the n-gram — carry no score, same
+  * contract as q57). At `ngramOrder` > 1, n_tokens carries the scored
+  * UNIT count (bigrams/trigrams), keeping the schema stable across
+  * orders.
   *
   * [[partition]] registers the scored-frame cache with
   * [[graft.etl.CacheTracker]] — long-lived sessions should call
@@ -43,9 +48,18 @@ object PerplexityBuckets {
       langCol: String,
       k: Int = 3,
       unicode: Boolean = false,
-      roundDigits: Int = 6): DataFrame = {
-    val scored = UnigramLm.crossEntropy(df, idCol, textCol, unicode)
-      .withColumn("xent", round(col("xent"), roundDigits))
+      roundDigits: Int = 6,
+      ngramOrder: Int = 1): DataFrame = {
+    val scored0 = ngramOrder match {
+      case 1 => UnigramLm.crossEntropy(df, idCol, textCol, unicode)
+      case 2 => UnigramLm.bigramCrossEntropy(df, idCol, textCol, unicode)
+        .withColumnRenamed("n_bigrams", "n_tokens")
+      case 3 => UnigramLm.trigramCrossEntropy(df, idCol, textCol, unicode)
+        .withColumnRenamed("n_trigrams", "n_tokens")
+      case o => throw new IllegalArgumentException(
+        s"ngramOrder must be 1, 2 or 3, got $o")
+    }
+    val scored = scored0.withColumn("xent", round(col("xent"), roundDigits))
     // PERSIST the scored frame (one slim row per doc) before ranking:
     // the range-split rank machinery evaluates its input several times
     // (boundary-sample job, per-range counts, group extents, final

@@ -133,6 +133,35 @@ class SearchLmSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - -math.log(0.8)) < 1e-12)
   }
 
+  test("trigram cross-entropy: hand-computed add-one smoothing") {
+    import spark.implicits._
+    // doc0 "a b a b a" -> trigrams (a,b,a) x2, (b,a,b) x1; doc1 "a b a"
+    // -> (a,b,a). c3(aba)=3, c3(bab)=1; cp(a b)=3, cp(b a)=1; V=2
+    // p(a|a b) = (3+1)/(3+2) = 0.8; p(b|b a) = (1+1)/(1+2) = 2/3
+    val docs = Seq((0L, "a b a b a"), (1L, "a b a")).toDF("id", "body")
+    val out = UnigramLm.trigramCrossEntropy(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 === 3L)
+    val want0 = (2 * -math.log(0.8) + 1 * -math.log(2.0 / 3)) / 3
+    assert(math.abs(out(0L)._2 - want0) < 1e-12)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - -math.log(0.8)) < 1e-12)
+    // a doc with fewer than 3 tokens carries no trigram score
+    val short = UnigramLm.trigramCrossEntropy(
+      Seq((0L, "a b a"), (1L, "a b")).toDF("id", "body"), "id", "body")
+    assert(short.collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
+  test("word n-gram stream at n=2 equals the bigram kernel") {
+    import spark.implicits._
+    val texts = Seq("The quick brown-fox; jumps", "", "one", "a b c d")
+    val got = texts.toDF("t").select(
+        graft.functions.TextFunctions.wordNgramStream(col("t"), 2).as("s"),
+        graft.functions.TextFunctions.wordBigrams(col("t")).as("b"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("bigram cross-entropy separates templated transitions from shuffled noise") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
