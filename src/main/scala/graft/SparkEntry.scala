@@ -2043,6 +2043,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
+    // (doc_id % 3 == 0) produces a persistable fingerprint-state
+    // artifact which round-trips through PARQUET (save + schema-checked
+    // load, the q100 PID-keyed fixture pattern) before crawl 2 dedups
+    // against it: the prior crawl is never rescanned. Oracle replays
+    // fingerprints (the q19 md5 convention), the NOT IN state prune and
+    // the within-batch first-per-fp keep directly over the same split.
+    "q119_incremental_dedup" -> ((s, dir) => {
+      import graft.dedup.DedupState
+      val docs = t(s, dir, "documents")
+      val crawl1 = docs.where(col("doc_id") % 3 === 0)
+      val crawl2 = docs.where(col("doc_id") % 3 =!= 0)
+      val stateDir = "/tmp/graft_q119_state_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      DedupState.saveFingerprintState(
+        DedupState.fingerprintState(crawl1, "text"), stateDir)
+      val state = DedupState.loadFingerprintState(s, stateDir)
+      DedupState.exactVsState(crawl2, "text", "doc_id", state)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q98: the UNICODE tokenization tier (TextFunctions.unicodeTokens,
     // round-7 verdict task #1) over a multilingual decorated corpus —
     // CJK/Hangul/Devanagari/Greek/Cyrillic/accent-Latin snippets keyed
@@ -4388,6 +4412,25 @@ object SparkEntry {
         |SELECT doc_id, lang, n_trigrams, xent,
         |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q119: the q19 fingerprint convention + state prune + first-per-fp
+    // keep, replayed directly over the same crawl split (the parquet
+    // roundtrip on the Spark side must be invisible to every value)
+    "q119_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |  FROM documents),
+        |c1 AS (SELECT DISTINCT fingerprint FROM f
+        |  WHERE doc_id % 3 = 0 AND fingerprint IS NOT NULL),
+        |c2 AS (SELECT doc_id, fingerprint FROM f WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT doc_id, fingerprint FROM c2
+        |  WHERE fingerprint IS NULL
+        |     OR fingerprint NOT IN (SELECT fingerprint FROM c1)),
+        |r AS (SELECT doc_id, fingerprint, row_number() OVER (
+        |    PARTITION BY coalesce(fingerprint, '__graft_null__:' || doc_id)
+        |    ORDER BY doc_id) AS rk
+        |  FROM fresh)
+        |SELECT doc_id, fingerprint FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "q98_unicode_tokens" ->
       ("WITH d AS (SELECT doc_id, " + MultilingualSnippetSql +
