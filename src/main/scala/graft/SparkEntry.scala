@@ -2043,6 +2043,73 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q116: the COMPOSED curation capstone (SURVEY+ L79) — the round-7/8
+    // tiers chained in ONE plan, the way a real pipeline runs them:
+    //   C4 line cleaning (L65) -> per-domain boilerplate strip (L74) ->
+    //   blocklist gate (L73) -> NFC exact dedup (L68) ->
+    //   perplexity buckets (L76, tail dropped) -> temperature mix (L75).
+    // Every tier is verified in isolation (q104/q113/q112/q107/q115/
+    // q114); what THIS query pins is the interactions: C4 keeps the nav
+    // and footer lines (they read like sentences), so only the
+    // boilerplate stage can remove them; the innocuous line-4 variant is
+    // stripped AS BOILERPLATE (10/11 frequency) while the rare badword
+    // variant survives the strip and triggers the gate; the NFC twins
+    // (composed/decomposed template bodies) only collapse because
+    // normalization runs on the STRIPPED text (identical chrome around
+    // different bodies must not fuse docs); and the per-language mix
+    // quotas are computed over what survives bucketing — stripping
+    // changes fingerprints changes buckets changes quotas. The oracle
+    // composes the six per-stage replay CTE chains end to end.
+    "q116_curation_capstone" -> ((s, dir) => {
+      val id = col("doc_id")
+      val dom = concat(lit("dom"), id % 7)
+      val tk = expr("(doc_id - 3) div 4") // template index stream (id % 4 == 3 docs)
+      val nfcPre = when(tk % 2 === 0, lit(NfcComposedPrefix))
+        .otherwise(lit(NfcDecomposedPrefix))
+      val templates = array(
+        lit("template body alpha carries enough words to pass."),
+        lit("template body bravo carries enough words to pass."),
+        lit("template body charlie carries enough words to pass."),
+        lit("template body delta carries enough words to pass."),
+        lit("template body echo carries enough words to pass."))
+      val body = when(id % 4 === 3,
+          concat(nfcPre, element_at(templates, (tk % 5 + 1).cast("int"))))
+        .otherwise(concat(lit("Body "), col("text"), lit(" tail words end here.")))
+      val page = concat_ws("\n",
+        concat(lit("Welcome to the portal navigation for "), dom, lit(" today.")),
+        body,
+        lit("No terminal punctuation on this line at all"),
+        when(id % 11 === 0, lit("This sentence mentions badword99 unfortunately today."))
+          .otherwise(lit("This sentence mentions nothing objectionable at all.")),
+        when(id % 13 === 0, lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(concat(lit("All rights reserved by the "), dom, lit(" press office."))))
+      val staged = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), dom.as("domain"),
+          TextFunctions.c4Flags(page, minWords = 5, minKeptLines = 3).as("f"))
+        .where(col("f.pass"))
+        .select(col("doc_id"), col("lang"), col("domain"),
+          col("f.kept_text").as("t1"))
+      val stripped = graft.dedup.Boilerplate.stripDomainBoilerplate(
+          staged, "t1", "domain", "doc_id", minFrac = 0.5, minDocs = 2)
+        .where(TextFunctions.blocklistHits(
+          col("cleaned"), Seq("badword99"), wordBounded = true) === 0)
+        .select(col("doc_id"), col("lang"), col("cleaned"))
+      // persist the slim deduped frame: the LM + bucket + mix stages
+      // each evaluate their input several times (the q115 persist
+      // rationale); tracked in CacheTracker
+      val deduped = graft.etl.CacheTracker.persistTracked(
+        graft.dedup.Dedup.exact(stripped, "cleaned", "doc_id",
+          unicode = true, nfc = true))
+      val buckets = graft.text.PerplexityBuckets.partition(
+          deduped, "doc_id", "cleaned", "lang")
+        .where(col("bucket") <= 2) // CCNet move: drop the tail tercile
+      graft.etl.Stratified.exactTemperatureSample(buckets, "lang", "doc_id",
+          total = 60, alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+          when(col("bucket") === 1, "head").otherwise("middle").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked
@@ -4412,6 +4479,105 @@ object SparkEntry {
         |SELECT doc_id, lang, n_trigrams, xent,
         |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q116: the six per-stage replay chains composed end to end —
+    // q104's C4 CTEs -> q113's boilerplate CTEs -> q112's token-equality
+    // blocklist -> q107's nfc_normalize fingerprint dedup -> q115's LM +
+    // window-ntile -> q114's integer temperature quotas + md5 rank.
+    // Every intermediate feeds the next, so a drift in ANY stage's
+    // semantics (or in an interaction: what gets stripped changes what
+    // gets fingerprinted changes what gets bucketed changes the quotas)
+    // breaks the final hash.
+    "q116_curation_capstone" -> {
+      val strip = (x: String) =>
+        "regexp_replace(regexp_replace(" + x +
+          ", '^[ \\t\\x0B\\f\\r]+', ''), '[ \\t\\x0B\\f\\r]+$', '')"
+      val fp = (x: String) =>
+        "CAST(concat('0x', substr(md5(" + x + "), 1, 15)) AS BIGINT)"
+      val fold = (x: String) =>
+        "translate(" + x + ", 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+      "WITH d AS (SELECT doc_id, lang, 'dom' || (doc_id % 7) AS domain,\n" +
+        "    'Welcome to the portal navigation for dom' || (doc_id % 7) || ' today.' || chr(10) ||\n" +
+        "    CASE WHEN doc_id % 4 = 3\n" +
+        s"      THEN (CASE WHEN ((doc_id - 3) // 4) % 2 = 0 THEN '$NfcComposedPrefix' ELSE '$NfcDecomposedPrefix' END) ||\n" +
+        "        ['template body alpha carries enough words to pass.',\n" +
+        "         'template body bravo carries enough words to pass.',\n" +
+        "         'template body charlie carries enough words to pass.',\n" +
+        "         'template body delta carries enough words to pass.',\n" +
+        "         'template body echo carries enough words to pass.'][CAST(((doc_id - 3) // 4) % 5 + 1 AS INT)]\n" +
+        "      ELSE 'Body ' || text || ' tail words end here.' END || chr(10) ||\n" +
+        "    'No terminal punctuation on this line at all' || chr(10) ||\n" +
+        "    CASE WHEN doc_id % 11 = 0 THEN 'This sentence mentions badword99 unfortunately today.'\n" +
+        "         ELSE 'This sentence mentions nothing objectionable at all.' END || chr(10) ||\n" +
+        "    CASE WHEN doc_id % 13 = 0 THEN 'Lorem Ipsum dolor sit amet consectetur adipiscing elit.'\n" +
+        "         ELSE 'All rights reserved by the dom' || (doc_id % 7) || ' press office.' END AS page\n" +
+        "  FROM documents WHERE text IS NOT NULL),\n" +
+        "tl AS (SELECT doc_id, lang, domain, page,\n" +
+        "    list_transform(string_split(page, chr(10)), l -> " + strip("l") + ") AS st FROM d),\n" +
+        "kp AS (SELECT doc_id, lang, domain, page,\n" +
+        "    list_filter(st, l ->\n" +
+        "      regexp_matches(l, '[.?!\"]$')\n" +
+        "      AND len(list_filter(string_split_regex(l, '[ \\t\\x0B\\f\\r]+'), x -> x <> '')) >= 5\n" +
+        "      AND NOT contains(" + fold("l") + ", 'javascript')) AS kept\n" +
+        "  FROM tl),\n" +
+        "c4 AS (SELECT doc_id, lang, domain, array_to_string(kept, chr(10)) AS t1\n" +
+        "  FROM kp\n" +
+        "  WHERE NOT contains(" + fold("page") + ", 'lorem ipsum')\n" +
+        "    AND NOT contains(page, '{') AND len(kept) >= 3),\n" +
+        "votes AS (SELECT DISTINCT domain, doc_id, " + fp("u.sl") + " AS f\n" +
+        "  FROM (SELECT doc_id, domain, list_transform(string_split(t1, chr(10)), l -> " +
+        strip("l") + ") AS sls FROM c4), unnest(sls) AS u(sl)\n" +
+        "  WHERE u.sl <> ''),\n" +
+        "freq AS (SELECT domain, f, count(*) AS df FROM votes GROUP BY 1, 2),\n" +
+        "nd AS (SELECT domain, count(*) AS n FROM c4 GROUP BY 1),\n" +
+        "boiler AS (SELECT freq.domain, list(freq.f) AS bf\n" +
+        "  FROM freq JOIN nd ON freq.domain = nd.domain\n" +
+        "  WHERE df >= 2 AND CAST(df AS DOUBLE) >= 0.5 * n\n" +
+        "  GROUP BY freq.domain),\n" +
+        "res AS (SELECT c4.doc_id, c4.lang,\n" +
+        "    array_to_string(list_filter(string_split(c4.t1, chr(10)), l ->\n" +
+        "      " + strip("l") + " = ''\n" +
+        "      OR NOT list_contains(coalesce(b.bf, []), " + fp(strip("l")) + ")), chr(10)) AS t2\n" +
+        "  FROM c4 LEFT JOIN boiler b ON c4.domain = b.domain),\n" +
+        "blk AS (SELECT DISTINCT r.doc_id\n" +
+        "  FROM res r, unnest(regexp_extract_all(" + fold("r.t2") + ", '[a-z0-9]+')) AS t(w)\n" +
+        "  WHERE t.w = 'badword99'),\n" +
+        "g AS (SELECT * FROM res WHERE doc_id NOT IN (SELECT doc_id FROM blk)),\n" +
+        "f2 AS (SELECT doc_id, lang, t2,\n" +
+        "    md5(array_to_string(" + unicodeToksSql("nfc_normalize(t2)") + ", '')) AS fp2 FROM g),\n" +
+        "k2 AS (SELECT doc_id, lang, t2, row_number() OVER (PARTITION BY fp2 ORDER BY doc_id) AS rn FROM f2),\n" +
+        "dd AS (SELECT doc_id, lang, t2 FROM k2 WHERE rn = 1),\n" +
+        "tok AS (SELECT doc_id, t.term FROM dd,\n" +
+        "    unnest(string_split_regex(lower(t2), '[^a-z0-9]+')) AS t(term)\n" +
+        "  WHERE t.term <> ''),\n" +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),\n" +
+        "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t, count(DISTINCT term) AS v FROM tf),\n" +
+        "p AS (SELECT term,\n" +
+        "    CAST(sum(tf) + 1 AS DOUBLE) / CAST((SELECT t + v FROM tot) AS DOUBLE) AS prob\n" +
+        "  FROM tf GROUP BY term),\n" +
+        "x AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,\n" +
+        "    round(sum(tf.tf * -ln(p.prob)) / sum(tf.tf), 6) AS xent\n" +
+        "  FROM tf JOIN p USING (term) GROUP BY tf.doc_id),\n" +
+        "sx AS (SELECT x.doc_id, dd.lang, x.n_tokens, x.xent FROM x JOIN dd USING (doc_id)),\n" +
+        "b2 AS (SELECT sx.*, ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS bkt FROM sx),\n" +
+        "hm AS (SELECT * FROM b2 WHERE bkt <= 2),\n" +
+        "cnt AS (SELECT lang, count(*) AS c FROM hm GROUP BY lang),\n" +
+        "w AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS wt FROM cnt),\n" +
+        "tw AS (SELECT sum(wt) AS tw FROM w),\n" +
+        "q0 AS (SELECT lang, c, (60 * wt) // tw AS base, (60 * wt) % tw AS rem FROM w, tw),\n" +
+        "deficit AS (SELECT 60 - sum(base) AS dfc FROM q0),\n" +
+        "q AS (SELECT lang,\n" +
+        "    least(c, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= dfc\n" +
+        "                         THEN 1 ELSE 0 END) AS quota\n" +
+        "  FROM q0, deficit),\n" +
+        "r2 AS (SELECT hm.*, row_number() OVER (PARTITION BY lang\n" +
+        "    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),\n" +
+        "      doc_id) AS rnk FROM hm)\n" +
+        "SELECT r2.doc_id, r2.lang, r2.n_tokens, r2.xent,\n" +
+        "  CASE r2.bkt WHEN 1 THEN 'head' ELSE 'middle' END AS ppl_bucket\n" +
+        "FROM r2 JOIN q USING (lang) WHERE r2.rnk <= q.quota\n" +
+        "ORDER BY r2.doc_id"
+    },
 
     // q119: the q19 fingerprint convention + state prune + first-per-fp
     // keep, replayed directly over the same crawl split (the parquet
