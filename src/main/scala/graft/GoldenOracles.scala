@@ -23,7 +23,8 @@ object GoldenOracles {
   /** The golden-oracle query names (stable across scales). */
   val queries: Seq[String] = Seq(
     "q23_minhash_neardup", "q24_simhash_neardup",
-    "q32_media_features", "q38_winnowing_pairs")
+    "q32_media_features", "q38_winnowing_pairs",
+    "q120_trigram_xent_hashed")
 
   private def load(scale: String, q: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/golden/$scale/$q.sql")

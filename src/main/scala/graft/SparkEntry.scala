@@ -2110,6 +2110,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q120: the HASHED production tier of the trigram LM (L77's scale
+    // path) — identical smoothing arithmetic, but every exchange
+    // carries fixed-width (gram, prefix) 64-bit hashes instead of
+    // strings (the exact tier q117 went 21x/decade at 500k -> 5M docs).
+    // JVM-hash-specific output -> committed golden VALUES oracle (the
+    // q23/q24/q38 pattern); the arithmetic is oracle-verified via q117
+    // and SearchLmSpec proves hashed == exact on randomized corpora.
+    "q120_trigram_xent_hashed" -> ((s, dir) =>
+      graft.text.UnigramLm.ngramCrossEntropyHashed(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text", n = 3)
+        .select(col("doc_id"), col("n_ngrams").as("n_trigrams"),
+          round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked

@@ -712,6 +712,50 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** Hashed n-gram stream for LM estimation at scale: one
+    * (gram, prefix) pair of 64-bit hashes per consecutive n-gram of the
+    * shared tokenization — gram over all n tokens, prefix over the
+    * first n-1 — so higher-order LM counting never shuffles strings
+    * (at 5M docs the exact-string trigram tier's three string-keyed
+    * exchanges went 21x/decade; hashes are fixed-width). Token hash =
+    * splitmix64 of the token's char polynomial (length-salted); the
+    * gram hash CHAINS token hashes through mix64, so the prefix value
+    * is the chain state after n-1 tokens — a pure function of the
+    * prefix tokens, as the conditional-probability denominator
+    * requires. JVM-hash-specific by design: the q120 golden VALUES pin
+    * the outputs, the exact-string tier (q117) verifies the algorithm,
+    * and `SearchLmSpec` proves hashed == exact on randomized corpora.
+    */
+  def ngramHashPairs(s: UTF8String, n: Int, unicode: Boolean): ArrayData = {
+    val toks = if (unicode) unicodeTokenize(s.toString) else asciiTokenize(s.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0L
+      var j = 0
+      while (j < t.length) { h = h * POLY + t.charAt(j); j += 1 }
+      th(i) = mix64(h ^ (t.length.toLong << 32))
+      i += 1
+    }
+    val out = new Array[Any](toks.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      var c = 0L
+      var p = 0L
+      var k = 0
+      while (k < n) {
+        c = mix64(c ^ th(i + k) ^ (k.toLong * 0x9E3779B97F4A7C15L))
+        if (k == n - 2) p = c // chain state after the n-1 prefix tokens
+        k += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(c, p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All consecutive space-joined word n-grams IN ORDER, non-distinct
     * (same tokenization family as [[wordBigrams]]; n = 2 produces its
     * exact output) — the map-side n-gram stream for higher-order LM

@@ -93,6 +93,15 @@ object TextFunctions {
     toColS(WordNgramStreamExpr(toExprS(c), n, unicode))
   }
 
+  /** Hashed (gram, prefix) pairs per consecutive word n-gram
+    * ([[NgramHashPairsExpr]]) — the fixed-width stream behind the
+    * hashed LM tier ([[graft.text.UnigramLm.ngramCrossEntropyHashed]]).
+    */
+  def ngramHashPairs(c: Column, n: Int, unicode: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColH, expression => toExprH}
+    toColH(NgramHashPairsExpr(toExprH(c), n, unicode))
+  }
+
   /** Sentence array of a text column — the RAG-chunking companion to
     * [[graft.text.Chunker]]'s token windows. The simple-and-DETERMINISTIC
     * tier of sentence segmentation (the htmlToText philosophy, not a

@@ -386,6 +386,27 @@ case class WordBigramsExpr(child: Expression, unicode: Boolean = false)
     copy(child = newChild)
 }
 
+/** Hashed (gram, prefix) 64-bit pairs per consecutive word n-gram —
+  * the fixed-width LM counting stream; see [[TextAlgo.ngramHashPairs]].
+  */
+case class NgramHashPairsExpr(child: Expression, n: Int, unicode: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 2, s"n must be >= 2 (the prefix must be non-empty), got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("g", LongType, nullable = false),
+    StructField("p", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ngram_hash_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.ngramHashPairs(input.asInstanceOf[UTF8String], n, unicode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.ngramHashPairs($c, $n, $unicode)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashPairsExpr =
+    copy(child = newChild)
+}
+
 /** All consecutive space-joined word n-grams as array<string> (in
   * order, non-distinct — the LM occurrence stream; [[WordNgramsExpr]]
   * is the distinct-set sibling); see [[TextAlgo.wordNgramStream]].

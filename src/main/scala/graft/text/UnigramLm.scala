@@ -135,4 +135,115 @@ object UnigramLm {
         sum(col("tf")).as("n_trigrams"),
         (sum(col("tf") * -log(col("prob"))) / sum(col("tf"))).as("xent"))
   }
+
+  /** The HASHED production tier of order-n cross-entropy (n >= 2): the
+    * same add-one-smoothed `P(w_n | w_1..w_{n-1})` arithmetic as
+    * [[bigramCrossEntropy]]/[[trigramCrossEntropy]], but every exchange
+    * carries fixed-width 64-bit (gram, prefix) hashes instead of
+    * space-joined strings ([[graft.functions.NgramHashPairsExpr]] —
+    * the prefix hash is the chain state after n-1 tokens, emitted
+    * map-side, so the prefix is never re-derived from a string).
+    * Measured at n=3: the exact-string tier went 14.4 s -> 306.8 s per
+    * 10x data at 500k -> 5M docs (three string-keyed exchanges, spill);
+    * this tier is the scale path, and its values equal the exact
+    * tier's wherever the 64-bit hashes are injective on the observed
+    * grams/prefixes/vocab (collisions ~ m^2/2^65 — vanishing at any
+    * real vocabulary; `SearchLmSpec` proves equality on randomized
+    * corpora, q117 oracle-verifies the arithmetic, and the q120 golden
+    * VALUES pin this tier's own outputs per scale).
+    *
+    * Output schema matches the exact tier: (doc_id, n_ngrams, xent).
+    */
+  def ngramCrossEntropyHashed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, unicode: Boolean = false): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val pairs = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode)).as("gp"))
+    val tfn = pairs.groupBy(col("doc_id"), col("gp.g").as("g"))
+      .agg(count(lit(1)).as("tf"), first(col("gp.p")).as("p"))
+    // p is a pure function of g (same gram -> same prefix chain state),
+    // so first() is deterministic here
+    val cn = tfn.groupBy(col("g")).agg(sum(col("tf")).as("cn"), first(col("p")).as("p"))
+    val cp = cn.groupBy(col("p")).agg(sum(col("cn")).as("cp"))
+    // V from the exact tokenizer (a scalar; vocabulary-bounded distinct)
+    // so the smoothing denominator is identical to the exact tier's
+    val v = df.select(
+        explode(
+          if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
+          else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
+      .distinct().count()
+    val probs = cn.join(cp, "p")
+      .select(col("g"),
+        ((col("cn") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
+    tfn.join(probs, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_ngrams"),
+        (sum(col("tf") * -log(col("prob"))) / sum(col("tf"))).as("xent"))
+  }
+
+  /** Train a bounded hashed n-gram model: the top `maxGrams` grams by
+    * count (ties broken on the gram hash for determinism) with their
+    * add-one-smoothed conditional probabilities — the artifact
+    * [[scoreNgramsWithModel]] broadcasts. Output: (g, prob), plus the
+    * smoothing floor for unseen grams as every row's `unseen_prob`
+    * (constant column — cheap, keeps the artifact self-contained).
+    *
+    * This is the CCNet shape proper (Wenzek et al. 2020 score with a
+    * PRE-TRAINED KenLM, not a model re-estimated over the scoring
+    * corpus): at 100 TB the corpus-trained tiers above re-estimate
+    * per run and pay corpus-sized model joins; a model trained once
+    * (on a sample or reference corpus) is VOCABULARY-bounded, so
+    * scoring is a broadcast hash join — no wide exchange ever.
+    */
+  def trainNgramModelHashed(df: DataFrame, textCol: String, n: Int,
+      maxGrams: Int, unicode: Boolean = false): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(maxGrams >= 1, s"maxGrams must be >= 1, got $maxGrams")
+    val pairs = df.select(
+      explode(graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode)).as("gp"))
+    val cn = pairs.groupBy(col("gp.g").as("g"))
+      .agg(count(lit(1)).as("cn"), first(col("gp.p")).as("p"))
+    val cp = cn.groupBy(col("p")).agg(sum(col("cn")).as("cp"))
+    val v = df.select(
+        explode(
+          if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
+          else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
+      .distinct().count()
+    // unseen floor: an unobserved gram under an unobserved prefix —
+    // the add-one model's 1 / V (prefix count 0)
+    val unseen = 1.0 / v
+    cn.join(cp, "p")
+      .select(col("g"), col("cn"),
+        ((col("cn") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
+      .orderBy(col("cn").desc, col("g"))
+      .limit(maxGrams)
+      .select(col("g"), col("prob"), lit(unseen).as("unseen_prob"))
+  }
+
+  /** Score documents against a PRE-TRAINED bounded model
+    * ([[trainNgramModelHashed]]'s artifact, or any (g, prob,
+    * unseen_prob) frame): per-doc cross-entropy with grams missing
+    * from the model scored at the model's unseen floor. The model
+    * BROADCASTS (bounded by construction), so the only exchange is
+    * the per-doc aggregation — the map-side scoring shape a 100 TB
+    * corpus needs. With the model = the full (unpruned) table of the
+    * same corpus, values equal [[ngramCrossEntropyHashed]]
+    * (spec-pinned).
+    */
+  def scoreNgramsWithModel(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, n: Int, unicode: Boolean = false): DataFrame = {
+    val pairs = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode)).as("gp"))
+      .select(col("doc_id"), col("gp.g").as("g"))
+    val unseenRow = model.select(max(col("unseen_prob")).as("u"))
+    pairs
+      .join(broadcast(model.select(col("g"), col("prob"))), Seq("g"), "left")
+      .crossJoin(broadcast(unseenRow))
+      .select(col("doc_id"), coalesce(col("prob"), col("u")).as("prob"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        (sum(-log(col("prob"))) / count(lit(1))).as("xent"))
+  }
 }

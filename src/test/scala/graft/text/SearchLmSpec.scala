@@ -152,6 +152,55 @@ class SearchLmSpec extends SparkSpec {
     assert(short.collect().map(_.getLong(0)).toSet === Set(0L))
   }
 
+  test("hashed n-gram tier equals the exact-string tier (n=2 and n=3)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 3 + rng.nextInt(30))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "body")
+    def rounded(df: org.apache.spark.sql.DataFrame, nCol: String) = df
+      .select(col("doc_id"), col(nCol), round(col("xent"), 9).as("x"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact3 = rounded(UnigramLm.trigramCrossEntropy(docs, "id", "body"), "n_trigrams")
+    val hash3 = rounded(
+      UnigramLm.ngramCrossEntropyHashed(docs, "id", "body", n = 3), "n_ngrams")
+    assert(hash3 === exact3)
+    val exact2 = rounded(UnigramLm.bigramCrossEntropy(docs, "id", "body"), "n_bigrams")
+    val hash2 = rounded(
+      UnigramLm.ngramCrossEntropyHashed(docs, "id", "body", n = 2), "n_ngrams")
+    assert(hash2 === exact2)
+  }
+
+  test("pre-trained-model scoring: full model reproduces the hashed tier; pruning floors unseen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vocab = ('a' to 'k').map(_.toString)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 5 + rng.nextInt(20))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "body")
+    // full (unpruned) model over the same corpus == corpus-trained tier
+    val full = UnigramLm.trainNgramModelHashed(docs, "body", n = 3, maxGrams = 1000000)
+    val scored = UnigramLm.scoreNgramsWithModel(docs, "id", "body", full, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = UnigramLm.ngramCrossEntropyHashed(docs, "id", "body", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(scored.keySet === direct.keySet)
+    scored.foreach { case (id, (nn, x)) =>
+      assert(nn === direct(id)._1)
+      assert(math.abs(x - direct(id)._2) < 1e-9, s"doc $id")
+    }
+    // a 1-gram model floors everything else at the unseen prob: scores
+    // stay finite and docs with no modeled gram land at -ln(unseen)
+    val tiny = UnigramLm.trainNgramModelHashed(docs, "body", n = 3, maxGrams = 1)
+    val floor = -math.log(tiny.select(col("unseen_prob")).first().getDouble(0))
+    val prunedMax = UnigramLm.scoreNgramsWithModel(docs, "id", "body", tiny, n = 3)
+      .agg(max(col("xent"))).first().getDouble(0)
+    assert(prunedMax <= floor + 1e-9)
+  }
+
   test("word n-gram stream at n=2 equals the bigram kernel") {
     import spark.implicits._
     val texts = Seq("The quick brown-fox; jumps", "", "one", "a b c d")

@@ -33,6 +33,9 @@ SPECS = {
                            ("max_sample_rate", "INTEGER")],
     "q38_winnowing_pairs": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                             ("shared_fingerprints", "BIGINT")],
+    "q120_trigram_xent_hashed": [("doc_id", "BIGINT"),
+                                 ("n_trigrams", "BIGINT"),
+                                 ("xent", "DOUBLE")],
 }
 
 
@@ -46,10 +49,11 @@ def lit(v, t):
     return f"CAST({v} AS {t})"
 
 
-def main(out_dir, scale):
+def main(out_dir, scale, only=None):
     dest = os.path.join("src/main/resources/golden", scale)
     os.makedirs(dest, exist_ok=True)
-    for q, cols in SPECS.items():
+    specs = SPECS if only is None else {q: SPECS[q] for q in only}
+    for q, cols in specs.items():
         con = duckdb.connect()
         files = glob.glob(f"{out_dir}/{q}/*.parquet")
         if not files:
@@ -69,6 +73,11 @@ def main(out_dir, scale):
 
 
 if __name__ == "__main__":
+    # optional 3rd+ args: regenerate only the named queries (partial
+    # regen after adding a NEW golden query; full regen otherwise)
+    if len(sys.argv) >= 4:
+        main(sys.argv[1], sys.argv[2], only=sys.argv[3:])
+        sys.exit(0)
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     main(sys.argv[1], sys.argv[2])
