@@ -98,8 +98,38 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       eventTimeCol: String,
-      delay: String): DataFrame = {
-    val withFp = df.withColumn("__graft_fp", TextFunctions.fingerprint(col(textCol)))
+      delay: String): DataFrame =
+    streamingExactDedup(df, textCol, eventTimeCol, delay, priorState = None)
+
+  /** [[streamingExactDedup]] against PRIOR-CRAWL state: documents whose
+    * fingerprint appears in `priorState` (a [[DedupState]] fingerprint
+    * artifact — typically `DedupState.loadFingerprintState`) are dropped
+    * BEFORE the watermark dedup, as a stream-static LEFT ANTI join (the
+    * static side re-reads per micro-batch; a parquet-backed state frame
+    * is scan-pruned to the one fingerprint column). The cross-crawl
+    * incremental shape: the stream dedups against everything crawls
+    * 1..N ever kept without rescanning them, and within itself inside
+    * the watermark. NULL texts still pass through un-deduped.
+    */
+  def streamingExactDedup(
+      df: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String,
+      priorState: Option[DataFrame]): DataFrame = {
+    priorState.foreach(st =>
+      require(st.columns.toSeq == Seq("fingerprint"),
+        s"prior state must be a (fingerprint) frame, got ${st.columns.mkString(",")}"))
+    val withFp0 = df.withColumn("__graft_fp", TextFunctions.fingerprint(col(textCol)))
+    val withFp = priorState match {
+      case None => withFp0
+      case Some(st) =>
+        // null fps never match the anti-join key (and the state holds no
+        // nulls by the DedupState contract), so LEFT ANTI keeps them —
+        // they reach the null pass-through below unchanged
+        withFp0.join(st.select(col("fingerprint").as("__graft_fp")),
+          Seq("__graft_fp"), "left_anti")
+    }
     // NULL fingerprints (null text) pass through un-deduped: they are not
     // duplicates of each other, and dropDuplicates treats null keys as
     // equal. The pass-through branch is stateless, so it needs no

@@ -125,6 +125,41 @@ object DedupState {
     df.select(col("group"), col("reg"))
   }
 
+  /** Schema contract for the KMV artifact: one k-minimum-values sketch
+    * (sorted long array, <= k entries) per group, the k stamped in.
+    */
+  val KmvStateSchema: StructType = StructType(Seq(
+    StructField("group", StringType, nullable = true),
+    StructField("k", IntegerType, nullable = false),
+    StructField("sk", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Persist per-group KMV sketch tables: `sketches` must be (group, sk)
+    * as produced by `df.groupBy(group).agg(Kmv.sketch(hashes, k))`.
+    * Loaded sketches merge with new data by re-aggregation —
+    * `Kmv.sketch` accepts array<long> input, and the k smallest of a
+    * union of k-smallest sets IS the union's sketch — so cross-crawl
+    * distinct/Jaccard accounting never rescans prior crawls.
+    */
+  def saveKmvState(sketches: DataFrame, k: Int, path: String): Unit = {
+    val stamped = sketches
+      .select(col("group").cast("string").as("group"), lit(k).as("k"), col("sk"))
+    requireSchema(stamped.schema, KmvStateSchema, "kmv state")
+    val bad = stamped.where(size(col("sk")) > k).limit(1).count()
+    require(bad == 0, s"kmv state rows must carry at most k = $k values")
+    stamped.write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a KMV artifact, checking the schema contract and that the
+    * stored k matches the caller's.
+    */
+  def loadKmvState(spark: SparkSession, path: String, k: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    requireSchema(df.schema, KmvStateSchema, s"kmv state at $path")
+    val wrong = df.where(col("k") =!= k).limit(1).count()
+    require(wrong == 0, s"kmv state at $path was written at a different k than $k")
+    df.select(col("group"), col("sk"))
+  }
+
   private def requireSchema(got: StructType, want: StructType, what: String): Unit = {
     // compare names + type SHAPES only: parquet roundtrips legitimately
     // flip nullability flags (field nullable, array containsNull)

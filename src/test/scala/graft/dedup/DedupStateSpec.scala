@@ -72,6 +72,53 @@ class DedupStateSpec extends SparkSpec {
     }
   }
 
+  test("streamingExactDedup vs prior state drops cross-crawl dups; nulls pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stateDir = tmpDir("stream_state")
+    DedupState.saveFingerprintState(DedupState.fingerprintState(crawl1, "text"), stateDir)
+    val state = DedupState.loadFingerprintState(spark, stateDir)
+    val source = MemoryStream[(Long, String, Long)]
+    val ckpt = tmpDir("stream_ckpt")
+    val t0 = 1000000000L
+    val stream = source.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = Dedup.streamingExactDedup(stream, "text", "ts", "10 minutes", Some(state))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_state_dedup")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      source.addData(
+        (100L, "doc number 2 body", t0),      // in crawl-1 state -> dropped
+        (101L, "brand new stream doc", t0 + 1),
+        (102L, "BRAND new stream doc!", t0 + 2), // in-stream dup of 101 -> dropped
+        (103L, null.asInstanceOf[String], t0 + 3)) // null text passes
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM t_state_dedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(101L, 103L))
+    } finally q.stop()
+  }
+
+  test("kmv state roundtrip: merge(loaded c1, sketch c2) == direct sketch of the union") {
+    import graft.sketch.Kmv
+    val k = 16
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("text"), Kmv.hash60(col("text")).as("h"))
+      .groupBy(lit("g").as("group")).agg(Kmv.sketch(col("h"), k).as("sk"))
+    val dir = tmpDir("kmvstate")
+    DedupState.saveKmvState(sk(crawl1), k, dir)
+    val loaded = DedupState.loadKmvState(spark, dir, k)
+    val merged = loaded.unionByName(sk(crawl2))
+      .groupBy(col("group")).agg(Kmv.sketch(col("sk"), k).as("sk"))
+      .select(col("sk")).as[Seq[Long]].collect()(0)
+    val direct = sk(crawl1.unionByName(crawl2))
+      .select(col("sk")).as[Seq[Long]].collect()(0)
+    assert(merged === direct, "k-smallest of the union must survive the artifact")
+    intercept[IllegalArgumentException] { DedupState.loadKmvState(spark, dir, 8) }
+  }
+
   test("hll state roundtrip: merge(loaded c1, sketch c2) == direct sketch of the union") {
     import graft.sketch.{Hll, Kmv}
     val p = 11
