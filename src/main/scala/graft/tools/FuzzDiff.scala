@@ -548,6 +548,27 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_ngram_stream", 8, { rng =>
+      // the LM occurrence stream: non-distinct, IN ORDER, over the
+      // lowercased-alnum tokenization — on the ASCII column (the
+      // fz_bigrams/fz_alnum_tokens convention: the kernel's ASCII fold
+      // vs SQL lower() agree only off the unicode edge cases, which
+      // fz_alnum_tokens documents); order is part of the contract, so
+      // no sorting on either side
+      val n = 2 + rng.nextInt(3)
+      val build: SparkSession => DataFrame = s =>
+        s.table("fuzz_docs").select(col("id"),
+          TextFunctions.wordNgramStream(col("sa"), n).as("ng")).where(col("sa").isNotNull)
+      val duck =
+        s"""WITH w AS (SELECT id,
+           |  list_filter(string_split_regex(lower(sa), '[^a-z0-9]+'), x -> x <> '') AS w
+           |  FROM fuzz_docs WHERE sa IS NOT NULL)
+           |SELECT id, CASE WHEN len(w) < $n THEN []::VARCHAR[]
+           |  ELSE ${duckNgrams("w", n)} END AS ng
+           |FROM w""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_dup_ngram", 10, { rng =>
       val n = 2 + rng.nextInt(4)
       val build: SparkSession => DataFrame = s =>
