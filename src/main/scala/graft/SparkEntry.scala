@@ -2124,6 +2124,30 @@ object SparkEntry {
           round(col("xent"), 6).as("xent"))
         .orderBy(col("doc_id"))),
 
+    // q121: product-quantization ANN (SURVEY+ L80, Jegou et al. 2011)
+    // — per-subspace codebooks trained on bounded seeded samples,
+    // corpus encoded to m=8 code ids in one compiled pass, ADC scoring
+    // of all queries in ONE scan via a driver-built lookup table
+    // (PqAdcDistsExpr), per-query top-k as a map-side WindowGroupLimit.
+    // Codebooks are captured for the oracle (the q37/q65 pattern):
+    // DuckDB replays code assignment (argmin + lower-code tie), the ADC
+    // tables (list_dot_product of the diff with itself — ascending-i,
+    // bit-identical to the driver loop) and the ascending-j
+    // parenthesized sum, so every distance matches bit-for-bit.
+    "q121_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      val cbs = graft.similarity.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+      q121Codebooks = Some(cbs)
+      graft.similarity.Pq.adcTopK(emb, "vec_id", "embedding", queries,
+          cbs, dim = 64, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked
@@ -2538,6 +2562,7 @@ object SparkEntry {
 
   /** q65's trained KMeans centroids, captured the same way as q37's. */
   @volatile private var q65Centroids: Option[Seq[Double]] = None
+  @volatile private var q121Codebooks: Option[Seq[Seq[Double]]] = None
 
   /** q71's trained SemDeDup centroids, captured the same way as q37's. */
   @volatile private var q71Centroids: Option[Seq[Double]] = None
@@ -2564,6 +2589,58 @@ object SparkEntry {
        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
        |  round((CAST(sum(d10k) AS DOUBLE) / count(*)) / 10000.0, 4) AS avg_dist
        |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** DuckDB replica of the q121 PQ-ANN pipeline with the trained
+    * per-subspace codebooks as literals: code assignment is the argmin
+    * with lower-code tie (list_distance is a monotone sqrt of the
+    * kernel's squared scan), ADC table entries are
+    * list_dot_product(diff, diff) — the same ascending-i accumulation
+    * as the driver table loop — and the total is the explicit
+    * ascending-j parenthesized sum, so every double matches the
+    * compiled path bit-for-bit.
+    */
+  private def q121OracleSql(cbs: Seq[Seq[Double]]): String = {
+    val m = cbs.length
+    val subDim = 64 / m
+    val ksub = cbs.head.length / subDim
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      (0 until ksub).map { c =>
+        cb.slice(c * subDim, (c + 1) * subDim)
+          .map(d => java.lang.Double.toString(d))
+          .mkString(s"($j, $c, CAST([", ", ", "] AS DOUBLE[]))")
+      }
+    }.mkString(",\n  ")
+    val pivotCols = (0 until m)
+      .map(j => s"max(CASE WHEN at.j = $j THEN at.t END) AS t$j").mkString(",\n    ")
+    val orderedSum = (1 until m).foldLeft("t0") { (acc, j) => s"($acc + t$j)" }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cb(j, c, cv) AS (VALUES
+       |  $cbRows),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |enc AS (SELECT e.vec_id, cb.j, cb.c,
+       |    row_number() OVER (PARTITION BY e.vec_id, cb.j
+       |      ORDER BY list_distance(list_transform(range(1, ${subDim + 1}),
+       |        i -> e.v[cb.j * $subDim + i]), cb.cv), cb.c) AS rk
+       |  FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, j, c FROM enc WHERE rk = 1),
+       |tab AS (SELECT q.query_id, cb.j, cb.c,
+       |    list_dot_product(
+       |      list_transform(range(1, ${subDim + 1}), i -> q.qv[cb.j * $subDim + i] - cb.cv[i]),
+       |      list_transform(range(1, ${subDim + 1}), i -> q.qv[cb.j * $subDim + i] - cb.cv[i])) AS t
+       |  FROM q CROSS JOIN cb),
+       |at AS (SELECT tab.query_id, codes.vec_id, codes.j, tab.t
+       |  FROM codes JOIN tab ON codes.j = tab.j AND codes.c = tab.c),
+       |pv AS (SELECT query_id, vec_id,
+       |    $pivotCols
+       |  FROM at GROUP BY 1, 2),
+       |adc AS (SELECT query_id, vec_id, $orderedSum AS adc_dist FROM pv
+       |  WHERE query_id <> vec_id),
+       |r AS (SELECT query_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id, round(adc_dist, 4) AS adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB replica of the q71 SemDeDup pipeline with the trained
@@ -3356,6 +3433,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) ++
     q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c)) ++
     q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
+    q121Codebooks.map(c => "q121_pq_ann" -> q121OracleSql(c)) ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

@@ -1013,6 +1013,32 @@ object TextAlgo {
     new GenericArrayData(out.map(_.toLong))
   }
 
+  /** ADC (asymmetric distance computation) scores for product-quantized
+    * codes: `tables` is row-major (Q queries x m subspaces x ksub codes)
+    * of per-subspace squared distances between each query's subvector
+    * and each codebook centroid; the result is the array of Q
+    * approximate squared L2 distances `sum_j tables(q, j, codes(j))`,
+    * summed in ascending subspace order (deterministic doubles — the
+    * oracle replays the same left-to-right sum).
+    */
+  def pqAdcDists(codes: ArrayData, tables: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val nq = tables.length / (m * ksub)
+    val out = new Array[Double](nq)
+    var q = 0
+    while (q < nq) {
+      var s = 0.0
+      var j = 0
+      val qOff = q * m * ksub
+      while (j < m) {
+        s += tables(qOff + j * ksub + codes.getLong(j).toInt)
+        j += 1
+      }
+      out(q) = s
+      q += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Largest |x| of an array<double> vector; 0 for empty. */
   def vecMaxAbs(v: ArrayData): Double = {
     var m = 0.0

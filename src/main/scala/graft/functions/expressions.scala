@@ -748,6 +748,31 @@ case class NearestCentroidDistExpr(child: Expression, centroids: Seq[Double], di
     copy(child = newChild)
 }
 
+/** ADC distance array for PQ codes against Q precomputed query tables —
+  * see [[TextAlgo.pqAdcDists]]. Tables ship as a codegen reference
+  * object (Q x m x ksub doubles — bounded by the query batch).
+  */
+case class PqAdcDistsExpr(child: Expression, tables: Seq[Double], m: Int, ksub: Int)
+    extends UnaryExpression {
+  require(m > 0 && ksub > 0 && tables.nonEmpty && tables.length % (m * ksub) == 0,
+    s"tables must hold Q x $m x $ksub distances, got ${tables.length}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<bigint> code column")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_dists"
+  @transient private lazy val tabArr: Array[Double] = tables.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.pqAdcDists(input.asInstanceOf[ArrayData], tabArr, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTables", tabArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.pqAdcDists($c, $ref, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDistsExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two array<double> columns; 0 for zero-norm inputs. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1,0 +1,135 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+import graft.functions.{NearestCentroidsExpr, PqAdcDistsExpr}
+
+/** Product quantization for embedding ANN at corpus scale (Jégou,
+  * Douze & Schmid, TPAMI 2011 — the FAISS `PQm` family): split each
+  * `dim`-vector into `m` subvectors, learn a small k-means codebook
+  * per subspace, and represent every vector by its `m` nearest-code
+  * ids. A 64-dim float vector (256 B) becomes m=8 single-byte-range
+  * codes — the compression that lets a 100 TB embedding corpus keep
+  * its SEARCH structure resident. Queries score against codes with
+  * ADC (asymmetric distance computation): one per-query lookup table
+  * of m x ksub exact sub-distances, then each corpus row costs m
+  * table lookups — no per-row float vector arithmetic at all.
+  *
+  * Scale shape:
+  *  - training: m bounded seeded-sample k-means jobs
+  *    ([[Similarity.trainIvfCentroids]] on sliced subvectors — cost is
+  *    corpus-size-independent);
+  *  - encoding: ONE compiled map-side pass (m argmin scans per row,
+  *    [[NearestCentroidsExpr]]); codes can be persisted and reused —
+  *    the corpus's float vectors never need to be read again;
+  *  - search: ADC tables build on the driver (Q x m x ksub x subDim
+  *    flops — trivial for a bounded query batch), ship as ONE codegen
+  *    reference object scoring ALL queries in a single corpus scan
+  *    ([[PqAdcDistsExpr]]); the per-query top-k is a map-side
+  *    WindowGroupLimit, so the only exchange carries candidate rows.
+  *
+  * Determinism/oracle contract: codebooks are deterministic given the
+  * seed (captured as literals, the q37/q65 pattern); code assignment
+  * is the strict-< ascending-index argmin; ADC doubles accumulate in
+  * ascending index order at BOTH levels (sub-distance over i, total
+  * over j), so another engine replays every distance bit-for-bit.
+  */
+object Pq {
+
+  /** Train the `m` per-subspace codebooks: each is
+    * [[Similarity.trainIvfCentroids]] over the corpus's sliced
+    * subvectors (bounded seeded sample, multi-restart Lloyd), seeded
+    * per subspace. Returns row-major (ksub x subDim) codebooks.
+    */
+  def trainCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int = 16,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must be a multiple of m $m")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("__id"),
+        slice(col(vecCol), j * subDim + 1, subDim).as("__sv"))
+      Similarity.trainIvfCentroids(sub, "__id", "__sv", subDim,
+        nLists = ksub, seed = seed + j)
+    }
+  }
+
+  /** PQ codes of a vector column: array<long> of length m, code j = the
+    * strict-< argmin centroid of subspace j — one compiled pass.
+    */
+  def encode(vec: Column, codebooks: Seq[Seq[Double]], dim: Int): Column = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"dim $dim must be a multiple of m $m")
+    val subDim = dim / m
+    array((0 until m).map { j =>
+      toCol(NearestCentroidsExpr(
+        toExpr(slice(vec, j * subDim + 1, subDim)), codebooks(j), subDim, 1))
+        .getItem(0)
+    }: _*)
+  }
+
+  /** Top-`k` ADC neighbors per query over the encoded corpus. `queries`
+    * must be a BOUNDED frame (the ANN batch model — its vectors are
+    * collected to build the lookup tables); self-matches are excluded.
+    * Output: (query_id, rank, vec_id, adc_dist) — adc_dist is the
+    * approximate SQUARED L2 distance (the PQ reconstruction metric).
+    */
+  def adcTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val ksub = codebooks.head.length / subDim
+    require(codebooks.forall(_.length == ksub * subDim),
+      "all codebooks must hold ksub x subDim values")
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(qRows.nonEmpty, "query batch is empty")
+    val qIds: Array[Long] = qRows.map(_.getLong(0))
+    // ADC tables, row-major (query, subspace, code): exact squared
+    // sub-distances, ascending-i accumulation (the oracle's
+    // list_dot_product(diff, diff) replays this bit-for-bit)
+    val tables: Array[Double] = qRows.flatMap { r =>
+      val qv = r.getSeq[Any](1).toArray.map {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+      }
+      (0 until m).flatMap { j =>
+        val cb = codebooks(j)
+        (0 until ksub).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = qv(j * subDim + i) - cb(c * subDim + i)
+            s += d * d
+            i += 1
+          }
+          s
+        }
+      }
+    }
+    val codes = encode(col(vecCol), codebooks, dim)
+    val dists = toCol(PqAdcDistsExpr(toExpr(codes), tables.toSeq, m, ksub))
+    val w = Window.partitionBy(col("__qi")).orderBy(col("adc_dist"), col("vec_id"))
+    corpus
+      .select(col(idCol).as("vec_id"), posexplode(dists).as(Seq("__qi", "adc_dist")))
+      .withColumn("query_id", element_at(typedlit(qIds.toSeq), col("__qi") + 1))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+}
