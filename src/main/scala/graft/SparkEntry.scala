@@ -2148,6 +2148,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q122: IVF+PQ ANN (SURVEY+ L80 composition — the FAISS IVFx,PQm
+    // billion-scale layout): the q37 coarse quantizer routes each query
+    // to nProbe cells, the q121 ADC table scores ONLY those cells'
+    // residents, so per-query cost is probed occupancy, not the corpus.
+    // Both models' constants are captured and the oracle composes the
+    // two verified replays (argmin cells/probes + ADC pivot sum).
+    "q122_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        dim = 64, nLists = 16)
+      val cbs = graft.similarity.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+      q122Models = Some((cent, cbs))
+      graft.similarity.Pq.ivfAdcTopK(emb, "vec_id", "embedding", queries,
+          cent, cbs, dim = 64, k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked
@@ -2563,6 +2585,7 @@ object SparkEntry {
   /** q65's trained KMeans centroids, captured the same way as q37's. */
   @volatile private var q65Centroids: Option[Seq[Double]] = None
   @volatile private var q121Codebooks: Option[Seq[Seq[Double]]] = None
+  @volatile private var q122Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
 
   /** q71's trained SemDeDup centroids, captured the same way as q37's. */
   @volatile private var q71Centroids: Option[Seq[Double]] = None
@@ -2636,6 +2659,69 @@ object SparkEntry {
        |  FROM at GROUP BY 1, 2),
        |adc AS (SELECT query_id, vec_id, $orderedSum AS adc_dist FROM pv
        |  WHERE query_id <> vec_id),
+       |r AS (SELECT query_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id, round(adc_dist, 4) AS adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the q122 IVF+PQ pipeline: the q37 cell/probe
+    * replay (argmin over centroid literals, lower-cell tie) feeding the
+    * q121 ADC replay (tables via list_dot_product(diff,diff), pivot +
+    * ascending-j parenthesized sum) over probed candidates only.
+    */
+  private def q122OracleSql(cent: Seq[Double], cbs: Seq[Seq[Double]]): String = {
+    val m = cbs.length
+    val subDim = 64 / m
+    val ksub = cbs.head.length / subDim
+    val centRows = cent.grouped(64).zipWithIndex.map { case (c, i) =>
+      c.map(d => java.lang.Double.toString(d))
+        .mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      (0 until ksub).map { c =>
+        cb.slice(c * subDim, (c + 1) * subDim)
+          .map(d => java.lang.Double.toString(d))
+          .mkString(s"($j, $c, CAST([", ", ", "] AS DOUBLE[]))")
+      }
+    }.mkString(",\n  ")
+    val pivotCols = (0 until m)
+      .map(j => s"max(CASE WHEN at.j = $j THEN at.t END) AS t$j").mkString(",\n    ")
+    val orderedSum = (1 until m).foldLeft("t0") { (acc, j) => s"($acc + t$j)" }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent(cell, cc) AS (VALUES
+       |  $centRows),
+       |cb(j, c, cv) AS (VALUES
+       |  $cbRows),
+       |ca AS (SELECT e.vec_id, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.v, cent.cc), cent.cell) AS rk
+       |  FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM ca WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ca WHERE vec_id < 3 AND rk <= 4),
+       |cand AS (SELECT probes.query_id, cells.vec_id
+       |  FROM probes JOIN cells ON probes.cell = cells.cell
+       |  WHERE probes.query_id <> cells.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |enc AS (SELECT e.vec_id, cb.j, cb.c,
+       |    row_number() OVER (PARTITION BY e.vec_id, cb.j
+       |      ORDER BY list_distance(list_transform(range(1, ${subDim + 1}),
+       |        i -> e.v[cb.j * $subDim + i]), cb.cv), cb.c) AS rk
+       |  FROM e CROSS JOIN cb),
+       |codes AS (SELECT vec_id, j, c FROM enc WHERE rk = 1),
+       |tab AS (SELECT q.query_id, cb.j, cb.c,
+       |    list_dot_product(
+       |      list_transform(range(1, ${subDim + 1}), i -> q.qv[cb.j * $subDim + i] - cb.cv[i]),
+       |      list_transform(range(1, ${subDim + 1}), i -> q.qv[cb.j * $subDim + i] - cb.cv[i])) AS t
+       |  FROM q CROSS JOIN cb),
+       |at AS (SELECT cand.query_id, cand.vec_id, codes.j, tab.t
+       |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |    JOIN tab ON tab.query_id = cand.query_id AND codes.j = tab.j AND codes.c = tab.c),
+       |pv AS (SELECT query_id, vec_id,
+       |    $pivotCols
+       |  FROM at GROUP BY 1, 2),
+       |adc AS (SELECT query_id, vec_id, $orderedSum AS adc_dist FROM pv),
        |r AS (SELECT query_id, vec_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
        |  FROM adc)
@@ -3434,6 +3520,7 @@ object SparkEntry {
     q37Centroids.map(c => "q37_knn_ivf" -> q37OracleSql(c)) ++
     q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
     q121Codebooks.map(c => "q121_pq_ann" -> q121OracleSql(c)) ++
+    q122Models.map { case (cent, cbs) => "q122_ivfpq_ann" -> q122OracleSql(cent, cbs) } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

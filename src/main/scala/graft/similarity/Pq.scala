@@ -132,4 +132,81 @@ object Pq {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
   }
+
+  /** IVF+PQ (the FAISS `IVFx,PQm` composition — the canonical
+    * billion-scale ANN layout): an IVF coarse quantizer routes each
+    * query to its `nProbe` nearest cells and ADC scoring runs over the
+    * PQ codes of THOSE cells' residents only — [[adcTopK]]'s scan cost
+    * drops from the corpus to the probed occupancy, and with
+    * occupancy-scaled cell counts the per-query work is
+    * corpus-size-independent. Every building block is the verified
+    * one: cell assignment and query probing are the compiled strict-<
+    * argmin ([[NearestCentroidsExpr]], the q37 machinery), scoring is
+    * the q121 ADC table. The probe pairs (query, cell) broadcast; the
+    * only exchange is the per-query top-k rank over candidates.
+    *
+    * Output: (query_id, rank, vec_id, adc_dist), rank over the probed
+    * candidates (IVF recall semantics: a true neighbor outside every
+    * probed cell is missed — the standard trade, tuned by `nProbe`).
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      centroids: Seq[Double],
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val ksub = codebooks.head.length / subDim
+    // probes computed by the SAME compiled kernel as corpus assignment,
+    // collected with the query vectors (bounded batch)
+    val qRows = queries.select(col(idCol).cast("long").as("__id"),
+        toCol(NearestCentroidsExpr(toExpr(col(vecCol)), centroids, dim, nProbe)).as("__pb"),
+        col(vecCol).as("__v"))
+      .collect()
+    require(qRows.nonEmpty, "query batch is empty")
+    val qIds: Array[Long] = qRows.map(_.getLong(0))
+    val tables: Array[Double] = qRows.flatMap { r =>
+      val qv = r.getSeq[Any](2).toArray.map {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+      }
+      (0 until m).flatMap { j =>
+        val cb = codebooks(j)
+        (0 until ksub).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = qv(j * subDim + i) - cb(c * subDim + i)
+            s += d * d
+            i += 1
+          }
+          s
+        }
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probePairs = qRows.zipWithIndex.flatMap { case (r, qi) =>
+      r.getSeq[Long](1).map(cell => (qi, r.getLong(0), cell))
+    }.toSeq.toDF("__qi", "query_id", "__cell")
+    val cellOf = toCol(NearestCentroidsExpr(toExpr(col(vecCol)), centroids, dim, 1)).getItem(0)
+    val codes = encode(col(vecCol), codebooks, dim)
+    val dists = toCol(PqAdcDistsExpr(toExpr(codes), tables.toSeq, m, ksub))
+    val w = Window.partitionBy(col("__qi")).orderBy(col("adc_dist"), col("vec_id"))
+    corpus
+      .select(col(idCol).as("vec_id"), cellOf.as("__cell"), dists.as("__ds"))
+      .join(broadcast(probePairs), Seq("__cell"))
+      .select(col("query_id"), col("__qi"), col("vec_id"),
+        element_at(col("__ds"), col("__qi") + 1).as("adc_dist"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
 }

@@ -65,6 +65,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ with all cells probed equals the full PQ scan; fewer probes subset it") {
+    val queries = corpus.where(col("vec_id") < 3L)
+    val cent = Similarity.trainIvfCentroids(corpus, "vec_id", "v", dim, nLists = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9) / 1e9)).toSet
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the composition must reproduce the flat ADC scan exactly
+    val full = rows(Pq.adcTopK(corpus, "vec_id", "v", queries, cbs, dim, k = 5))
+    val allProbes = rows(Pq.ivfAdcTopK(corpus, "vec_id", "v", queries,
+      cent, cbs, dim, k = 5, nProbe = 6))
+    assert(allProbes === full)
+    // fewer probes: results come from probed cells only, and on this
+    // clustered corpus the own-cluster cell is the first probe, so the
+    // top-k still matches the flat scan (IVF recall at work)
+    val oneProbe = rows(Pq.ivfAdcTopK(corpus, "vec_id", "v", queries,
+      cent, cbs, dim, k = 5, nProbe = 1))
+    assert(oneProbe === full,
+      "clustered queries must recall their own cluster with one probe")
+  }
+
   test("PQ top-k discriminates clusters (the resolution PQ promises)") {
     // within a tight cluster, quantization collapses members onto the
     // same code, so intra-cluster micro-ranking is tie-broken by id —
