@@ -132,6 +132,10 @@ object GraftFunctions {
       WordChunksExpr(a(0), intLit("graft_word_chunks", a, 1))),
     fd("graft_ascii_tokens", classOf[AsciiTokensExpr], 1)(a => AsciiTokensExpr(a(0))),
     fd("graft_word_bigrams", classOf[WordBigramsExpr], 1)(a => WordBigramsExpr(a(0))),
+    fd("graft_word_ngram_stream", classOf[WordNgramStreamExpr], 2)(a =>
+      WordNgramStreamExpr(a(0), intLit("graft_word_ngram_stream", a, 1))),
+    fd("graft_ngram_hash_pairs", classOf[NgramHashPairsExpr], 2)(a =>
+      NgramHashPairsExpr(a(0), intLit("graft_ngram_hash_pairs", a, 1))),
     fd("graft_lang_guess", classOf[LangGuessExpr], 1)(a =>
       LangGuessExpr(a(0), TextFunctions.defaultLangMarkers)),
     fd("graft_dot_product", classOf[DotProductExpr], 2)(a => DotProductExpr(a(0), a(1))),

@@ -47,6 +47,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Long]("sh") === viaCol)
   }
 
+  test("round-9 scalar functions: n-gram stream and hash pairs from SQL") {
+    val r = sql.sql(
+      """SELECT
+        |  graft_word_ngram_stream('A b a b', 2) AS st,
+        |  graft_ngram_hash_pairs('a b a b', 3) AS hp
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("st") === Seq("a b", "b a", "a b"))
+    val hp = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hp")
+    assert(hp.length === 2)
+    // identical grams hash identically; distinct grams differ
+    val viaCol = {
+      import org.apache.spark.sql.functions._
+      import sql.implicits._
+      Seq("a b a b").toDF("t")
+        .select(graft.functions.TextFunctions.ngramHashPairs(col("t"), 3).as("hp"))
+        .collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    }
+    assert(hp === viaCol)
+  }
+
   test("round-7 scalar functions: unicode tokens and sig match count from SQL") {
     val r = sql.sql(
       """SELECT
