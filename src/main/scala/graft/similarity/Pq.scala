@@ -39,10 +39,14 @@ import graft.functions.{NearestCentroidsExpr, PqAdcDistsExpr}
   */
 object Pq {
 
-  /** Train the `m` per-subspace codebooks: each is
-    * [[Similarity.trainIvfCentroids]] over the corpus's sliced
-    * subvectors (bounded seeded sample, multi-restart Lloyd), seeded
-    * per subspace. Returns row-major (ksub x subDim) codebooks.
+  /** Train the `m` per-subspace codebooks from ONE bounded seeded
+    * corpus sample (TakeOrdered by hash, the [[Similarity
+    * .trainIvfCentroids]] convention): the sample's full vectors are
+    * collected once and each subspace's multi-restart Lloyd (seeded
+    * per subspace) runs over its slice — one corpus scan for all m
+    * codebooks, where per-subspace sampling would pay m scans just to
+    * draw training rows at 100 TB. Returns row-major (ksub x subDim)
+    * codebooks.
     */
   def trainCodebooks(
       corpus: DataFrame,
@@ -54,11 +58,29 @@ object Pq {
       seed: Long = 42L): Seq[Seq[Double]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must be a multiple of m $m")
     val subDim = dim / m
+    // same cap rule as the IVF trainer at nLists = ksub
+    val cap = math.min(256 * ksub, math.max(25000, 64 * ksub))
+    val sample: Array[Seq[Double]] = corpus
+      .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(cap)
+      .select(col("__v"))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+      })
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     (0 until m).map { j =>
-      val sub = corpus.select(col(idCol).as("__id"),
-        slice(col(vecCol), j * subDim + 1, subDim).as("__sv"))
-      Similarity.trainIvfCentroids(sub, "__id", "__sv", subDim,
-        nLists = ksub, seed = seed + j)
+      val slices = sample.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim)) }
+      // a cap-row LOCAL frame: the trainer's own sampling degenerates to
+      // the identity over it, so this reuses its multi-restart Lloyd,
+      // strict-< argmin and padding conventions verbatim
+      Similarity.trainIvfCentroids(slices.toSeq.toDF("__id", "__sv"),
+        "__id", "__sv", subDim, nLists = ksub, seed = seed + j)
     }
   }
 
