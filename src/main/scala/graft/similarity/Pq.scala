@@ -155,6 +155,45 @@ object Pq {
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
   }
 
+  /** [[adcTopK]] with an EXACT rerank (the FAISS refine step,
+    * `IndexRefineFlat`): ADC generates `rerank` candidates per query,
+    * then true squared-L2 re-scores those candidates only and the
+    * exact top-`k` wins. PQ codes can't micro-rank inside tight
+    * clusters (quantization collapses near-identical vectors onto one
+    * code — measured recall@10 of 1% on a 20-cluster corpus,
+    * tools/PqRecallBench); as a CANDIDATE GENERATOR + exact rerank the
+    * recall is a tunable function of `rerank` (R = 50 already recovers
+    * ~all of it there). Cost shape: the corpus scan is still
+    * ADC-over-codes; the float vectors are read only for the Q x R
+    * candidate rows (broadcast semi-join on id) — at 100 TB that is
+    * the difference between re-reading the corpus and re-reading a few
+    * thousand rows.
+    */
+  def adcTopKRefined(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k $k")
+    val cands = adcTopK(corpus, idCol, vecCol, queries, codebooks, dim, rerank)
+      .select(col("query_id"), col("vec_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val withVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("dist2", toCol(graft.functions.Dist2Expr(
+        toExpr(col("__cv")), toExpr(col("__qv")))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+    withVec
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist2"))
+  }
+
   /** IVF+PQ (the FAISS `IVFx,PQm` composition — the canonical
     * billion-scale ANN layout): an IVF coarse quantizer routes each
     * query to its `nProbe` nearest cells and ADC scoring runs over the

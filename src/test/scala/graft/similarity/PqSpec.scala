@@ -86,6 +86,23 @@ class PqSpec extends SparkSpec {
       "clustered queries must recall their own cluster with one probe")
   }
 
+  test("exact rerank over the full ADC candidate set equals brute-force top-k") {
+    val queries = corpus.where(col("vec_id") < 2L)
+    val got = Pq.adcTopKRefined(corpus, "vec_id", "v", queries, cbs, dim,
+        k = 5, rerank = 179)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val want = all.filter(_._1 < 2L).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("PQ top-k discriminates clusters (the resolution PQ promises)") {
     // within a tight cluster, quantization collapses members onto the
     // same code, so intra-cluster micro-ranking is tie-broken by id —
