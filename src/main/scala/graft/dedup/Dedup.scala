@@ -67,13 +67,17 @@ object Dedup {
     * ARE duplicates: identical normalized content is the definition here.
     */
   def exact(df: DataFrame, textCol: String, idCol: String,
-      unicode: Boolean = false, nfc: Boolean = false): DataFrame = {
+      unicode: Boolean = false, nfc: Boolean = false,
+      caseFold: Boolean = false): DataFrame = {
     // unicode = true: the fingerprint keeps letters of every script —
     // the ascii normalization maps ALL CJK docs to "" (one giant
     // duplicate group); see TextFunctions.fingerprint
     // nfc = true: canonical-compose before fingerprinting, so composed
     // and decomposed encodings of the same visible text dedupe together
-    val fp = TextFunctions.fingerprint(col(textCol), unicode, nfc)
+    // caseFold = true: Unicode simple case folding after NFC — case
+    // variants in ANY script (and final-vs-medial sigma) dedupe
+    // together; spec-verified tier (engine-divergent, no SQL twin)
+    val fp = TextFunctions.fingerprint(col(textCol), unicode, nfc, caseFold)
     val key = coalesce(fp, concat(lit("__graft_null__:"), col(idCol).cast("string")))
     val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__graft_rn", row_number().over(w))

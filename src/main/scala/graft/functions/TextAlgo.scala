@@ -1039,6 +1039,30 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** Unicode SIMPLE case folding (approximated as
+    * toLowerCase(toUpperCase(cp)) per codepoint — the classic 1:1
+    * simple-fold construction): the dedup-key tier above L61's
+    * ASCII-only fold, so CAFE-vs-cafe-class corpora in any script and
+    * final-vs-medial sigma collapse to one key. 1:1 by construction
+    * (no SpecialCasing expansions — German sharp-s stays itself, as
+    * simple folding specifies). Documented divergences from ICU full
+    * folding: dotted capital I folds to plain 'i' under the JDK's
+    * simple map (full folding emits i + combining dot), and ligatures
+    * stay unexpanded — acceptable for a dedup KEY, where any
+    * deterministic canonical choice works.
+    */
+  def caseFoldSimple(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(Character.toUpperCase(cp)))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Largest |x| of an array<double> vector; 0 for empty. */
   def vecMaxAbs(v: ArrayData): Double = {
     var m = 0.0

@@ -302,15 +302,30 @@ object TextFunctions {
     * string, declaring a whole corpus one giant duplicate group (found
     * by the round-7 CurateCorpus --unicode spec).
     */
-  def fingerprint(c: Column, unicode: Boolean = false, nfc: Boolean = false): Column = {
+  def fingerprint(c: Column, unicode: Boolean = false, nfc: Boolean = false,
+      caseFold: Boolean = false): Column = {
     // nfc = true: canonical-compose FIRST ([[NfcNormalizeExpr]]), so
     // composed and decomposed encodings of the same visible text get ONE
     // key — NFD text would otherwise split (ascii tier: the base letter
     // survives the strip only in decomposed form; unicode tier: \p{M}
-    // marks keep decomposed sequences byte-distinct)
-    val base = if (nfc) nfcNormalize(c) else c
+    // marks keep decomposed sequences byte-distinct).
+    // caseFold = true: Unicode SIMPLE case folding after NFC
+    // ([[caseFoldSimple]]) — CAFE/cafe-class corpora in any script and
+    // final-vs-medial sigma share a key; engine-divergent by nature
+    // (no SQL twin), so the fold tier is spec-verified, not
+    // oracle-replayed (the documented L61 trade, one tier up)
+    val nfcd = if (nfc) nfcNormalize(c) else c
+    val base = if (caseFold) caseFoldSimple(nfcd) else nfcd
     if (unicode) md5(array_join(unicodeTokens(base), ""))
     else md5(regexp_replace(lower(base), "[^a-z0-9]", ""))
+  }
+
+  /** Unicode simple case folding ([[CaseFoldSimpleExpr]], compiled) —
+    * the dedup-key fold tier above the ASCII-only tokenizer fold.
+    */
+  def caseFoldSimple(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColF, expression => toExprF}
+    toColF(CaseFoldSimpleExpr(toExprF(c)))
   }
 
   /** Unicode NFC canonical composition ([[NfcNormalizeExpr]], compiled;

@@ -773,6 +773,23 @@ case class PqAdcDistsExpr(child: Expression, tables: Seq[Double], m: Int, ksub: 
     copy(child = newChild)
 }
 
+/** Unicode simple case folding of a string column — the dedup-key fold
+  * tier; see [[TextAlgo.caseFoldSimple]].
+  */
+case class CaseFoldSimpleExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "case_fold_simple"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.caseFoldSimple(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.caseFoldSimple($c)")
+  override protected def withNewChildInternal(newChild: Expression): CaseFoldSimpleExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two array<double> columns; 0 for zero-norm inputs. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {

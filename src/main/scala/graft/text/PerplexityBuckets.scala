@@ -49,14 +49,23 @@ object PerplexityBuckets {
       k: Int = 3,
       unicode: Boolean = false,
       roundDigits: Int = 6,
-      ngramOrder: Int = 1): DataFrame = {
-    val scored0 = ngramOrder match {
-      case 1 => UnigramLm.crossEntropy(df, idCol, textCol, unicode)
-      case 2 => UnigramLm.bigramCrossEntropy(df, idCol, textCol, unicode)
+      ngramOrder: Int = 1,
+      hashedLm: Boolean = false): DataFrame = {
+    // hashedLm: score with the fixed-width hashed tier
+    // ([[UnigramLm.ngramCrossEntropyHashed]] — the q120 scale path;
+    // 12x vs 21x per decade at 5M docs) instead of the exact-string
+    // oracle tier; buckets are identical wherever the 64-bit hashes
+    // are injective on the observed grams (spec-pinned)
+    val scored0 = (ngramOrder, hashedLm) match {
+      case (1, _) => UnigramLm.crossEntropy(df, idCol, textCol, unicode)
+      case (n, true) if n == 2 || n == 3 =>
+        UnigramLm.ngramCrossEntropyHashed(df, idCol, textCol, n, unicode)
+          .withColumnRenamed("n_ngrams", "n_tokens")
+      case (2, false) => UnigramLm.bigramCrossEntropy(df, idCol, textCol, unicode)
         .withColumnRenamed("n_bigrams", "n_tokens")
-      case 3 => UnigramLm.trigramCrossEntropy(df, idCol, textCol, unicode)
+      case (3, false) => UnigramLm.trigramCrossEntropy(df, idCol, textCol, unicode)
         .withColumnRenamed("n_trigrams", "n_tokens")
-      case o => throw new IllegalArgumentException(
+      case (o, _) => throw new IllegalArgumentException(
         s"ngramOrder must be 1, 2 or 3, got $o")
     }
     val scored = scored0.withColumn("xent", round(col("xent"), roundDigits))

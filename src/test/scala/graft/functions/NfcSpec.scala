@@ -48,4 +48,34 @@ class NfcSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(keptRaw.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("caseFoldSimple: cross-script folding, sigma unification, sharp-s stability") {
+    def fold(t: String): String = Seq(Tuple1(t)).toDF("t")
+      .select(TextFunctions.caseFoldSimple(col("t"))).collect()(0).getString(0)
+    // non-ASCII case variants fold together (L61's ASCII fold cannot)
+    assert(fold("CAF\u00C9 NA\u00CFVE") === fold("caf\u00E9 na\u00EFve"))
+    // final and medial sigma unify (fold, not lowercase: both -> sigma)
+    assert(fold("\u03BF\u03C2") === fold("\u039F\u03A3"))
+    assert(fold("\u03C2") === "\u03C3")
+    // sharp-s is 1:1 stable under SIMPLE folding (no SS expansion)
+    assert(fold("stra\u00DFe") === "stra\u00DFe")
+    // Cyrillic
+    assert(fold("\u0414\u0410\u041D\u041D\u042B\u0415") === "\u0434\u0430\u043d\u043d\u044b\u0435")
+  }
+
+  test("Dedup.exact(caseFold = true) collapses cross-script case variants") {
+    val docs = Seq(
+      (1L, "CAF\u00C9 R\u00C9SUM\u00C9 \u0394\u0395\u039B\u03A4\u0391"),
+      (2L, "caf\u00E9 r\u00E9sum\u00E9 \u03B4\u03B5\u03BB\u03C4\u03B1"),
+      (3L, "a different document")).toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup.exact(docs, "text", "doc_id",
+        unicode = true, nfc = true, caseFold = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+    // without the fold tier the case variants stay distinct
+    val keptRaw = graft.dedup.Dedup.exact(docs, "text", "doc_id",
+        unicode = true, nfc = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptRaw.toSeq === Seq(1L, 2L, 3L))
+  }
 }

@@ -201,6 +201,21 @@ class SearchLmSpec extends SparkSpec {
     assert(prunedMax <= floor + 1e-9)
   }
 
+  test("perplexity buckets on the hashed LM tier equal the exact tier") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 4 + rng.nextInt(25))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "),
+        Seq("en", "fr", "de")(i % 3))
+    }.toDF("id", "body", "lang")
+    def buckets(hashed: Boolean) = graft.text.PerplexityBuckets
+      .partition(docs, "id", "body", "lang", ngramOrder = 3, hashedLm = hashed)
+      .select(col("doc_id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(buckets(hashed = true) === buckets(hashed = false))
+  }
+
   test("word n-gram stream at n=2 equals the bigram kernel") {
     import spark.implicits._
     val texts = Seq("The quick brown-fox; jumps", "", "one", "a b c d")
