@@ -136,6 +136,8 @@ object GraftFunctions {
       WordNgramStreamExpr(a(0), intLit("graft_word_ngram_stream", a, 1))),
     fd("graft_ngram_hash_pairs", classOf[NgramHashPairsExpr], 2)(a =>
       NgramHashPairsExpr(a(0), intLit("graft_ngram_hash_pairs", a, 1))),
+    fd("graft_case_fold_simple", classOf[CaseFoldSimpleExpr], 1)(a =>
+      CaseFoldSimpleExpr(a(0))),
     fd("graft_lang_guess", classOf[LangGuessExpr], 1)(a =>
       LangGuessExpr(a(0), TextFunctions.defaultLangMarkers)),
     fd("graft_dot_product", classOf[DotProductExpr], 2)(a => DotProductExpr(a(0), a(1))),
