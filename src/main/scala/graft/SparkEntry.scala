@@ -2170,6 +2170,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q123: RESIDUAL IVF+PQ ANN (SURVEY+ L81 — the FAISS IVFPQ
+    // construction proper): PQ codes are learned on and assigned to
+    // v - centroid(cell), and each query builds one ADC table PER
+    // PROBED CELL from its own residual, so codes micro-rank WITHIN a
+    // cell (raw-vector codes collapse tight clusters onto one code —
+    // the round-9 measured 1% recall). Oracle extends the q122 replay
+    // by the centroid subtraction at all three sites: corpus residual
+    // (v[i]-cc[i]), code assignment over residual slices, and the
+    // per-(query,cell) table diff ((qv-cc)-cv).
+    "q123_ivfpq_residual_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        dim = 64, nLists = 16)
+      val cbs = graft.similarity.Pq.trainResidualCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 8, centroids = cent, ksub = 16)
+      q123Models = Some((cent, cbs))
+      graft.similarity.Pq.ivfAdcTopKResidual(emb, "vec_id", "embedding", queries,
+          cent, cbs, dim = 64, k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked
@@ -2586,6 +2611,7 @@ object SparkEntry {
   @volatile private var q65Centroids: Option[Seq[Double]] = None
   @volatile private var q121Codebooks: Option[Seq[Seq[Double]]] = None
   @volatile private var q122Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
+  @volatile private var q123Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
 
   /** q71's trained SemDeDup centroids, captured the same way as q37's. */
   @volatile private var q71Centroids: Option[Seq[Double]] = None
@@ -2718,6 +2744,80 @@ object SparkEntry {
        |at AS (SELECT cand.query_id, cand.vec_id, codes.j, tab.t
        |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
        |    JOIN tab ON tab.query_id = cand.query_id AND codes.j = tab.j AND codes.c = tab.c),
+       |pv AS (SELECT query_id, vec_id,
+       |    $pivotCols
+       |  FROM at GROUP BY 1, 2),
+       |adc AS (SELECT query_id, vec_id, $orderedSum AS adc_dist FROM pv),
+       |r AS (SELECT query_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id, round(adc_dist, 4) AS adc_dist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the q123 RESIDUAL IVF+PQ pipeline: the q122
+    * replay with the centroid subtraction at every site FAISS IVFPQ
+    * specifies — the corpus residual (v[i] - cc[i], plain double
+    * subtraction on both engines), code assignment as argmin over
+    * RESIDUAL subvector slices, and one ADC table per (query, probed
+    * cell) whose diff is (qv - cc_probe) - cv (left-assoc, matching the
+    * driver loop's order of operations bit-for-bit).
+    */
+  private def q123OracleSql(cent: Seq[Double], cbs: Seq[Seq[Double]]): String = {
+    val m = cbs.length
+    val subDim = 64 / m
+    val ksub = cbs.head.length / subDim
+    val centRows = cent.grouped(64).zipWithIndex.map { case (c, i) =>
+      c.map(d => java.lang.Double.toString(d))
+        .mkString(s"($i, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      (0 until ksub).map { c =>
+        cb.slice(c * subDim, (c + 1) * subDim)
+          .map(d => java.lang.Double.toString(d))
+          .mkString(s"($j, $c, CAST([", ", ", "] AS DOUBLE[]))")
+      }
+    }.mkString(",\n  ")
+    val pivotCols = (0 until m)
+      .map(j => s"max(CASE WHEN at.j = $j THEN at.t END) AS t$j").mkString(",\n    ")
+    val orderedSum = (1 until m).foldLeft("t0") { (acc, j) => s"($acc + t$j)" }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cent(cell, cc) AS (VALUES
+       |  $centRows),
+       |cb(j, c, cv) AS (VALUES
+       |  $cbRows),
+       |ca AS (SELECT e.vec_id, cent.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(e.v, cent.cc), cent.cell) AS rk
+       |  FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, cell FROM ca WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ca WHERE vec_id < 3 AND rk <= 4),
+       |res AS (SELECT e.vec_id, cells.cell,
+       |    list_transform(range(1, 65), i -> e.v[i] - cent.cc[i]) AS r
+       |  FROM e JOIN cells ON e.vec_id = cells.vec_id
+       |    JOIN cent ON cells.cell = cent.cell),
+       |enc AS (SELECT res.vec_id, cb.j, cb.c,
+       |    row_number() OVER (PARTITION BY res.vec_id, cb.j
+       |      ORDER BY list_distance(list_transform(range(1, ${subDim + 1}),
+       |        i -> res.r[cb.j * $subDim + i]), cb.cv), cb.c) AS rk
+       |  FROM res CROSS JOIN cb),
+       |codes AS (SELECT vec_id, j, c FROM enc WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+       |tab AS (SELECT probes.query_id, probes.cell, cb.j, cb.c,
+       |    list_dot_product(
+       |      list_transform(range(1, ${subDim + 1}),
+       |        i -> (q.qv[cb.j * $subDim + i] - cent.cc[cb.j * $subDim + i]) - cb.cv[i]),
+       |      list_transform(range(1, ${subDim + 1}),
+       |        i -> (q.qv[cb.j * $subDim + i] - cent.cc[cb.j * $subDim + i]) - cb.cv[i])) AS t
+       |  FROM probes JOIN q ON probes.query_id = q.query_id
+       |    JOIN cent ON probes.cell = cent.cell CROSS JOIN cb),
+       |cand AS (SELECT probes.query_id, cells.vec_id, cells.cell
+       |  FROM probes JOIN cells ON probes.cell = cells.cell
+       |  WHERE probes.query_id <> cells.vec_id),
+       |at AS (SELECT cand.query_id, cand.vec_id, codes.j, tab.t
+       |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |    JOIN tab ON tab.query_id = cand.query_id AND tab.cell = cand.cell
+       |      AND tab.j = codes.j AND tab.c = codes.c),
        |pv AS (SELECT query_id, vec_id,
        |    $pivotCols
        |  FROM at GROUP BY 1, 2),
@@ -3521,6 +3621,7 @@ object SparkEntry {
     q65Centroids.map(c => "q65_kmeans_clusters" -> q65OracleSql(c)) ++
     q121Codebooks.map(c => "q121_pq_ann" -> q121OracleSql(c)) ++
     q122Models.map { case (cent, cbs) => "q122_ivfpq_ann" -> q122OracleSql(cent, cbs) } ++
+    q123Models.map { case (cent, cbs) => "q123_ivfpq_residual_ann" -> q123OracleSql(cent, cbs) } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

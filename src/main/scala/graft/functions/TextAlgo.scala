@@ -1039,6 +1039,41 @@ object TextAlgo {
     ArrayData.toArrayData(out)
   }
 
+  /** Single ADC score for PQ codes against table `idx` of a packed
+    * (P x m x ksub) table block — the per-(query, probed-cell) lookup of
+    * residual IVF+PQ, where the table index arrives as a JOIN column
+    * (broadcast probe pairs) rather than being enumerated per row as in
+    * [[pqAdcDists]]. Same ascending-j accumulation from 0.0.
+    */
+  def pqAdcDistAt(codes: ArrayData, tables: Array[Double], m: Int, ksub: Int, idx: Long): Double = {
+    var s = 0.0
+    var j = 0
+    val off = idx.toInt * m * ksub
+    while (j < m) {
+      s += tables(off + j * ksub + codes.getLong(j).toInt)
+      j += 1
+    }
+    s
+  }
+
+  /** Residual of a vector against centroid `cell` of the row-major
+    * (nLists x dim) centroid block: out(i) = vec(i) - centroids(cell*dim+i)
+    * — the IVF residual-encoding primitive (FAISS IVFPQ: PQ codes are
+    * learned on and assigned to v - centroid(cell), so codes spend their
+    * resolution on WITHIN-cell structure).
+    */
+  def centroidResidual(vec: ArrayData, cell: Long, centroids: Array[Double], dim: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Double](n)
+    val off = cell.toInt * dim
+    var i = 0
+    while (i < n) {
+      out(i) = vec.getDouble(i) - centroids(off + i)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Unicode SIMPLE case folding (approximated as
     * toLowerCase(toUpperCase(cp)) per codepoint — the classic 1:1
     * simple-fold construction): the dedup-key tier above L61's

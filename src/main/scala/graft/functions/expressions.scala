@@ -773,6 +773,70 @@ case class PqAdcDistsExpr(child: Expression, tables: Seq[Double], m: Int, ksub: 
     copy(child = newChild)
 }
 
+/** Single ADC distance for PQ codes against table `idx` of a packed
+  * (P x m x ksub) table block — see [[TextAlgo.pqAdcDistAt]]. The index
+  * is a COLUMN (it arrives via the broadcast probe-pair join of residual
+  * IVF+PQ), so each joined row pays exactly m lookups into its own
+  * (query, probed-cell) table instead of scoring every table as
+  * [[PqAdcDistsExpr]] does.
+  */
+case class PqAdcDistAtExpr(codes: Expression, idx: Expression,
+    tables: Seq[Double], m: Int, ksub: Int) extends BinaryExpression {
+  require(m > 0 && ksub > 0 && tables.nonEmpty && tables.length % (m * ksub) == 0,
+    s"tables must hold P x $m x $ksub distances, got ${tables.length}")
+  override def left: Expression = codes
+  override def right: Expression = idx
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((codes.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+        && idx.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> codes, bigint index)")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist_at"
+  @transient private lazy val tabArr: Array[Double] = tables.toArray
+  override protected def nullSafeEval(c: Any, i: Any): Any =
+    TextAlgo.pqAdcDistAt(c.asInstanceOf[ArrayData], tabArr, m, ksub, i.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTables", tabArr, "double[]")
+    defineCodeGen(ctx, ev, (c, i) => s"graft.functions.TextAlgo.pqAdcDistAt($c, $ref, $m, $ksub, $i)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistAtExpr =
+    copy(codes = newLeft, idx = newRight)
+}
+
+/** vec - centroids[cell] over a row-major (nLists x dim) centroid
+  * reference block — the IVF residual-encoding primitive; see
+  * [[TextAlgo.centroidResidual]]. `cell` is a column (the row's coarse
+  * assignment, computed once by [[NearestCentroidsExpr]]), so the
+  * residual costs O(dim) with no second argmin scan.
+  */
+case class CentroidResidualExpr(vec: Expression, cell: Expression,
+    centroids: Seq[Double], dim: Int) extends BinaryExpression {
+  require(dim > 0 && centroids.nonEmpty && centroids.length % dim == 0)
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((vec.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+        && cell.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double> vec, bigint cell)")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    TextAlgo.centroidResidual(v.asInstanceOf[ArrayData], c.asInstanceOf[Long], centArr, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centArr, "double[]")
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.TextAlgo.centroidResidual($v, $c, $ref, $dim)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidualExpr =
+    copy(vec = newLeft, cell = newRight)
+}
+
 /** Unicode simple case folding of a string column — the dedup-key fold
   * tier; see [[TextAlgo.caseFoldSimple]].
   */

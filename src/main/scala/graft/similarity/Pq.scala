@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
 
-import graft.functions.{NearestCentroidsExpr, PqAdcDistsExpr}
+import graft.functions.{CentroidResidualExpr, NearestCentroidsExpr, PqAdcDistAtExpr, PqAdcDistsExpr}
 
 /** Product quantization for embedding ANN at corpus scale (Jégou,
   * Douze & Schmid, TPAMI 2011 — the FAISS `PQm` family): split each
@@ -269,5 +269,199 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  private def toDoubles(s: Seq[Any]): Array[Double] = s.toArray.map {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+  }
+
+  /** Driver-side twin of the compiled strict-< ascending-index argmin
+    * ([[graft.functions.TextAlgo.nearestCentroids]] at nProbe=1): same
+    * index-ordered squared-diff accumulation, so a sample vector's cell
+    * here equals the corpus scan's cell for that vector bit-for-bit.
+    */
+  private def nearestCell(v: Array[Double], centroids: Array[Double], dim: Int): Int = {
+    val nLists = centroids.length / dim
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nLists) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      val n = math.min(v.length, dim)
+      while (i < n) { val d = v(i) - centroids(off + i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[trainCodebooks]] on IVF RESIDUALS (the FAISS IVFPQ construction):
+    * each sample vector is assigned its coarse cell, the codebooks are
+    * learned on v - centroid(cell) — so the m x ksub codes spend their
+    * resolution on WITHIN-cell structure instead of re-describing the
+    * coarse geometry the cell id already captures. Raw-vector codes
+    * collapse a tight cluster onto one code word (measured recall@10 of
+    * ~1% intra-cluster, tools/PqRecallBench); residual codes
+    * discriminate inside the cell. Same one-bounded-sample cost shape
+    * as [[trainCodebooks]] — the cell assignment of the sample happens
+    * on the driver with the kernel's own argmin.
+    */
+  def trainResidualCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      centroids: Seq[Double],
+      ksub: Int = 16,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must be a multiple of m $m")
+    require(centroids.nonEmpty && centroids.length % dim == 0,
+      "centroids must be row-major nLists x dim")
+    val subDim = dim / m
+    val cap = math.min(256 * ksub, math.max(25000, 64 * ksub))
+    val centArr = centroids.toArray
+    val residuals: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(cap)
+      .select(col("__v"))
+      .collect()
+      .map { r =>
+        val v = toDoubles(r.getSeq[Any](0))
+        val off = nearestCell(v, centArr, dim) * dim
+        val out = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { out(i) = v(i) - centArr(off + i); i += 1 }
+        out
+      }
+    require(residuals.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (0 until m).map { j =>
+      val slices = residuals.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim).toSeq) }
+      Similarity.trainIvfCentroids(slices.toSeq.toDF("__id", "__sv"),
+        "__id", "__sv", subDim, nLists = ksub, seed = seed + j)
+    }
+  }
+
+  /** RESIDUAL IVF+PQ search ([[ivfAdcTopK]] with FAISS's residual
+    * encoding): corpus rows are coarse-assigned once, PQ-encoded on
+    * v - centroid(cell), and each query builds ONE ADC table PER PROBED
+    * CELL from its own residual q - centroid(cell) — so within a cell,
+    * distances compare residual against residual and the codes can
+    * micro-rank residents the raw-vector codes collapse together.
+    *
+    * Plan shape is [[ivfAdcTopK]]'s exactly (no new shuffles): the
+    * (query, cell) probe pairs broadcast with their table index, the
+    * corpus scan computes cell + residual + codes map-side in one
+    * compiled pass, the joined row pays m lookups into ITS pair's table
+    * ([[PqAdcDistAtExpr]]), and the per-query top-k rank is the only
+    * exchange.
+    */
+  def ivfAdcTopKResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      centroids: Seq[Double],
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = dim / m
+    val ksub = codebooks.head.length / subDim
+    require(codebooks.forall(_.length == ksub * subDim),
+      "all codebooks must hold ksub x subDim values")
+    val centArr = centroids.toArray
+    val qRows = queries.select(col(idCol).cast("long").as("__id"),
+        toCol(NearestCentroidsExpr(toExpr(col(vecCol)), centroids, dim, nProbe)).as("__pb"),
+        col(vecCol).as("__v"))
+      .collect()
+    require(qRows.nonEmpty, "query batch is empty")
+    // one (query, probed cell) pair per table, in (query, probe-rank)
+    // order; table P = exact squared sub-distances of the query's
+    // RESIDUAL against that cell: ((q - cc) - cv)^2, ascending i
+    val pairs = qRows.flatMap { r =>
+      val qv = toDoubles(r.getSeq[Any](2))
+      r.getSeq[Long](1).map(cell => (r.getLong(0), cell, qv))
+    }
+    val tables: Array[Double] = pairs.flatMap { case (_, cell, qv) =>
+      val cOff = cell.toInt * dim
+      (0 until m).flatMap { j =>
+        val cb = codebooks(j)
+        (0 until ksub).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val d = (qv(j * subDim + i) - centArr(cOff + j * subDim + i)) - cb(c * subDim + i)
+            s += d * d
+            i += 1
+          }
+          s
+        }
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probePairs = pairs.zipWithIndex
+      .map { case ((qid, cell, _), pi) => (pi.toLong, qid, cell) }
+      .toSeq.toDF("__pi", "query_id", "__cell")
+    val cellCol = toCol(NearestCentroidsExpr(toExpr(col(vecCol)), centroids, dim, 1)).getItem(0)
+    val withCell = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+      cellCol.as("__cell"))
+    val residual = toCol(CentroidResidualExpr(toExpr(col("__v")), toExpr(col("__cell")), centroids, dim))
+    val codes = encode(residual, codebooks, dim)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))
+    withCell
+      .select(col("vec_id"), col("__cell"), codes.as("__codes"))
+      .join(broadcast(probePairs), Seq("__cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        toCol(PqAdcDistAtExpr(toExpr(col("__codes")), toExpr(col("__pi")),
+          tables.toSeq, m, ksub)).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** [[ivfAdcTopKResidual]] + the exact rerank of [[adcTopKRefined]]
+    * (FAISS `IVFPQ + IndexRefineFlat`): residual-ADC generates `rerank`
+    * candidates per query over the probed cells, true squared-L2
+    * re-scores those Q x R rows only. The documented default entry
+    * point for production ANN — residual codes make the candidate set
+    * good, the refine makes the final ranking exact.
+    */
+  def ivfAdcTopKResidualRefined(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      centroids: Seq[Double],
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int,
+      nProbe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k $k")
+    val cands = ivfAdcTopKResidual(corpus, idCol, vecCol, queries,
+        centroids, codebooks, dim, rerank, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val withVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("dist2", toCol(graft.functions.Dist2Expr(
+        toExpr(col("__cv")), toExpr(col("__qv")))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("vec_id"))
+    withVec
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist2"))
   }
 }

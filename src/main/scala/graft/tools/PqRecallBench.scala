@@ -90,6 +90,25 @@ object PqRecallBench {
       println(s"""{"config":"pq_m${m}_k${ksub}_refine$r", "recall":${"%.3f".formatLocal(
         java.util.Locale.ROOT, (got & truth).size.toDouble / truth.size)}}""")
     }
+
+    // RESIDUAL encoding (FAISS IVFPQ proper): codes learned on and
+    // assigned to v - centroid(cell), ADC tables per (query, probed
+    // cell) from the query's own residual — the structural fix for
+    // intra-cluster quantization collapse, same m/ksub budget
+    val rcbs = Pq.trainResidualCodebooks(corpus, "vec_id", "v", dim, m,
+      centroids = cent, ksub = ksub)
+    Seq(1, 4, nLists).foreach { nProbe =>
+      val got = resultPairs(Pq.ivfAdcTopKResidual(corpus, "vec_id", "v", queries,
+        cent, rcbs, dim, k, nProbe))
+      println(s"""{"config":"ivfpq_residual_m${m}_k${ksub}_probe$nProbe", "recall":${"%.3f".formatLocal(
+        java.util.Locale.ROOT, (got & truth).size.toDouble / truth.size)}}""")
+    }
+    Seq(50, 200).foreach { r =>
+      val got = resultPairs(Pq.ivfAdcTopKResidualRefined(corpus, "vec_id", "v", queries,
+        cent, rcbs, dim, k, nProbe = 4, rerank = r))
+      println(s"""{"config":"ivfpq_residual_m${m}_k${ksub}_probe4_refine$r", "recall":${"%.3f".formatLocal(
+        java.util.Locale.ROOT, (got & truth).size.toDouble / truth.size)}}""")
+    }
     spark.stop()
   }
 }

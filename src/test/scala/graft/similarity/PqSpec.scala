@@ -103,6 +103,100 @@ class PqSpec extends SparkSpec {
     assert(got === want)
   }
 
+  private lazy val cent6 = Similarity.trainIvfCentroids(corpus, "vec_id", "v", dim, nLists = 6)
+  private lazy val rcbs = Pq.trainResidualCodebooks(corpus, "vec_id", "v", dim, m,
+    centroids = cent6, ksub = 8)
+
+  test("residual ADC distance equals the hand-computed residual reconstruction distance") {
+    val queries = corpus.where(col("vec_id") === 0L)
+    val qv = queries.select(col("v")).collect()(0).getSeq[Double](0).toArray
+    val got = Pq.ivfAdcTopKResidual(corpus, "vec_id", "v", queries,
+        cent6, rcbs, dim, k = 179, nProbe = 6)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val centArr = cent6.toArray
+    def cellOf(v: Array[Double]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      (0 until centArr.length / dim).foreach { c =>
+        var s = 0.0
+        (0 until dim).foreach { i => val d = v(i) - centArr(c * dim + i); s += d * d }
+        if (s < bestD) { bestD = s; best = c }
+      }
+      best
+    }
+    val rows = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      if (id != 0L) {
+        val cell = cellOf(v)
+        val rv = v.indices.map(i => v(i) - centArr(cell * dim + i)).toArray
+        val qr = qv.indices.map(i => qv(i) - centArr(cell * dim + i)).toArray
+        var total = 0.0
+        (0 until m).foreach { j =>
+          val cb = rcbs(j)
+          var bestC = -1
+          var bestD = Double.MaxValue
+          (0 until cb.length / subDim).foreach { c =>
+            var s = 0.0
+            (0 until subDim).foreach { i =>
+              val d = rv(j * subDim + i) - cb(c * subDim + i); s += d * d
+            }
+            if (s < bestD) { bestD = s; bestC = c }
+          }
+          var t = 0.0
+          (0 until subDim).foreach { i =>
+            val d = qr(j * subDim + i) - cb(bestC * subDim + i); t += d * d
+          }
+          total += t
+        }
+        assert(math.abs(got(id) - total) < 1e-9, s"vec $id")
+      }
+    }
+  }
+
+  test("residual IVF+PQ + full-width exact rerank equals brute-force top-k") {
+    val queries = corpus.where(col("vec_id") < 2L)
+    val got = Pq.ivfAdcTopKResidualRefined(corpus, "vec_id", "v", queries,
+        cent6, rcbs, dim, k = 5, nProbe = 6, rerank = 179)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val want = all.filter(_._1 < 2L).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("residual codes micro-rank inside a cell where raw codes collapse") {
+    // raw-vector PQ collapses a tight cluster onto one code word, so
+    // WITHIN the query's cluster every member ties at the same ADC
+    // distance; residual codes describe v - centroid(cell) and keep
+    // resolution at the jitter scale. Measured as top-10 recall vs
+    // brute-force ground truth over the cluster members.
+    val queries = corpus.where(col("vec_id") < 3L)
+    val all = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val truth = all.filter(_._1 < 3L).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(10)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val raw = recall(Pq.ivfAdcTopK(corpus, "vec_id", "v", queries,
+      cent6, cbs, dim, k = 10, nProbe = 6))
+    val res = recall(Pq.ivfAdcTopKResidual(corpus, "vec_id", "v", queries,
+      cent6, rcbs, dim, k = 10, nProbe = 6))
+    assert(res > raw, s"residual recall $res must beat raw-code recall $raw")
+    assert(res >= 0.5, s"residual recall $res below 0.5 on the 6-cluster fixture")
+  }
+
   test("PQ top-k discriminates clusters (the resolution PQ promises)") {
     // within a tight cluster, quantization collapses members onto the
     // same code, so intra-cluster micro-ranking is tie-broken by id —
