@@ -41,6 +41,25 @@ import graft.etl.Ranking
   */
 object PerplexityBuckets {
 
+  /** @param model pre-trained bounded (g, prob, unseen_prob) frame
+    *   ([[UnigramLm.trainNgramModelHashed]]'s artifact) — THE
+    *   corpus-scale default: scoring becomes a broadcast map-side pass
+    *   ([[UnigramLm.scoreNgramsWithModel]], measured 2.0x/decade at 5M
+    *   docs) where the corpus-trained tiers re-estimate per run and pay
+    *   corpus-sized model exchanges (exact strings 21x/decade, hashed
+    *   12x). Requires ngramOrder >= 2 (the model keys are n-gram chain
+    *   hashes); buckets equal the corpus-trained tiers' when the model
+    *   is the full unpruned table of the same corpus (spec-pinned).
+    *   For a corpus-scale run, train once on a bounded reference slice
+    *   and pass it here.
+    * @param hashedLm score with the fixed-width hashed tier
+    *   ([[UnigramLm.ngramCrossEntropyHashed]] — the q120 mid path)
+    *   instead of the exact-string oracle tier; buckets are identical
+    *   wherever the 64-bit hashes are injective on the observed grams
+    *   (spec-pinned). Requires ngramOrder >= 2 — the unigram tier is
+    *   already fixed-width per term, so a hashed order-1 request is
+    *   rejected rather than silently served by a different plan.
+    */
   def partition(
       df: DataFrame,
       idCol: String,
@@ -50,23 +69,29 @@ object PerplexityBuckets {
       unicode: Boolean = false,
       roundDigits: Int = 6,
       ngramOrder: Int = 1,
-      hashedLm: Boolean = false): DataFrame = {
-    // hashedLm: score with the fixed-width hashed tier
-    // ([[UnigramLm.ngramCrossEntropyHashed]] — the q120 scale path;
-    // 12x vs 21x per decade at 5M docs) instead of the exact-string
-    // oracle tier; buckets are identical wherever the 64-bit hashes
-    // are injective on the observed grams (spec-pinned)
-    val scored0 = (ngramOrder, hashedLm) match {
-      case (1, _) => UnigramLm.crossEntropy(df, idCol, textCol, unicode)
-      case (n, true) if n == 2 || n == 3 =>
+      hashedLm: Boolean = false,
+      model: Option[DataFrame] = None): DataFrame = {
+    require(!(hashedLm && ngramOrder == 1),
+      "hashedLm requires ngramOrder >= 2 (the unigram tier has no hashed variant)")
+    require(model.isEmpty || ngramOrder >= 2,
+      "model scoring requires ngramOrder >= 2 (model keys are n-gram chain hashes)")
+    require(model.isEmpty || !hashedLm,
+      "pass either a pre-trained model or hashedLm, not both")
+    val scored0 = (ngramOrder, hashedLm, model) match {
+      case (n, false, Some(m)) if n >= 2 =>
+        UnigramLm.scoreNgramsWithModel(df, idCol, textCol, m, n, unicode)
+          .withColumnRenamed("n_ngrams", "n_tokens")
+      case (1, false, None) => UnigramLm.crossEntropy(df, idCol, textCol, unicode)
+      case (n, true, None) if n >= 2 =>
         UnigramLm.ngramCrossEntropyHashed(df, idCol, textCol, n, unicode)
           .withColumnRenamed("n_ngrams", "n_tokens")
-      case (2, false) => UnigramLm.bigramCrossEntropy(df, idCol, textCol, unicode)
+      case (2, false, None) => UnigramLm.bigramCrossEntropy(df, idCol, textCol, unicode)
         .withColumnRenamed("n_bigrams", "n_tokens")
-      case (3, false) => UnigramLm.trigramCrossEntropy(df, idCol, textCol, unicode)
+      case (3, false, None) => UnigramLm.trigramCrossEntropy(df, idCol, textCol, unicode)
         .withColumnRenamed("n_trigrams", "n_tokens")
-      case (o, _) => throw new IllegalArgumentException(
-        s"ngramOrder must be 1, 2 or 3, got $o")
+      case (o, _, _) => throw new IllegalArgumentException(
+        s"exact-string tiers support ngramOrder 1, 2 or 3, got $o " +
+          "(any n >= 2 via hashedLm or a pre-trained model)")
     }
     val scored = scored0.withColumn("xent", round(col("xent"), roundDigits))
     // PERSIST the scored frame (one slim row per doc) before ranking:

@@ -197,13 +197,45 @@ object UnigramLm {
     * scoring is a broadcast hash join — no wide exchange ever.
     */
   def trainNgramModelHashed(df: DataFrame, textCol: String, n: Int,
-      maxGrams: Int, unicode: Boolean = false): DataFrame = {
+      maxGrams: Int, unicode: Boolean = false): DataFrame =
+    trainNgramModelImpl(df, textCol, n, maxGrams, unicode, capture = false)
+      .select(col("g"), col("prob"), col("unseen_prob"))
+
+  /** [[trainNgramModelHashed]] carrying each model gram's STRING form
+    * alongside its 64-bit hash — output (g, gram, prob, unseen_prob).
+    * The gram strings make the bounded artifact ORACLE-CAPTURABLE (an
+    * engine with no access to the JVM hash chain replays scoring by
+    * joining the captured (gram, prob) VALUES on the string form — the
+    * q124 pattern) and human-auditable. The string column rides only
+    * the TRAINING slice's exchanges (bounded by construction), so the
+    * scale shape is unchanged; [[scoreNgramsWithModel]] ignores it.
+    */
+  def trainNgramModelHashedCaptured(df: DataFrame, textCol: String, n: Int,
+      maxGrams: Int, unicode: Boolean = false): DataFrame =
+    trainNgramModelImpl(df, textCol, n, maxGrams, unicode, capture = true)
+
+  private def trainNgramModelImpl(df: DataFrame, textCol: String, n: Int,
+      maxGrams: Int, unicode: Boolean, capture: Boolean): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(maxGrams >= 1, s"maxGrams must be >= 1, got $maxGrams")
-    val pairs = df.select(
-      explode(graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode)).as("gp"))
+    // with capture: zip the hash-pair stream with the string n-gram
+    // stream — both kernels walk the same token stream emitting one
+    // entry per n-gram start, so position i of each is the same gram
+    val pairs =
+      if (capture)
+        df.select(explode(arrays_zip(
+            graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode),
+            graft.functions.TextFunctions.wordNgramStream(col(textCol), n, unicode))).as("z"))
+          .select(col("z.0").as("gp"), col("z.1").as("gram"))
+      else
+        df.select(
+            explode(graft.functions.TextFunctions.ngramHashPairs(col(textCol), n, unicode)).as("gp"))
+          .withColumn("gram", lit(null).cast("string"))
     val cn = pairs.groupBy(col("gp.g").as("g"))
-      .agg(count(lit(1)).as("cn"), first(col("gp.p")).as("p"))
+      .agg(count(lit(1)).as("cn"), first(col("gp.p")).as("p"),
+        first(col("gram")).as("gram"))
+    // p (and gram) are pure functions of g (same gram -> same prefix
+    // chain state / same string), so first() is deterministic here
     val cp = cn.groupBy(col("p")).agg(sum(col("cn")).as("cp"))
     val v = df.select(
         explode(
@@ -214,11 +246,11 @@ object UnigramLm {
     // the add-one model's 1 / V (prefix count 0)
     val unseen = 1.0 / v
     cn.join(cp, "p")
-      .select(col("g"), col("cn"),
+      .select(col("g"), col("gram"), col("cn"),
         ((col("cn") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
       .orderBy(col("cn").desc, col("g"))
       .limit(maxGrams)
-      .select(col("g"), col("prob"), lit(unseen).as("unseen_prob"))
+      .select(col("g"), col("gram"), col("prob"), lit(unseen).as("unseen_prob"))
   }
 
   /** Score documents against a PRE-TRAINED bounded model

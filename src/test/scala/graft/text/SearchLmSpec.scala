@@ -201,6 +201,33 @@ class SearchLmSpec extends SparkSpec {
     assert(prunedMax <= floor + 1e-9)
   }
 
+  test("captured-gram trainer equals the plain hashed trainer; strings match their hashes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val vocab = ('a' to 'm').map(_.toString)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 4 + rng.nextInt(25))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "body")
+    val plain = UnigramLm.trainNgramModelHashed(docs, "body", n = 3, maxGrams = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val captured = UnigramLm.trainNgramModelHashedCaptured(docs, "body", n = 3, maxGrams = 64)
+    assert(captured.columns.toSeq === Seq("g", "gram", "prob", "unseen_prob"))
+    val capRows = captured.collect()
+    assert(capRows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet === plain)
+    // every captured string is a 3-token gram, distinct, and its hash
+    // column is the stream kernel's hash of exactly that gram: scoring
+    // via the hash join and replaying via the string join agree
+    assert(capRows.map(_.getString(1)).distinct.length === capRows.length)
+    assert(capRows.forall(_.getString(1).split(" ").length === 3))
+    val rehash = captured.select(
+        explode(graft.functions.TextFunctions.ngramHashPairs(col("gram"), 3, unicode = false)).as("gp"),
+        col("g"), col("gram"))
+      .collect()
+    assert(rehash.forall(r => r.getStruct(0).getLong(0) == r.getLong(1)),
+      "captured gram string must re-hash to its model hash")
+  }
+
   test("perplexity buckets on the hashed LM tier equal the exact tier") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
@@ -214,6 +241,68 @@ class SearchLmSpec extends SparkSpec {
       .partition(docs, "id", "body", "lang", ngramOrder = 3, hashedLm = hashed)
       .select(col("doc_id"), col("bucket")).as[(Long, Int)].collect().toMap
     assert(buckets(hashed = true) === buckets(hashed = false))
+    // the pre-trained-model tier with the FULL (unpruned) table of the
+    // same corpus is the same distribution — buckets pin identical
+    val full = UnigramLm.trainNgramModelHashed(docs, "body", n = 3, maxGrams = 1000000)
+    val viaModel = graft.text.PerplexityBuckets
+      .partition(docs, "id", "body", "lang", ngramOrder = 3, model = Some(full))
+      .select(col("doc_id"), col("bucket")).as[(Long, Int)].collect().toMap
+    assert(viaModel === buckets(hashed = false))
+  }
+
+  test("hashed 5-gram tier equals a driver-side add-one replay") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val vocab = ('a' to 'h').map(_.toString)
+    val raw = (0 until 40).map { i =>
+      (i.toLong, (0 until 6 + rng.nextInt(25))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = raw.toDF("id", "body")
+    val got = UnigramLm.ngramCrossEntropyHashed(docs, "id", "body", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver replay: 5-gram counts, prefix counts from them, V over
+    // distinct tokens, add-one P(w5 | w1..w4), per-doc mean -ln
+    val toks = raw.map { case (id, s) => id -> s.split("[^a-z0-9]+").filter(_.nonEmpty) }
+    val grams = toks.flatMap { case (id, ts) => ts.sliding(5).filter(_.length == 5)
+      .map(g => (id, g.mkString(" "))) }
+    val c5 = grams.groupBy(_._2).map { case (g, o) => g -> o.size.toLong }
+    val cp = c5.groupBy(_._1.split(" ").take(4).mkString(" "))
+      .map { case (p, m) => p -> m.values.sum }
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    val want = grams.groupBy(_._1).map { case (id, gs) =>
+      val xs = gs.map { case (_, g) =>
+        val prob = (c5(g) + 1).toDouble / (cp(g.split(" ").take(4).mkString(" ")) + v).toDouble
+        -math.log(prob)
+      }
+      id -> ((gs.size.toLong, xs.sum / xs.size))
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (nn, x)) =>
+      assert(nn === want(id)._1, s"doc $id gram count")
+      assert(math.abs(x - want(id)._2) < 1e-9, s"doc $id xent")
+    }
+    // docs shorter than 5 tokens carry no row
+    val short = UnigramLm.ngramCrossEntropyHashed(
+      Seq((0L, "a b c d"), (1L, "a b c d e")).toDF("id", "body"), "id", "body", n = 5)
+    assert(short.collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("partition rejects contradictory LM-tier requests") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d", "en")).toDF("id", "body", "lang")
+    intercept[IllegalArgumentException] {
+      graft.text.PerplexityBuckets.partition(docs, "id", "body", "lang",
+        ngramOrder = 1, hashedLm = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.PerplexityBuckets.partition(docs, "id", "body", "lang",
+        ngramOrder = 1, model = Some(docs))
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.PerplexityBuckets.partition(docs, "id", "body", "lang",
+        ngramOrder = 5)
+    }
   }
 
   test("word n-gram stream at n=2 equals the bigram kernel") {

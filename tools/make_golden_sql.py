@@ -36,6 +36,9 @@ SPECS = {
     "q120_trigram_xent_hashed": [("doc_id", "BIGINT"),
                                  ("n_trigrams", "BIGINT"),
                                  ("xent", "DOUBLE")],
+    "q125_5gram_xent_hashed": [("doc_id", "BIGINT"),
+                               ("n_5grams", "BIGINT"),
+                               ("xent", "DOUBLE")],
 }
 
 
