@@ -2129,6 +2129,39 @@ object SparkEntry {
           round(col("xent"), 6).as("xent"))
         .orderBy(col("doc_id"))),
 
+    // q127: BYTE-LEVEL BPE training (SURVEY+ L83, the GPT-2/tiktoken
+    // family — graft.text.ByteBpe): first 32 merges over the corpus's
+    // GPT-2 pre-token frequencies, symbols in the public
+    // bytes_to_unicode alphabet ('Ġ' = space). One distributed agg;
+    // driver merge loop reused from q86. The pre-tokenizer's lookahead
+    // has no RE2 form, so the oracle pins scale-keyed golden VALUES
+    // (q120 pattern); the algorithm is spec-verified (ByteBpeSpec:
+    // byte-table facts, hand merges, round-trip, monotonicity).
+    "q127_byte_bpe_merges" -> ((s, dir) => {
+      val model = graft.text.ByteBpe.train(
+        t(s, dir, "documents").where(col("text").isNotNull), "text", numMerges = 32)
+      graft.text.ByteBpe.mergesTable(s, model).orderBy(col("rank"))
+    }),
+
+    // q128: byte-level BPE ENCODING under the q127 vocabulary + an
+    // atomic <|endoftext|> special (id 256+32, the GPT-2 layout):
+    // per-doc token count and the first three ids — the token-budget
+    // arithmetic (L26/L16/L29) counted the way the target model
+    // tokenizes. Compiled zero-shuffle encode; golden VALUES oracle.
+    "q128_byte_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val model = graft.text.ByteBpe.train(docs, "text", numMerges = 32,
+        specials = Seq("<|endoftext|>"))
+      docs.select(col("doc_id"),
+          graft.text.ByteBpe.encodeIds(
+            concat(col("text"), lit("<|endoftext|>")), model).as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+          try_element_at(col("ids"), lit(1)).as("id1"),
+          try_element_at(col("ids"), lit(2)).as("id2"),
+          try_element_at(col("ids"), lit(3)).as("id3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q121: product-quantization ANN (SURVEY+ L80, Jegou et al. 2011)
     // — per-subspace codebooks trained on bounded seeded samples,
     // corpus encoded to m=8 code ids in one compiled pass, ADC scoring

@@ -1475,6 +1475,174 @@ object TextAlgo {
     new GenericArrayData(out.toArray[Any])
   }
 
+  // ---- byte-level BPE (the GPT-2 / tiktoken tokenizer family) ----
+
+  /** GPT-2's bytes_to_unicode table (Radford et al. 2019, encoder.py —
+    * a public algorithm): every byte maps to a PRINTABLE BMP char so
+    * byte sequences round-trip through the string-keyed merge
+    * machinery. Printable bytes (33-126, 161-172, 174-255) map to
+    * themselves; the other 68 bytes map to 256+n in byte order — which
+    * is why space is the famous 'Ġ' (U+0120) and newline 'Ċ' (U+010A).
+    */
+  val Gpt2ByteToChar: Array[Char] = {
+    val printable = new Array[Boolean](256)
+    ((33 to 126) ++ (161 to 172) ++ (174 to 255)).foreach(printable(_) = true)
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** Inverse of [[Gpt2ByteToChar]], indexed by char (max mapped cp is
+    * 256+67 = 323); -1 for chars outside the byte alphabet.
+    */
+  val Gpt2CharToByte: Array[Int] = {
+    val arr = Array.fill(324)(-1)
+    var b = 0
+    while (b < 256) { arr(Gpt2ByteToChar(b)) = b; b += 1 }
+    arr
+  }
+
+  /** GPT-2's pre-tokenizer regex (public): contractions, optional-space
+    * letter/number/punct runs, and whitespace runs that donate their
+    * last space to the following word (`\s+(?!\S)` — a lookahead, which
+    * Java regex supports; RE2/DuckDB does NOT, which is why the
+    * byte-BPE queries pin golden VALUES instead of a CTE replay).
+    */
+  private val Gpt2Pretok = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  def gpt2PretokensRaw(text: String): Array[String] = {
+    val m = Gpt2Pretok.matcher(text)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  def gpt2Pretokens(s: UTF8String): ArrayData =
+    new GenericArrayData(gpt2PretokensRaw(s.toString)
+      .map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  /** A pre-token's byte-level form: UTF-8 bytes mapped through
+    * [[Gpt2ByteToChar]] — the symbol alphabet the byte-level merge loop
+    * and encoder operate on. Total (no UNK): every byte has a char.
+    */
+  def gpt2ByteForm(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(Gpt2ByteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Mapped token string back to text bytes (round-trip inverse of
+    * [[gpt2ByteForm]]). Throws on chars outside the byte alphabet.
+    */
+  def gpt2BytesOf(token: String): Array[Byte] = {
+    val out = new Array[Byte](token.length)
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      val b = if (c < 324) Gpt2CharToByte(c) else -1
+      require(b >= 0, s"char U+${Integer.toHexString(c)} is not in the GPT-2 byte alphabet")
+      out(i) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Byte-level BPE token ids: split on special tokens (leftmost-first,
+    * longest-at-tie — specials are atomic and never byte-split), GPT-2
+    * pre-tokenize each segment, map pre-tokens to byte-char form, apply
+    * the merge table greedy-by-lowest-rank (the same application loop
+    * as [[bpeEncode]]), and look each final symbol up in `vocab`
+    * (base-256 byte alphabet + one entry per merge + specials — total
+    * by construction, so no UNK path exists). Map-side, zero shuffle.
+    */
+  def byteBpeEncodeIds(s: UTF8String, model: ByteBpeTables): ArrayData = {
+    val text = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var pos = 0
+    while (pos < text.length) {
+      // next special occurrence (leftmost; longest wins at the same start)
+      var spStart = -1
+      var spIdx = -1
+      var k = 0
+      while (k < model.specials.length) {
+        val at = text.indexOf(model.specials(k), pos)
+        if (at >= 0 && (spStart < 0 || at < spStart ||
+            (at == spStart && model.specials(k).length > model.specials(spIdx).length))) {
+          spStart = at
+          spIdx = k
+        }
+        k += 1
+      }
+      val segEnd = if (spStart < 0) text.length else spStart
+      if (segEnd > pos) {
+        val toks = gpt2PretokensRaw(text.substring(pos, segEnd))
+        var t = 0
+        while (t < toks.length) {
+          encodeWord(gpt2ByteForm(toks(t)), model, out)
+          t += 1
+        }
+      }
+      if (spStart >= 0) {
+        out += model.specialIds(spIdx)
+        pos = spStart + model.specials(spIdx).length
+      } else pos = text.length
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  private def encodeWord(mapped: String, model: ByteBpeTables,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](mapped.length)
+    var i = 0
+    while (i < mapped.length) { syms += String.valueOf(mapped.charAt(i)); i += 1 }
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      i = 0
+      while (i < syms.length - 1) {
+        val r = model.ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val merged = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && {
+            val r = model.ranks.get(syms(i) + " " + syms(i + 1))
+            r != null && r == best
+          }) {
+            merged += syms(i) + syms(i + 1)
+            i += 2
+          } else {
+            merged += syms(i)
+            i += 1
+          }
+        }
+        syms = merged
+        done = syms.length < 2
+      }
+    }
+    i = 0
+    while (i < syms.length) {
+      val id = model.vocab.get(syms(i))
+      if (id == null)
+        throw new IllegalStateException(s"byte-BPE symbol '${syms(i)}' missing from vocab")
+      out += id.longValue
+      i += 1
+    }
+  }
+
   // ---- UTF8String/ArrayData adapters called from generated code ----
 
   def minhashSigData(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =

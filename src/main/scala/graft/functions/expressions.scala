@@ -806,6 +806,47 @@ case class PqAdcDistAtExpr(codes: Expression, idx: Expression,
     copy(codes = newLeft, idx = newRight)
 }
 
+/** GPT-2 pre-tokens of a string column (contractions, optional-space
+  * letter/number/punct runs, whitespace donation — see
+  * [[TextAlgo.gpt2Pretokens]]): the byte-level BPE word boundary, and
+  * the word-frequency key its trainer aggregates on.
+  */
+case class Gpt2PretokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gpt2_pretokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.gpt2Pretokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.gpt2Pretokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gpt2PretokensExpr =
+    copy(child = newChild)
+}
+
+/** Byte-level BPE token ids of a string column under a trained model
+  * (GPT-2 family: byte alphabet so no UNK, specials atomic) — one
+  * compiled zero-shuffle pass; the model tables ride the plan as one
+  * codegen reference object. See [[TextAlgo.byteBpeEncodeIds]].
+  */
+case class ByteBpeEncodeIdsExpr(child: Expression, tables: ByteBpeTables)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_bpe_encode_ids"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.byteBpeEncodeIds(input.asInstanceOf[UTF8String], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeTables", tables, "graft.functions.ByteBpeTables")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.byteBpeEncodeIds($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeEncodeIdsExpr =
+    copy(child = newChild)
+}
+
 /** vec - centroids[cell] over a row-major (nLists x dim) centroid
   * reference block — the IVF residual-encoding primitive; see
   * [[TextAlgo.centroidResidual]]. `cell` is a column (the row's coarse

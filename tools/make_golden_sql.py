@@ -39,6 +39,11 @@ SPECS = {
     "q125_5gram_xent_hashed": [("doc_id", "BIGINT"),
                                ("n_5grams", "BIGINT"),
                                ("xent", "DOUBLE")],
+    "q127_byte_bpe_merges": [("rank", "INTEGER"), ("left", "VARCHAR"),
+                             ("right", "VARCHAR")],
+    "q128_byte_bpe_tokens": [("doc_id", "BIGINT"), ("n_tokens", "INTEGER"),
+                             ("id1", "BIGINT"), ("id2", "BIGINT"),
+                             ("id3", "BIGINT")],
 }
 
 
@@ -61,13 +66,13 @@ def main(out_dir, scale, only=None):
         files = glob.glob(f"{out_dir}/{q}/*.parquet")
         if not files:
             sys.exit(f"no parquet for {q} under {out_dir}")
-        order = ", ".join(c for c, _ in cols)
+        order = ", ".join(f'"{c}"' for c, _ in cols)
         rows = con.execute(
             f"SELECT * FROM read_parquet({files!r}) ORDER BY {order}").fetchall()
         vals = ",\n".join(
             "(" + ", ".join(lit(v, t) for v, (c, t) in zip(r, cols)) + ")"
             for r in rows)
-        names = ", ".join(c for c, _ in cols)
+        names = ", ".join(f'"{c}"' for c, _ in cols)
         sql = f"SELECT * FROM (VALUES\n{vals}\n) AS t({names})\n"
         path = os.path.join(dest, f"{q}.sql")
         with open(path, "w") as f:
