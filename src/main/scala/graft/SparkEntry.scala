@@ -1935,6 +1935,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q129: pHash image near-dup (SURVEY+ L84) — the DCT tier ABOVE
+    // q111's dHash: integral 32x32 resize + fixed-point-cosine 8x8
+    // low-frequency DCT block thresholded at its median (all integer
+    // arithmetic — the 256 table literals ARE the algorithm, so the
+    // oracle replays every bit). Fixture plants a TRUE RESCALE (3/2
+    // nearest upscale) per family: the perturbation class dHash's
+    // shifted grid breaks under (PhashSpec pins the dHash-fails/
+    // pHash-survives case with JPEG recompress on top). Pair search is
+    // the same blocked Hamming join; the oracle resynthesizes pixels,
+    // replays resize + two DCT stages + median in DuckDB int math and
+    // compares all pairs via bit sets.
+    "q129_image_phash_neardup" -> ((s, dir) => {
+      // bounded fixture at any scale — the oracle is an all-pairs scan
+      // by design (the q111 rationale)
+      val imgs = graft.multimodal.ImageHash.syntheticImagesPhash(
+        t(s, dir, "documents").select(col("doc_id")).where(col("doc_id") < 3000))
+      graft.multimodal.ImageHash.phashNearDupPairs(imgs, "doc_id", "bytes",
+        maxHamming = 3, maxBucketSize = 1 << 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q112: blocklist filtering (SURVEY+ L73) — the C4-style "page
     // contains a listed word" gate as ONE compiled Aho-Corasick pass
     // over the whole pattern set (vs K contains/regexp scans). Patterns
@@ -2971,6 +2992,62 @@ object SparkEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        |  round(sum(-ln(prob)) / count(*), 6) AS xent
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of the q129 pHash pipeline: pixel synthesis from
+    * the shared fixture formulas (ImageHash.phashFixturePixel), box
+    * resize to 32x32 via grouped integer division, the TWO separable
+    * DCT stages against the fixed-point cosine table literals
+    * (ImageHash.DctTable — the constants are the algorithm), the
+    * division-free median threshold (2c > sorted31 + sorted32), and an
+    * all-pairs bit-set Hamming scan — nothing in common with the Spark
+    * plan (packed longs, blocked LSH join) except the answer.
+    */
+  private def q129OracleSql: String = {
+    val tRows = (0 until 8).flatMap { k =>
+      (0 until 32).map(n => s"($k, $n, ${graft.multimodal.ImageHash.DctTable(k * 32 + n)})")
+    }.mkString(",\n  ")
+    s"""WITH x36 AS (SELECT unnest(range(0, 36)) AS x),
+       |y32 AS (SELECT unnest(range(0, 32)) AS y),
+       |x54 AS (SELECT unnest(range(0, 54)) AS x),
+       |y48 AS (SELECT unnest(range(0, 48)) AS y),
+       |ids AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r FROM documents WHERE doc_id < 3000),
+       |b01 AS (SELECT i.doc_id, i.g, x36.x, y32.y, x36.x AS bx, y32.y AS by, 36 AS w, 32 AS h
+       |    FROM ids i, x36, y32 WHERE i.r = 0
+       |  UNION ALL
+       |  SELECT i.doc_id, i.g, x54.x, y48.y,
+       |      (x54.x * 36) // 54 AS bx, (y48.y * 32) // 48 AS by, 54 AS w, 48 AS h
+       |    FROM ids i, x54, y48 WHERE i.r = 1),
+       |vb AS (SELECT doc_id, x, y, w, h, 40 + (vv * vv) % 151 AS v
+       |  FROM (SELECT *, g * 73 + (bx // 9) * 41 + (by // 9) * 59 AS vv FROM b01)),
+       |v2 AS (SELECT doc_id, x, y, 36 AS w, 32 AS h,
+       |    40 + (vv * vv + 13) % 151 + (x * 13 + y * 5 + 3 * g) % 7 AS v
+       |  FROM (SELECT i.doc_id, i.g, x36.x, y32.y,
+       |          i.g * 97 + (x36.x // 9) * 67 + (y32.y // 9) * 31 AS vv
+       |        FROM ids i, x36, y32 WHERE i.r = 2)),
+       |px AS (SELECT * FROM vb UNION ALL SELECT * FROM v2),
+       |rz AS (SELECT doc_id, (x * 32) // w AS gx, (y * 32) // h AS gy,
+       |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS v
+       |  FROM px GROUP BY doc_id, (x * 32) // w, (y * 32) // h),
+       |t(k, n, t) AS (VALUES
+       |  $tRows),
+       |rr AS (SELECT rz.doc_id, rz.gy, t.k AS u, CAST(sum(rz.v * t.t) AS BIGINT) AS rv
+       |  FROM rz JOIN t ON t.n = rz.gx GROUP BY rz.doc_id, rz.gy, t.k),
+       |cc AS (SELECT rr.doc_id, t.k AS vf, rr.u, CAST(sum(rr.rv * t.t) AS BIGINT) AS c
+       |  FROM rr JOIN t ON t.n = rr.gy GROUP BY rr.doc_id, t.k, rr.u),
+       |m AS (SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn FROM cc),
+       |med AS (SELECT doc_id, sum(CASE WHEN rn IN (32, 33) THEN c END) AS med2
+       |  FROM m GROUP BY doc_id),
+       |bits AS (SELECT cc.doc_id, cc.vf * 8 + cc.u AS bit
+       |  FROM cc JOIN med ON cc.doc_id = med.doc_id WHERE 2 * cc.c > med.med2),
+       |ph AS (SELECT i.doc_id,
+       |    list_sort(list(b.bit) FILTER (WHERE b.bit IS NOT NULL)) AS bits
+       |  FROM ids i LEFT JOIN bits b ON i.doc_id = b.doc_id GROUP BY i.doc_id),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(coalesce(len(a.bits), 0) + coalesce(len(b.bits), 0)
+       |      - 2 * coalesce(len(list_intersect(a.bits, b.bits)), 0) AS INTEGER) AS hamming
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** The capstone oracle's shared stage chains (q116/q126): `scoring`
@@ -4226,6 +4303,11 @@ object SparkEntry {
         |      - 2 * coalesce(len(list_intersect(a.bits, b.bits)), 0) AS INTEGER) AS hamming
         |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // q129: the q111 all-pairs bit-set shape with the pHash pipeline
+    // replayed in int math (resize buckets, fixed-point DCT stages,
+    // division-free median)
+    "q129_image_phash_neardup" -> q129OracleSql,
+
     // q72: the cap is a plain rank filter over the portable md5 rank —
     // the Spark side differs only in WHERE the rank is computed (map-side
     // WindowGroupLimit), never in which rows survive.
