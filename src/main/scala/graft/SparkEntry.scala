@@ -1413,6 +1413,7 @@ object SparkEntry {
       // keeps repeated in-session runs from leaking a dir per call
       val fixDir = java.nio.file.Paths.get("/tmp/graft_warcgz",
         java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.ProcessHandle.current().pid())
+      registerTmpCleanup(fixDir.toString)
       // regenerate each run: deterministic content; stale files from an
       // earlier corpus would skew the counts
       if (java.nio.file.Files.isDirectory(fixDir)) {
@@ -1935,6 +1936,46 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q130: WET-format ingestion (SURVEY+ L85) — CommonCrawl's
+    // pre-extracted-text sibling of WARC, the format most corpus users
+    // start from. WET records are WARC `conversion` records, so the
+    // reader is Warc.parseRecords verbatim + a type filter and the
+    // payload IS the document. Fixture serializes the corpus into 8
+    // real gzipped WET shards (with the leading warcinfo record every
+    // real WET file carries — the reader must skip it); the query
+    // round-trips binaryFile -> gunzip -> parse -> conversion filter
+    // and emits the documents back. Oracle = the pre-compression truth
+    // directly: any byte lost anywhere in the file roundtrip breaks
+    // the text hash.
+    "q130_wet_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).collect()
+      val nShards = 8
+      val records: Seq[(Long, String)] = docs.toSeq.map { r =>
+        val id = r.getLong(0)
+        id -> graft.data.Wet.conversionRecord(s"https://example.org/doc/$id", r.getString(1))
+      }
+      // warcinfo first in each shard: sortKey s - nShards routes to
+      // shard s (floorMod) and sorts before every doc id >= 0
+      val info = (0 until nShards).map(sh =>
+        (sh.toLong - nShards) -> graft.data.Wet.warcinfoRecord(s"shard_$sh.warc.wet.gz"))
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_wetgz",
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.ProcessHandle.current().pid())
+      registerTmpCleanup(fixDir.toString)
+      if (java.nio.file.Files.isDirectory(fixDir)) {
+        val it = java.nio.file.Files.list(fixDir)
+        try it.forEach(p => java.nio.file.Files.delete(p)) finally it.close()
+      }
+      graft.data.WarcFiles.writeShards(info ++ records, fixDir, nShards)
+      graft.data.Wet.docs(
+          graft.data.Wet.readWetGz(s, fixDir.toString + "/*.warc.gz"))
+        .select(regexp_extract(col("target_uri"), "doc/([0-9]+)", 1)
+            .cast("bigint").as("doc_id"),
+          col("target_uri"), col("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q129: pHash image near-dup (SURVEY+ L84) — the DCT tier ABOVE
     // q111's dHash: integral 32x32 resize + fixed-point-cosine 8x8
     // low-frequency DCT block thresholded at its median (all integer
@@ -2297,6 +2338,7 @@ object SparkEntry {
       val stateDir = "/tmp/graft_q119_state_" +
         java.lang.Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
+      registerTmpCleanup(stateDir)
       DedupState.saveFingerprintState(
         DedupState.fingerprintState(crawl1, "text"), stateDir)
       val state = DedupState.loadFingerprintState(s, stateDir)
@@ -2701,6 +2743,24 @@ object SparkEntry {
   @volatile private var q123Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
   @volatile private var q124Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q126Model: Option[(Seq[(String, Double)], Double)] = None
+
+  // PID-keyed /tmp fixture dirs (q100/q119/q130) are read LAZILY by the
+  // returned plans, so they cannot be deleted inside the query builder;
+  // a JVM shutdown hook reaps each dir once instead of leaking one per
+  // process (ADVICE round 9)
+  private val tmpCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerTmpCleanup(dir: String): Unit =
+    if (tmpCleanupRegistered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles()
+          if (kids != null) kids.foreach(rm)
+          p.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
 
   /** The capstone's shared cleaning/dedup stages (q116/q126): synthetic
     * page assembly -> C4 line cleaning -> per-domain boilerplate strip ->
@@ -4307,6 +4367,13 @@ object SparkEntry {
     // replayed in int math (resize buckets, fixed-point DCT stages,
     // division-free median)
     "q129_image_phash_neardup" -> q129OracleSql,
+
+    // q130: the WET roundtrip oracle is the pre-compression truth —
+    // the gzip/file/parse path must hand back every byte
+    "q130_wet_ingest" ->
+      """SELECT doc_id, 'https://example.org/doc/' || doc_id AS target_uri,
+        |  CAST(length(text) AS INT) AS n_chars, text
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // q72: the cap is a plain rank filter over the portable md5 rank —
     // the Spark side differs only in WHERE the rank is computed (map-side

@@ -101,6 +101,16 @@ object AcAutomaton {
     * any state such a byte's transition resolves along the fail chain
     * to the root's (which is the root itself), so one column represents
     * all of them exactly.
+    *
+    * BEHAVIOR CHANGE (round 9): the pattern-byte cap was TIGHTENED from
+    * 2^22 to 2^18 — lists between 256 KiB and 4 MiB of pattern bytes
+    * that built before now fail fast here. Rationale: the DFA's
+    * worst-case memory is states x alphabet (~totalLen x 257 ints), so
+    * a 4 MiB list could demand ~4 GiB of transition table per plan
+    * reference object; 2^18 bounds that at ~270 MB, which is already
+    * generous for a blocklist (real lists are KBs). Callers with a
+    * genuinely larger list should shard it across several automata (hit
+    * counts are additive) rather than lifting the cap.
     */
   def build(patterns: Seq[String]): AcAutomaton = {
     require(patterns.nonEmpty, "blocklist must contain at least one pattern")

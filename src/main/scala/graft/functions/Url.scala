@@ -170,8 +170,14 @@ object Url {
       else when(conds.reduce(_ || _), nullif(lastLabels(h, k + 1), lit(""))).otherwise(els)
     }
     // exception rules prevail over EVERY other match (PSL algorithm);
-    // the domain is the rule itself whenever the host ends in it
+    // the domain is the rule itself whenever the host ends in it.
+    // Fold in ASCENDING length order so the LONGEST rule nests outermost
+    // — groupBy returns an unordered Map, and without the sort two
+    // exception rules of different lengths both matching a host would
+    // resolve by Map iteration order (diverging from the oracle SQL's
+    // descending sort and the DataFrame tier's ascending fold)
     val withExc = excRules.groupBy(_.count(_ == '.') + 1)
+      .toSeq.sortBy(_._1)
       .foldLeft(ladder) { case (els, (n, rules)) =>
         when(lastLabels(h, n).isin(rules: _*), lastLabels(h, n)).otherwise(els)
       }

@@ -152,6 +152,18 @@ object LinkGraph {
     * rank frame, which argues against very small cadences. 5 is the
     * middle default.
     *
+    * FAULT-TOLERANCE TRADE (cluster callers, read this): a
+    * `localCheckpoint` stores blocks on executors, NOT on reliable
+    * storage — after a checkpoint, the lineage needed to recompute
+    * those blocks is gone, so losing an executor mid-run FAILS the job
+    * instead of recomputing (the price of truncation; Spark's own
+    * scaladoc carries the same warning). On local[...] this cannot
+    * happen; on a real cluster with long runs either accept the
+    * retry-the-job cost (ranks are deterministic — a rerun converges
+    * identically), set `checkpointEvery = Int.MaxValue` to opt out, or
+    * set a `sparkContext.setCheckpointDir` and swap in reliable
+    * `checkpoint()` for runs where executor loss is likely.
+    *
     * `redistributeDangling = true` adds the classic dangling-mass
     * correction: each iteration, the rank mass sitting on nodes with no
     * out-edges is shared uniformly (integer div) across all nodes

@@ -36,6 +36,20 @@ import graft.functions.{CentroidResidualExpr, NearestCentroidsExpr, PqAdcDistAtE
   * is the strict-< ascending-index argmin; ADC doubles accumulate in
   * ascending index order at BOTH levels (sub-distance over i, total
   * over j), so another engine replays every distance bit-for-bit.
+  *
+  * ==Which entry point to use==
+  *
+  * For production ANN search, use [[ivfAdcTopKResidualRefined]] (or
+  * [[adcTopKRefined]] without a coarse quantizer): residual codes +
+  * IVF routing + an EXACT rerank of the Q x R candidate rows. The
+  * UNREFINED ADC top-k ([[adcTopK]]/[[ivfAdcTopK]]/
+  * [[ivfAdcTopKResidual]]) is a CANDIDATE GENERATOR, not a finished
+  * ranking — PQ codes cannot micro-rank inside tight clusters, and the
+  * measured recall@10 on the 20-cluster PqRecallBench fixture is 1.2%
+  * raw / 8.8% residual without the rerank, vs 57% residual+rerank at
+  * R=200 and 99% at R=cluster-size. Treat the unrefined forms as the
+  * building block they are (reranking is where recall comes from;
+  * `rerank` must cover the quantization ambiguity set).
   */
 object Pq {
 
