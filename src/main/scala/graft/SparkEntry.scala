@@ -2323,6 +2323,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q131: the 5-GRAM model tier — CCNet proper is a 5-gram KenLM,
+    // and q125 measured the corpus-trained 5-gram at 22x/decade (every
+    // 5-gram occurrence nearly distinct -> the gram exchanges approach
+    // the token stream). THIS is how order-5 runs at 100 TB: bounded
+    // hashed 5-gram model off the fixed slice, broadcast, one map-side
+    // scoring pass (the q124 shape at n = 5, same captured-model
+    // oracle machinery).
+    "q131_lm5_model_scoring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val slice = docs.where(col("doc_id") % 7 === 0)
+      val modelRows = graft.text.UnigramLm.trainNgramModelHashedCaptured(
+        slice, "text", n = 5, maxGrams = 4096).collect()
+      require(modelRows.nonEmpty, "q131 training slice produced an empty model")
+      q131Model = Some((modelRows.map(r => (r.getString(1), r.getDouble(2))).toSeq,
+        modelRows.head.getDouble(3)))
+      import s.implicits._
+      val model = modelRows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSeq.toDF("g", "prob", "unseen_prob")
+      graft.text.UnigramLm.scoreNgramsWithModel(docs, "doc_id", "text", model, n = 5)
+        .select(col("doc_id"), col("n_ngrams").as("n_5grams"),
+          round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q119: CROSS-CRAWL incremental exact dedup (SURVEY+ L78) — crawl 1
     // (doc_id % 3 == 0) produces a persistable fingerprint-state
     // artifact which round-trips through PARQUET (save + schema-checked
@@ -2743,6 +2767,7 @@ object SparkEntry {
   @volatile private var q123Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
   @volatile private var q124Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q126Model: Option[(Seq[(String, Double)], Double)] = None
+  @volatile private var q131Model: Option[(Seq[(String, Double)], Double)] = None
 
   // PID-keyed /tmp fixture dirs (q100/q119/q130) are read LAZILY by the
   // returned plans, so they cannot be deleted inside the query builder;
@@ -3033,23 +3058,36 @@ object SparkEntry {
     * join and the string DuckDB join agree wherever the 64-bit gram
     * hash is injective on the observed grams (the q120 argument).
     */
-  private def q124OracleSql(model: Seq[(String, Double)], unseen: Double): String = {
+  private def q124OracleSql(model: Seq[(String, Double)], unseen: Double): String =
+    ngramModelOracleSql(3, model, unseen, "n_trigrams")
+
+  /** The captured-model scoring replay at any order: the q117-style
+    * lead() n-gram stream over the FULL corpus, space-joined grams
+    * left-joined against the captured (gram, prob) VALUES, unseen floor
+    * for the rest. Shared by q124 (n=3) and q131 (n=5).
+    */
+  private def ngramModelOracleSql(n: Int, model: Seq[(String, Double)],
+      unseen: Double, nCol: String): String = {
     val modelRows = model
       .map { case (g, p) => s"('$g', ${java.lang.Double.toString(p)})" }
       .mkString(",\n  ")
+    val leads = (2 to n)
+      .map(i => s"    lead(term, ${i - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS w$i")
+      .mkString(",\n")
+    val ws = (1 to n).map(i => s"w$i").mkString(", ")
+    val gram = (1 to n).map(i => s"g.w$i").mkString(" || ' ' || ")
     s"""WITH raw AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS a FROM documents),
        |tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM raw),
        |tk AS (SELECT doc_id, term, pos FROM tok WHERE term <> ''),
        |tg AS (SELECT doc_id, term AS w1,
-       |    lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-       |    lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+       |$leads
        |  FROM tk),
-       |g AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE w3 IS NOT NULL),
+       |g AS (SELECT doc_id, $ws FROM tg WHERE w$n IS NOT NULL),
        |model(gram, prob) AS (VALUES
        |  $modelRows),
        |sc AS (SELECT g.doc_id, coalesce(m.prob, ${java.lang.Double.toString(unseen)}) AS prob
-       |  FROM g LEFT JOIN model m ON (g.w1 || ' ' || g.w2 || ' ' || g.w3) = m.gram)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  FROM g LEFT JOIN model m ON ($gram) = m.gram)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS $nCol,
        |  round(sum(-ln(prob)) / count(*), 6) AS xent
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
@@ -4030,6 +4068,8 @@ object SparkEntry {
     q124Model.map { case (m, u) => "q124_lm_model_scoring" -> q124OracleSql(m, u) } ++
     q126Model.map { case (m, u) =>
       "q126_curation_capstone_model" -> capstoneOracleSql(capstoneModelScoringSql(m, u)) } ++
+    q131Model.map { case (m, u) =>
+      "q131_lm5_model_scoring" -> ngramModelOracleSql(5, m, u, "n_5grams") } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++
