@@ -1544,6 +1544,32 @@ object FuzzDiff {
       (build, duck)
     }),
 
+    Template("fz_wet", 5, { _ =>
+      // WET filter roundtrip: a warcinfo record FOLLOWED by a
+      // conversion record per doc — Wet.docs must SKIP the warcinfo
+      // and hand back the exact payload (octet Content-Length framing
+      // over the emoji/CRLF/500-char edge corpus)
+      val info = lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Filename: f.warc.wet.gz\r\nContent-Length: 16\r\n\r\n" +
+        "format: WET 1.0\n\r\n\r\n")
+      val blob = concat(info,
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://example.org/w/"),
+        col("id"), lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(col("s")), lit("\r\n\r\n"), col("s"), lit("\r\n\r\n"))
+      val build: SparkSession => DataFrame = s =>
+        graft.data.Wet.docs(
+            s.table("fuzz_docs").where(col("s").isNotNull)
+              .select(col("id"), blob.as("blob")))
+          .select(
+            regexp_extract(col("target_uri"), "w/([0-9]+)", 1).cast("bigint").as("id"),
+            col("target_uri"), col("n_chars"), col("text"))
+      val duck =
+        """SELECT id, 'https://example.org/w/' || id AS target_uri,
+          |  CAST(length(s) AS INT) AS n_chars, s AS text
+          |FROM fuzz_docs WHERE s IS NOT NULL""".stripMargin
+      (build, duck)
+    }),
+
     Template("fz_warc_corrupt", 6, { rng =>
       // adversarial WARC mutation: two VALID records followed by a
       // corrupt region; the strict-prefix fail-stop contract says the

@@ -44,6 +44,51 @@ class WetSpec extends SparkSpec {
     assert(parsed(0).getString(1) === text)
   }
 
+  test("WET FILE stream: new shards arrive exactly-once across restart; stream == batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val src = java.nio.file.Files.createTempDirectory("graft_wet_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_wet_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wet_ckpt").toString
+
+    def writeShard(shard: Long, rows: Seq[(Long, String)]): Unit =
+      WarcFiles.writeShards(
+        (-1L, Wet.warcinfoRecord(s"crawl_$shard.warc.wet.gz")) +:
+          rows.map { case (id, text) =>
+            (id, Wet.conversionRecord(s"https://example.org/w/$id", text))
+          },
+        java.nio.file.Paths.get(src), nShards = 1)
+        .ensuring(_ => new java.io.File(src, "shard_0.warc.gz")
+          .renameTo(new java.io.File(src, s"crawl_$shard.warc.gz")))
+
+    def startQuery() =
+      Wet.docs(Wet.streamWetGz(spark, src + "/*.warc.gz"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    def uris(): Seq[String] =
+      spark.read.parquet(out).select("target_uri").collect()
+        .map(_.getString(0)).toSeq.sorted
+
+    writeShard(0, Seq((1L, "first document body"), (2L, "second body 漢字")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(uris() === Seq("https://example.org/w/1", "https://example.org/w/2"))
+
+    // a new crawl shard lands while the job is down; restart picks it up
+    // from the offset log without re-emitting shard 0's docs
+    writeShard(1, Seq((3L, "third body")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(uris() === Seq("https://example.org/w/1", "https://example.org/w/2",
+      "https://example.org/w/3"))
+
+    // stream output == the batch binaryFile read of the same dir
+    val batch = Wet.docs(Wet.readWetGz(spark, src + "/*.warc.gz"))
+      .select("target_uri").collect().map(_.getString(0)).toSeq.sorted
+    assert(batch === uris(), "file-stream and batch reads of the same shards diverged")
+  }
+
   test("corrupt tail quarantines: the valid record prefix survives") {
     val good = Wet.conversionRecord("https://x/ok", "good body here")
     val truncated = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
