@@ -46,21 +46,22 @@ object ImageDedupScaleBench {
   // the join. Random pixels give ~uniform dHashes: planted r0/r1 twins
   // at d <= 1, everything else at d ~ 32, which is both the honest and
   // the adversarial-occupancy regime for the block join.
-  private[tools] def pixel(docId: Long, x: Int, y: Int): Int = {
+  private[tools] def pixel(docId: Long, x: Int, y: Int, w: Int = 18): Int = {
     val g = docId / 3
     val r = docId % 3
     val seed = if (r == 2) mix64(g) ^ 0x5DEECE66DL else g
-    val base = (mix64(seed * 1000003L + (y * 18 + x)) & 0xFF).toInt
+    val base = (mix64(seed * 1000003L + (y * w + x)) & 0xFF).toInt
     if (r == 1) math.min(base + (if (x < 2 && y < 2) 60 else 0), 255) else base
   }
 
-  private def bytesFor(docId: Long): Array[Byte] = {
-    val w = 18; val h = 16
+  // phash mode uses 36x32 sources so the integral resize runs its REAL
+  // (box-average) path rather than the tiny-image upscale special case
+  private def bytesFor(docId: Long, w: Int = 18, h: Int = 16): Array[Byte] = {
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { px(y * w + x) = pixel(docId, x, y); x += 1 }
+      while (x < w) { px(y * w + x) = pixel(docId, x, y, w); x += 1 }
       y += 1
     }
     if (docId % 9 == 1) {
@@ -83,10 +84,15 @@ object ImageDedupScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    // first arg may be a block scheme (auto|block4|combo20); rest are dirs
+    // leading args may be a hash kind (dhash|phash) and/or a block
+    // scheme (auto|block4|combo20); the rest are data dirs
+    val hashes = Set("dhash", "phash")
     val schemes = Set("auto", "block4", "combo20")
-    val scheme = args.headOption.filter(schemes).getOrElse("auto")
-    val dirArgs = if (args.headOption.exists(schemes)) args.drop(1).toSeq else args.toSeq
+    var rest = args.toSeq
+    val hash = rest.headOption.filter(hashes).getOrElse("dhash")
+    if (rest.headOption.exists(hashes)) rest = rest.drop(1)
+    val scheme = rest.headOption.filter(schemes).getOrElse("auto")
+    val dirArgs = if (rest.headOption.exists(schemes)) rest.drop(1) else rest
     val dirs = if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/repo/testdata-sf1", "/root/repo/testdata-sf10")
     val spark = SparkSession.builder()
@@ -103,20 +109,25 @@ object ImageDedupScaleBench {
     }
 
     dirs.foreach { dir =>
+      val (iw, ih) = if (hash == "phash") (36, 32) else (18, 16)
       val imgs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long")).as[Long]
-        .map(id => (id, bytesFor(id)))
+        .map(id => (id, bytesFor(id, iw, ih)))
         .toDF("doc_id", "bytes")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = imgs.count() // materialize generation outside the timed region
       var pairs = 0L
       val sec = time {
-        pairs = ImageHash.nearDupPairs(imgs, "doc_id", "bytes",
-          maxHamming = 3, maxBucketSize = 1000, blockScheme = scheme).count()
+        pairs = (if (hash == "phash")
+          ImageHash.phashNearDupPairs(imgs, "doc_id", "bytes",
+            maxHamming = 3, maxBucketSize = 1000, blockScheme = scheme)
+        else
+          ImageHash.nearDupPairs(imgs, "doc_id", "bytes",
+            maxHamming = 3, maxBucketSize = 1000, blockScheme = scheme)).count()
       }
       println(String.format(java.util.Locale.ROOT,
-        """{"dir":"%s", "scheme":"%s", "n":%d, "near_dup_pairs":%d, "sec":%.2f}""",
-        dir, scheme, Long.box(n), Long.box(pairs), Double.box(sec)))
+        """{"dir":"%s", "hash":"%s", "scheme":"%s", "n":%d, "near_dup_pairs":%d, "sec":%.2f}""",
+        dir, hash, scheme, Long.box(n), Long.box(pairs), Double.box(sec)))
       imgs.unpersist()
     }
     spark.stop()
