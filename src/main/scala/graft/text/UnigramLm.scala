@@ -253,6 +253,21 @@ object UnigramLm {
       .select(col("g"), col("gram"), col("prob"), lit(unseen).as("unseen_prob"))
   }
 
+  /** Convenience for the corpus-scale default: train the bounded
+    * hashed model on the deterministic `idCol % sliceMod == 0` slice of
+    * the SAME frame and return it ready for [[scoreNgramsWithModel]] /
+    * `PerplexityBuckets.partition(model = Some(...))`. One call puts a
+    * caller on the 2.0x/decade scoring path instead of the 12-21x
+    * corpus-trained tiers; for CCNet-faithful runs train on a separate
+    * reference corpus instead (the slice still re-trains per run).
+    */
+  def trainSliceModel(df: DataFrame, idCol: String, textCol: String, n: Int,
+      sliceMod: Int = 7, maxGrams: Int = 1 << 20, unicode: Boolean = false): DataFrame = {
+    require(sliceMod >= 1, s"sliceMod must be >= 1, got $sliceMod")
+    trainNgramModelHashed(df.where(col(idCol) % sliceMod === 0),
+      textCol, n, maxGrams, unicode)
+  }
+
   /** Score documents against a PRE-TRAINED bounded model
     * ([[trainNgramModelHashed]]'s artifact, or any (g, prob,
     * unseen_prob) frame): per-doc cross-entropy with grams missing

@@ -74,6 +74,38 @@ class OpqSpec extends SparkSpec {
     assert(math.abs(d2(v0, v1) - d2(r0, r1)) < 1e-9 * (1 + d2(v0, v1)))
   }
 
+  test("full OPQ + residual IVFPQ + exact rerank equals brute force on the ORIGINAL vectors") {
+    // the composition a production deployment runs: rotate corpus and
+    // queries by the learned R, coarse-quantize, residual-encode, ADC,
+    // exact rerank. Because R is orthogonal, L2 distances in rotated
+    // space equal the originals — so with all cells probed and a
+    // full-width rerank the pipeline must reproduce brute-force top-k
+    // over the UNROTATED vectors exactly.
+    val rng = new scala.util.Random(29)
+    val corpus = (0 until 180).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian() * (1.0 + i % 3)).toSeq)
+    }.toDF("vec_id", "v")
+    val r = Opq.trainRotation(corpus, "vec_id", "v", dim, m, ksub = 8, iters = 4)
+    val rotated = corpus.select(col("vec_id"), Opq.rotate(col("v"), r, dim).as("v"))
+    val queries = rotated.where(col("vec_id") < 2L)
+    val cent = Similarity.trainIvfCentroids(rotated, "vec_id", "v", dim, nLists = 6)
+    val rcbs = Pq.trainResidualCodebooks(rotated, "vec_id", "v", dim, m,
+      centroids = cent, ksub = 8)
+    val got = Pq.ivfAdcTopKResidualRefined(rotated, "vec_id", "v", queries,
+        cent, rcbs, dim, k = 5, nProbe = 6, rerank = 179)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val all = corpus.collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray)
+    val want = all.filter(_._1 < 2L).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("OPQ rotation reduces PQ reconstruction error on anisotropic mixed data") {
     // the canonical OPQ regime: an anisotropic Gaussian (decaying
     // spectrum) MIXED across subspace boundaries — plain axis-aligned

@@ -288,6 +288,24 @@ class SearchLmSpec extends SparkSpec {
     assert(short.collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("trainSliceModel scores identically to training on the explicit slice") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 5 + rng.nextInt(20))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "body")
+    val viaHelper = UnigramLm.scoreNgramsWithModel(docs, "id", "body",
+        UnigramLm.trainSliceModel(docs, "id", "body", n = 3, sliceMod = 5), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val explicit = UnigramLm.scoreNgramsWithModel(docs, "id", "body",
+        UnigramLm.trainNgramModelHashed(docs.where(col("id") % 5 === 0),
+          "body", n = 3, maxGrams = 1 << 20), n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaHelper === explicit)
+  }
+
   test("partition rejects contradictory LM-tier requests") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d", "en")).toDF("id", "body", "lang")
