@@ -2324,6 +2324,83 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // q133: LM MODEL-ARTIFACT round trip + FIXED-REFERENCE-SET training
+    // (SURVEY+ L87) — the train-once/score-many contract: a bounded
+    // hashed trigram model trains on a CONSTANT reference set
+    // (doc_id < 400 — the same 400 documents at every corpus size,
+    // where q124's doc_id % 7 slice GROWS with the corpus and blends
+    // the trainer into the measured decade), persists through the
+    // schema-pinned param-stamped parquet artifact
+    // (ModelState.saveLmModel / loadLmModel — the q119 DedupState
+    // pattern), and the LOADED artifact broadcast-scores the full
+    // corpus. The oracle replays the TRAINED model's captured (gram,
+    // prob) VALUES — so artifact-round-trip fidelity is itself
+    // oracle-gated: any double the parquet trip changed would break
+    // the hash match.
+    "q133_lm_artifact_scoring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") < 400)
+      val modelRows = graft.text.UnigramLm.trainNgramModelHashedCaptured(
+        ref, "text", n = 3, maxGrams = 2048).collect()
+      require(modelRows.nonEmpty, "q133 reference set produced an empty model")
+      q133Model = Some((modelRows.map(r => (r.getString(1), r.getDouble(2))).toSeq,
+        modelRows.head.getDouble(3)))
+      import s.implicits._
+      val trained = modelRows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSeq.toDF("g", "prob", "unseen_prob")
+      val stateDir = "/tmp/graft_q133_model_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      registerTmpCleanup(stateDir)
+      graft.model.ModelState.saveLmModel(trained, n = 3, unicode = false, path = stateDir)
+      val loaded = graft.model.ModelState.loadLmModel(s, stateDir, n = 3)
+      graft.text.UnigramLm.scoreNgramsWithModel(docs, "doc_id", "text", loaded, n = 3)
+        .select(col("doc_id"), col("n_ngrams").as("n_trigrams"),
+          round(col("xent"), 6).as("xent"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q134: the PRODUCTION ANN STACK, declared — OPQ rotation ->
+    // residual IVFPQ -> exact refine (FAISS `OPQ8,IVF16,PQ8 +
+    // IndexRefineFlat`), the scaladoc-designated default entry point
+    // (Pq.ivfAdcTopKResidualRefined), with BOTH trained models
+    // round-tripping through their persisted artifacts
+    // (ModelState.saveRotation/savePqModel -> load) before scoring —
+    // the full train-once/score-many deployment in one declared plan.
+    // Oracle composes the three verified replays: the q132 captured-
+    // rotation CTE (rotated vectors), the q123 residual-ADC replay
+    // over them (rank <= rerank as candidates), and a plain exact
+    // squared-L2 rerank (list_dot_product of the diff with itself —
+    // bit-identical to Dist2Expr's ascending-i loop).
+    "q134_ann_opq_ivfpq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val rot = graft.similarity.Opq.trainRotation(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 6)
+      val stateBase = "/tmp/graft_q134_model_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      registerTmpCleanup(stateBase)
+      graft.model.ModelState.saveRotation(s, stateBase + "/rot", rot, dim = 64)
+      val rotLoaded = graft.model.ModelState.loadRotation(s, stateBase + "/rot", dim = 64)
+      val rotated = emb.select(col("vec_id"),
+        graft.similarity.Opq.rotate(col("embedding"), rotLoaded, 64).as("embedding"))
+      val cent = Similarity.trainIvfCentroids(rotated, "vec_id", "embedding",
+        dim = 64, nLists = 16)
+      val cbs = graft.similarity.Pq.trainResidualCodebooks(
+        rotated, "vec_id", "embedding", dim = 64, m = 8, centroids = cent, ksub = 16)
+      graft.model.ModelState.savePqModel(s, stateBase + "/pq", cent, cbs, dim = 64)
+      val (centL, cbsL) = graft.model.ModelState.loadPqModel(
+        s, stateBase + "/pq", dim = 64, m = 8, ksub = 16)
+      q134Models = Some((rotLoaded, centL, cbsL))
+      val queries = rotated.where(col("vec_id") < 3)
+      graft.similarity.Pq.ivfAdcTopKResidualRefined(rotated, "vec_id", "embedding",
+          queries, centL, cbsL, dim = 64, k = 5, nProbe = 4, rerank = 12)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist2"), 4).as("dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // q124: PRE-TRAINED-MODEL LM scoring — THE 100 TB CCNet path
     // (Wenzek et al. 2020 score with a pre-trained KenLM, not a model
     // re-estimated over the scoring corpus), now a DECLARED query: a
@@ -2798,6 +2875,8 @@ object SparkEntry {
   @volatile private var q126Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q131Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q132Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
+  @volatile private var q133Model: Option[(Seq[(String, Double)], Double)] = None
+  @volatile private var q134Models: Option[(Seq[Double], Seq[Double], Seq[Seq[Double]])] = None
 
   // PID-keyed /tmp fixture dirs (q100/q119/q130) are read LAZILY by the
   // returned plans, so they cannot be deleted inside the query builder;
@@ -3041,7 +3120,59 @@ object SparkEntry {
     * cell) whose diff is (qv - cc_probe) - cv (left-assoc, matching the
     * driver loop's order of operations bit-for-bit).
     */
-  private def q123OracleSql(cent: Seq[Double], cbs: Seq[Seq[Double]]): String = {
+  private def q123OracleSql(cent: Seq[Double], cbs: Seq[Seq[Double]]): String =
+    residualAdcReplayCtes(cent, cbs,
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)") +
+      """
+        |SELECT query_id, rank, vec_id, round(adc_dist, 4) AS adc_dist
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replica of the q134 PRODUCTION ANN STACK: the q132
+    * captured-rotation CTE builds the rotated vectors, the q123
+    * residual-ADC replay ranks probed candidates over them, the top
+    * `rerank` = 12 feed an exact squared-L2 rerank
+    * (list_dot_product(diff, diff) — bit-identical to Dist2Expr's
+    * ascending-i accumulation over the SAME rotated doubles), and the
+    * exact top-5 wins.
+    */
+  private def q134OracleSql(rot: Seq[Double], cent: Seq[Double],
+      cbs: Seq[Seq[Double]]): String = {
+    val rcolRows = (0 until 64).map { j =>
+      (0 until 64).map(i => java.lang.Double.toString(rot(i * 64 + j)))
+        .mkString(s"($j, CAST([", ", ", "] AS DOUBLE[]))")
+    }.mkString(",\n  ")
+    val rotatedE =
+      s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+         |rcol(j, rv) AS (VALUES
+         |  $rcolRows),
+         |e AS (SELECT e0.vec_id,
+         |    list(list_dot_product(e0.v0, rcol.rv) ORDER BY rcol.j) AS v
+         |  FROM e0 CROSS JOIN rcol GROUP BY e0.vec_id)""".stripMargin
+    residualAdcReplayCtes(cent, cbs, rotatedE) +
+      """,
+        |cand12 AS (SELECT query_id, vec_id FROM r WHERE rank <= 12),
+        |rr2 AS (SELECT c.query_id, c.vec_id,
+        |    list_dot_product(
+        |      list_transform(range(1, 65), i -> e.v[i] - q.qv[i]),
+        |      list_transform(range(1, 65), i -> e.v[i] - q.qv[i])) AS dist2
+        |  FROM cand12 c JOIN e ON c.vec_id = e.vec_id
+        |    JOIN q ON c.query_id = q.query_id),
+        |rk2 AS (SELECT query_id, vec_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, vec_id) AS rank
+        |  FROM rr2)
+        |SELECT query_id, rank, vec_id, round(dist2, 4) AS dist2
+        |FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The shared q123 residual-ADC replay: `eCtes` must define
+    * `e (vec_id, v)` (plain cast vectors for q123, captured-rotation
+    * products for q134); returns the full WITH chain through
+    * `r (query_id, vec_id, adc_dist, rank)` and `q (query_id, qv)` —
+    * callers append the final SELECT (q123) or further rerank CTEs
+    * (q134).
+    */
+  private def residualAdcReplayCtes(cent: Seq[Double], cbs: Seq[Seq[Double]],
+      eCtes: String): String = {
     val m = cbs.length
     val subDim = 64 / m
     val ksub = cbs.head.length / subDim
@@ -3059,7 +3190,7 @@ object SparkEntry {
     val pivotCols = (0 until m)
       .map(j => s"max(CASE WHEN at.j = $j THEN at.t END) AS t$j").mkString(",\n    ")
     val orderedSum = (1 until m).foldLeft("t0") { (acc, j) => s"($acc + t$j)" }
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH $eCtes,
        |cent(cell, cc) AS (VALUES
        |  $centRows),
        |cb(j, c, cv) AS (VALUES
@@ -3102,9 +3233,7 @@ object SparkEntry {
        |adc AS (SELECT query_id, vec_id, $orderedSum AS adc_dist FROM pv),
        |r AS (SELECT query_id, vec_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
-       |  FROM adc)
-       |SELECT query_id, rank, vec_id, round(adc_dist, 4) AS adc_dist
-       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  FROM adc)""".stripMargin
   }
 
   /** DuckDB replica of the q124 pre-trained-model LM scoring: the
@@ -4129,6 +4258,10 @@ object SparkEntry {
     q131Model.map { case (m, u) =>
       "q131_lm5_model_scoring" -> ngramModelOracleSql(5, m, u, "n_5grams") } ++
     q132Models.map { case (rot, cbs) => "q132_opq_ann" -> q132OracleSql(rot, cbs) } ++
+    q133Model.map { case (m, u) =>
+      "q133_lm_artifact_scoring" -> ngramModelOracleSql(3, m, u, "n_trigrams") } ++
+    q134Models.map { case (rot, cent, cbs) =>
+      "q134_ann_opq_ivfpq_refined" -> q134OracleSql(rot, cent, cbs) } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

@@ -1046,6 +1046,12 @@ object TextAlgo {
     * [[pqAdcDists]]. Same ascending-j accumulation from 0.0.
     */
   def pqAdcDistAt(codes: ArrayData, tables: Array[Double], m: Int, ksub: Int, idx: Long): Double = {
+    // idx is a public join column ([[PqAdcDistAtExpr]]): validate against
+    // the packed table count — a silent Long->Int truncation would read a
+    // wrong table (or wrap) instead of failing loudly
+    val nTables = tables.length / (m * ksub)
+    require(idx >= 0 && idx < nTables,
+      s"ADC table index $idx out of range: the packed block holds $nTables tables (m=$m, ksub=$ksub)")
     var s = 0.0
     var j = 0
     val off = idx.toInt * m * ksub
@@ -1532,9 +1538,15 @@ object TextAlgo {
     * last space to the following word (`\s+(?!\S)` — a lookahead, which
     * Java regex supports; RE2/DuckDB does NOT, which is why the
     * byte-BPE queries pin golden VALUES instead of a CTE replay).
+    * Compiled with UNICODE_CHARACTER_CLASS so `\s`/`\S` match Unicode
+    * whitespace (U+00A0 etc.) as in the Python `regex` module GPT-2 /
+    * tiktoken use — Java's default ASCII `\s` would absorb non-ASCII
+    * whitespace into punct runs and diverge from the real tokenizer
+    * family (ADVICE round 10).
     */
   private val Gpt2Pretok = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   def gpt2PretokensRaw(text: String): Array[String] = {
     val m = Gpt2Pretok.matcher(text)

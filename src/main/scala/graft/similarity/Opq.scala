@@ -132,10 +132,42 @@ object Opq {
         }
         k += 1
       }
-      r = polarOrthogonal(mMat, dim).getOrElse(r)
+      // keep the previous R unless the Newton iterate is actually
+      // orthogonal: polarOrthogonal returns its 60th iterate even when
+      // unconverged, and a non-orthogonal R would silently break the
+      // distance-preservation invariant the whole pipeline relies on
+      // (ADVICE round 10)
+      r = polarOrthogonal(mMat, dim)
+        .filter(cand => orthogonalityDeviation(cand, dim) < 1e-8)
+        .getOrElse(r)
       it += 1
     }
+    require(orthogonalityDeviation(r, dim) < 1e-8,
+      "OPQ rotation failed the orthogonality check max|R^T R - I| < 1e-8")
     r.toSeq
+  }
+
+  /** max over (i, j) of |(R^T R)(i, j) - I(i, j)| — the orthogonality
+    * residual [[trainRotation]] gates every Procrustes update on.
+    */
+  private[similarity] def orthogonalityDeviation(r: Array[Double], d: Int): Double = {
+    var worst = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        // (R^T R)(i, j) = sum_k R(k, i) * R(k, j)
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += r(k * d + i) * r(k * d + j); k += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        val dev = math.abs(s - want)
+        if (dev > worst) worst = dev
+        j += 1
+      }
+      i += 1
+    }
+    worst
   }
 
   /** Mean squared reconstruction error of per-subspace PQ on the GIVEN

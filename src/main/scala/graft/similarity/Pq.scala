@@ -376,6 +376,20 @@ object Pq {
     * compiled pass, the joined row pays m lookups into ITS pair's table
     * ([[PqAdcDistAtExpr]]), and the per-query top-k rank is the only
     * exchange.
+    *
+    * ==Table-size bound / query-batch chunking==
+    *
+    * The packed ADC block is Q x nProbe x m x ksub doubles shipped as
+    * ONE codegen reference object — at a production batch (Q=10k,
+    * nProbe=16, m=16, ksub=256) that is ~5 GB of plan literal, a
+    * driver/broadcast bottleneck the flat-PQ path (no nProbe factor)
+    * doesn't have. `maxTableDoubles` (default 2^23 = 64 MB of doubles)
+    * caps it: the query batch is split into slices whose packed blocks
+    * each fit the cap, one plan per slice, results unioned. Queries are
+    * independent (the top-k window partitions by query_id) and each
+    * slice's tables are computed by the same driver loop, so chunked ==
+    * unchunked BIT-IDENTICALLY (spec-pinned); the cost of a smaller cap
+    * is one probed-corpus scan per slice.
     */
   def ivfAdcTopKResidual(
       corpus: DataFrame,
@@ -386,18 +400,46 @@ object Pq {
       codebooks: Seq[Seq[Double]],
       dim: Int,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      maxTableDoubles: Long = 1L << 23): DataFrame = {
     val m = codebooks.length
     val subDim = dim / m
     val ksub = codebooks.head.length / subDim
     require(codebooks.forall(_.length == ksub * subDim),
       "all codebooks must hold ksub x subDim values")
-    val centArr = centroids.toArray
+    val perQueryDoubles = nProbe.toLong * m * ksub
+    require(maxTableDoubles >= perQueryDoubles,
+      s"maxTableDoubles $maxTableDoubles cannot hold even one query's " +
+        s"nProbe x m x ksub = $perQueryDoubles ADC doubles")
     val qRows = queries.select(col(idCol).cast("long").as("__id"),
         toCol(NearestCentroidsExpr(toExpr(col(vecCol)), centroids, dim, nProbe)).as("__pb"),
         col(vecCol).as("__v"))
       .collect()
     require(qRows.nonEmpty, "query batch is empty")
+    val queriesPerChunk = (maxTableDoubles / perQueryDoubles).toInt
+    qRows.grouped(queriesPerChunk).map { chunk =>
+      ivfAdcTopKResidualChunk(corpus, idCol, vecCol, chunk,
+        centroids, codebooks, dim, k, m, subDim, ksub)
+    }.reduce(_ unionAll _)
+  }
+
+  /** One query-slice plan of [[ivfAdcTopKResidual]] — the full
+    * residual-ADC pipeline over a batch whose packed table block is
+    * already under the caller's cap.
+    */
+  private def ivfAdcTopKResidualChunk(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qRows: Array[org.apache.spark.sql.Row],
+      centroids: Seq[Double],
+      codebooks: Seq[Seq[Double]],
+      dim: Int,
+      k: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int): DataFrame = {
+    val centArr = centroids.toArray
     // one (query, probed cell) pair per table, in (query, probe-rank)
     // order; table P = exact squared sub-distances of the query's
     // RESIDUAL against that cell: ((q - cc) - cv)^2, ascending i
@@ -461,10 +503,11 @@ object Pq {
       dim: Int,
       k: Int,
       nProbe: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int,
+      maxTableDoubles: Long = 1L << 23): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must be >= k $k")
     val cands = ivfAdcTopKResidual(corpus, idCol, vecCol, queries,
-        centroids, codebooks, dim, rerank, nProbe)
+        centroids, codebooks, dim, rerank, nProbe, maxTableDoubles)
       .select(col("query_id"), col("vec_id"))
     val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val withVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))

@@ -41,7 +41,20 @@ import graft.etl.Ranking
   */
 object PerplexityBuckets {
 
-  /** @param model pre-trained bounded (g, prob, unseen_prob) frame
+  /** Scale steer on the DEFAULTS: `model = None` scores with a
+    * CORPUS-TRAINED tier — correct and oracle-exact, but it re-estimates
+    * the LM over the scoring corpus every run and pays corpus-sized
+    * model exchanges (measured at 5M docs: exact strings 21x/decade,
+    * hashed 12x, vs 2.0x/decade for model scoring; the q126 capstone
+    * halved from 188.3 s to 93.6 s at sf100 by switching). Corpus-scale
+    * callers must pass `model = Some(...)` — train once on a bounded
+    * reference set ([[UnigramLm.trainNgramModelHashed]] /
+    * [[UnigramLm.trainSliceModel]], or load a persisted artifact via
+    * [[graft.model.ModelState.loadLmModel]]) and reuse it across runs.
+    * The corpus-trained default exists as the self-contained/oracle
+    * shape for bounded corpora and gate-scale verification.
+    *
+    * @param model pre-trained bounded (g, prob, unseen_prob) frame
     *   ([[UnigramLm.trainNgramModelHashed]]'s artifact) — THE
     *   corpus-scale default: scoring becomes a broadcast map-side pass
     *   ([[UnigramLm.scoreNgramsWithModel]], measured 2.0x/decade at 5M

@@ -268,6 +268,26 @@ object UnigramLm {
       textCol, n, maxGrams, unicode)
   }
 
+  /** [[trainSliceModel]] with a FIXED training bound: the reference set
+    * is `idCol < refRows` — CONSTANT rows at every corpus size, where
+    * the modulus slice GROWS with the corpus (a `% 7` slice of a 10x
+    * corpus is a 10x training set, so the measured decade of a
+    * slice-model query blends the superlinear trainer with the
+    * 2.0x/decade scoring leg). With a fixed bound the training cost is
+    * a constant and the query's decade IS the scoring leg — the number
+    * a per-crawl production run actually sees. This is also the
+    * CCNet-faithful shape (Wenzek et al. 2020 score against a model
+    * trained once on a fixed reference corpus, not on the crawl).
+    * Train once, persist via [[graft.model.ModelState.saveLmModel]],
+    * and every later crawl scores against the loaded artifact.
+    */
+  def trainFixedRefModel(df: DataFrame, idCol: String, textCol: String, n: Int,
+      refRows: Long = 400, maxGrams: Int = 1 << 20, unicode: Boolean = false): DataFrame = {
+    require(refRows >= 1, s"refRows must be >= 1, got $refRows")
+    trainNgramModelHashed(df.where(col(idCol) < refRows),
+      textCol, n, maxGrams, unicode)
+  }
+
   /** Score documents against a PRE-TRAINED bounded model
     * ([[trainNgramModelHashed]]'s artifact, or any (g, prob,
     * unseen_prob) frame): per-doc cross-entropy with grams missing

@@ -42,6 +42,18 @@ class OpqSpec extends SparkSpec {
     assert(Opq.polarOrthogonal(new Array[Double](dim * dim), dim).isEmpty)
   }
 
+  test("orthogonality deviation gates Procrustes updates (ADVICE round 10)") {
+    // exact orthogonal matrix: deviation ~ 0
+    val q = givensMix(dim)
+    assert(Opq.orthogonalityDeviation(q, dim) < 1e-12)
+    // a uniformly scaled rotation is NOT orthogonal: R^T R = s^2 I
+    val scaled = q.map(_ * 1.1)
+    assert(math.abs(Opq.orthogonalityDeviation(scaled, dim) - 0.21) < 1e-9)
+    // identity passes exactly
+    val id = Array.tabulate(dim * dim)(i => if (i % (dim + 1) == 0) 1.0 else 0.0)
+    assert(Opq.orthogonalityDeviation(id, dim) === 0.0)
+  }
+
   test("trained rotation is orthogonal and the compiled kernel matches the driver twin") {
     val rng = new scala.util.Random(7)
     val data = (0 until 400).map { i =>

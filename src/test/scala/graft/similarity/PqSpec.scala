@@ -169,6 +169,39 @@ class PqSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("chunked residual-ADC query batches equal the unchunked plan bit-for-bit") {
+    // the table-literal bound: per-query block is nProbe x m x ksub
+    // doubles; a cap of exactly one query's block forces one plan per
+    // query (5 chunks here), and the union must be BIT-identical to the
+    // single-plan run — queries are independent and each chunk's tables
+    // come from the same driver loop
+    val queries = corpus.where(col("vec_id") < 5L)
+    val perQuery = 6L * m * 8 // nProbe x m x ksub
+    def run(cap: Long) = Pq.ivfAdcTopKResidual(corpus, "vec_id", "v", queries,
+        cent6, rcbs, dim, k = 7, nProbe = 6, maxTableDoubles = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val unchunked = run(1L << 23)
+    val chunked = run(perQuery)
+    assert(chunked === unchunked)
+    // exact-double comparison included above via getDouble equality
+    val tooSmall = intercept[IllegalArgumentException](run(perQuery - 1))
+    assert(tooSmall.getMessage.contains("cannot hold even one query"))
+  }
+
+  test("pqAdcDistAt validates the table index (public join column)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val codes = ArrayData.toArrayData(Array(0L, 0L, 0L, 0L))
+    val tables = Array.fill(2 * 4 * 8)(1.0) // 2 packed tables at m=4, ksub=8
+    assert(graft.functions.TextAlgo.pqAdcDistAt(codes, tables, 4, 8, 0L) === 4.0)
+    assert(graft.functions.TextAlgo.pqAdcDistAt(codes, tables, 4, 8, 1L) === 4.0)
+    Seq(2L, -1L, (1L << 32) + 1L).foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        graft.functions.TextAlgo.pqAdcDistAt(codes, tables, 4, 8, bad))
+      assert(e.getMessage.contains("out of range"), s"idx $bad")
+    }
+  }
+
   test("residual codes micro-rank inside a cell where raw codes collapse") {
     // raw-vector PQ collapses a tight cluster onto one code word, so
     // WITHIN the query's cluster every member ties at the same ADC

@@ -33,6 +33,22 @@ class ByteBpeSpec extends SparkSpec {
     assert(pt("") === Seq.empty)
   }
 
+  test("GPT-2 pre-tokenizer treats UNICODE whitespace as \\s (tiktoken parity)") {
+    def pt(s: String) = TextAlgo.gpt2PretokensRaw(s).toSeq
+    // U+00A0 (no-break space, common in web text) is \s under Python
+    // regex: it must form a WHITESPACE run, not be absorbed into the
+    // adjacent punctuation run (Java's default ASCII \s would yield
+    // ".\u00A0" as one punct token here) — ADVICE round 10
+    assert(pt("a.\u00A0b") === Seq("a", ".", "\u00A0", "b"))
+    // a whitespace run of nbsp + space still donates its last space
+    assert(pt("a\u00A0 b") === Seq("a", "\u00A0", " b"))
+    // U+3000 (ideographic space) is whitespace too
+    assert(pt("x\u3000.") === Seq("x", "\u3000", "."))
+    // round-trip is unaffected: byte form still encodes losslessly
+    val joined = pt("a.\u00A0b \u3000 done").mkString
+    assert(joined === "a.\u00A0b \u3000 done")
+  }
+
   test("byte-level training: hand-computed merges with the code-point tie-break") {
     // one doc "aaab aaab": pre-tokens "aaab" and " aaab" -> byte forms
     // "aaab" and "Ġaaab". Round 1: (a,a) count 4. Round 2: (aa,a) and
@@ -66,7 +82,7 @@ class ByteBpeSpec extends SparkSpec {
       "  leading spaces and\ttabs\nnewlines  ",
       "emoji 😀 and CJK 漢字 mixed with café",
       "punct!@#$%^&*(){}[]<>\"'",
-      " nbsp and zero​width",
+      "\u00A0nbsp and zero​width",
       "")
     val model = ByteBpe.train(Seq((0L, "some training text here")).toDF("id", "body"),
       "body", numMerges = 4)
