@@ -25,7 +25,8 @@ object GoldenOracles {
     "q23_minhash_neardup", "q24_simhash_neardup",
     "q32_media_features", "q38_winnowing_pairs",
     "q120_trigram_xent_hashed", "q125_5gram_xent_hashed",
-    "q127_byte_bpe_merges", "q128_byte_bpe_tokens")
+    "q127_byte_bpe_merges", "q128_byte_bpe_tokens",
+    "q136_sp_unigram_tokens")
 
   private def load(scale: String, q: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/golden/$scale/$q.sql")

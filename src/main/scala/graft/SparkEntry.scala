@@ -2164,6 +2164,69 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q137: the END-TO-END CommonCrawl capstone FROM REAL FILES
+    // (SURVEY+ L91) — the one interaction the per-stage queries can't
+    // pin: file-format BYTES flowing through the whole curation stack.
+    // The q116/q126 synthetic pages are serialized into 8 REAL gzipped
+    // WET shards (leading warcinfo records included), ingested back
+    // through binaryFile -> gunzip -> WARC framing -> conversion
+    // filter (the q130 reader), then the full q126 chain runs on the
+    // INGESTED text: C4 -> per-domain boilerplate -> blocklist -> NFC
+    // dedup -> fixed-slice model-LM buckets -> temperature mix. The
+    // oracle is the q126 replay over the PRE-COMPRESSION pages — any
+    // byte lost anywhere in the file roundtrip (gzip framing, record
+    // lengths, UTF-8, uri parsing) changes a downstream hash and
+    // breaks the match.
+    "q137_wet_curation_capstone" -> ((s, dir) => {
+      val pages = capstonePages(s, dir)
+      // serialize the pages as WET conversion records (bounded gate
+      // fixture — the q130 collect pattern)
+      val rows = pages.select(col("doc_id"), col("page")).collect()
+      val nShards = 8
+      val records: Seq[(Long, String)] = rows.toSeq.map { r =>
+        val id = r.getLong(0)
+        id -> graft.data.Wet.conversionRecord(s"https://example.org/doc/$id", r.getString(1))
+      }
+      val info = (0 until nShards).map(sh =>
+        (sh.toLong - nShards) -> graft.data.Wet.warcinfoRecord(s"shard_$sh.warc.wet.gz"))
+      val fixDir = java.nio.file.Paths.get("/tmp/graft_wetcap",
+        java.lang.Integer.toHexString(dir.hashCode) + "_" +
+          java.lang.ProcessHandle.current().pid())
+      registerTmpCleanup(fixDir.toString)
+      if (java.nio.file.Files.isDirectory(fixDir)) {
+        val it = java.nio.file.Files.list(fixDir)
+        try it.forEach(p => java.nio.file.Files.delete(p)) finally it.close()
+      }
+      graft.data.WarcFiles.writeShards(info ++ records, fixDir, nShards)
+      // ingest the REAL files back and recover (doc_id, lang, page)
+      val ingested = graft.data.Wet.docs(
+          graft.data.Wet.readWetGz(s, fixDir.toString + "/*.warc.gz"))
+        .select(regexp_extract(col("target_uri"), "doc/([0-9]+)", 1)
+            .cast("bigint").as("doc_id"),
+          col("text").as("page"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("page"))
+      val deduped = capstoneCleanDedup(ingested)
+      // fixed-reference-set model training (the q133 discipline)
+      val slice = deduped.where(col("doc_id") < 400)
+      val modelRows = graft.text.UnigramLm.trainNgramModelHashedCaptured(
+        slice, "cleaned", n = 3, maxGrams = 2048).collect()
+      require(modelRows.nonEmpty, "q137 reference slice produced an empty model")
+      q137Model = Some((modelRows.map(r => (r.getString(1), r.getDouble(2))).toSeq,
+        modelRows.head.getDouble(3)))
+      import s.implicits._
+      val model = modelRows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .toSeq.toDF("g", "prob", "unseen_prob")
+      val buckets = graft.text.PerplexityBuckets.partition(
+          deduped, "doc_id", "cleaned", "lang", ngramOrder = 3, model = Some(model))
+        .where(col("bucket") <= 2)
+      graft.etl.Stratified.exactTemperatureSample(buckets, "lang", "doc_id",
+          total = 60, alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+          when(col("bucket") === 1, "head").otherwise("middle").as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q120: the HASHED production tier of the trigram LM (L77's scale
     // path) — identical smoothing arithmetic, but every exchange
     // carries fixed-width (gram, prefix) 64-bit hashes instead of
@@ -2221,6 +2284,30 @@ object SparkEntry {
           try_element_at(col("ids"), lit(1)).as("id1"),
           try_element_at(col("ids"), lit(2)).as("id2"),
           try_element_at(col("ids"), lit(3)).as("id3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q136: SentencePiece UNIGRAM-LM tokenization (SURVEY+ L90, Kudo
+    // 2018 — the sentencepiece model_type=unigram family behind
+    // T5/Gemma/LLaMA exports): EM-trained piece vocabulary over the
+    // FIXED doc_id < 400 reference slice (constant training cost at
+    // every scale, the q133 discipline), Viterbi encoding of the full
+    // corpus in one compiled zero-shuffle pass. Per-doc piece count +
+    // first three pieces. EM float math has no cross-engine replay
+    // (like the q127/q128 merge loop), so the declared oracle pins
+    // scale-keyed golden VALUES; the algorithm itself is spec-verified
+    // (hand-computed Viterbi goldens, tie-break, char-fallback,
+    // round-trip, determinism — SentencePieceSpec).
+    "q136_sp_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val model = graft.text.SentencePiece.train(
+        docs.where(col("doc_id") < 400), "text", vocabSize = 400)
+      docs.select(col("doc_id"),
+          graft.text.SentencePiece.encodePieces(col("text"), model).as("p"))
+        .select(col("doc_id"), size(col("p")).as("n_pieces"),
+          try_element_at(col("p"), lit(1)).as("p1"),
+          try_element_at(col("p"), lit(2)).as("p2"),
+          try_element_at(col("p"), lit(3)).as("p3"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2360,7 +2447,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // q134: the PRODUCTION ANN STACK, declared — OPQ rotation ->
+    // q134: the PRODUCTION ANN STACK, declared (SURVEY+ L88) — OPQ rotation ->
     // residual IVFPQ -> exact refine (FAISS `OPQ8,IVF16,PQ8 +
     // IndexRefineFlat`), the scaladoc-designated default entry point
     // (Pq.ivfAdcTopKResidualRefined), with BOTH trained models
@@ -2399,6 +2486,42 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("dist2"), 4).as("dist2"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // q135: TRAINED language identification (SURVEY+ L89) — the
+    // fastText-shape LID that opens the CCNet chain (hashing-trick
+    // char-trigram features -> multinomial LR; Joulin et al. 2016 /
+    // Wenzek et al. 2020), one tier above the q103 marker heuristic.
+    // A planted multilingual corpus (8 scripts/languages, per-doc
+    // deterministic word sampling) trains on the bounded doc_id < 2000
+    // seed; the trained model exports as a bounded captured (gram,
+    // lang, w) table (the q124 pattern — margins are linear in n-gram
+    // occurrences, so a string-join replay IS the model) and
+    // broadcast-scores every document map-side; prediction is the
+    // rank-based argmax over 6dp-rounded margins. The oracle rebuilds
+    // the planted text, replays the n-gram normalization (the q98
+    // translate+regexp formula, codepoint substr windows) and the
+    // margin sum/argmax from the captured VALUES.
+    "q135_lid_trained" -> ((s, dir) => {
+      val li = (col("doc_id") % LidPools.length).cast("int")
+      val langArr = typedlit(LidPools.map(_._1))
+      val poolArr = typedlit(LidPools.map(_._2))
+      val words = (0 until 9).map { k =>
+        val widx = (expr(s"doc_id div ${LidPools.length}") + lit(3 * k + k * k)) % 14
+        element_at(element_at(poolArr, li + 1), (widx + 1).cast("int"))
+      }
+      val synth = t(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(langArr, li + 1).as("lang"),
+          concat_ws(" ", words: _*).as("t"))
+      val seed = synth.where(col("doc_id") < 2000)
+      val model = graft.text.LanguageId.train(seed, "t", "lang",
+        n = 3, numFeatures = 1 << 16, maxIter = 50)
+      val bounded = graft.text.LanguageId.exportBounded(model, seed, "t", maxGrams = 300)
+      q135Model = Some(bounded.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq)
+      graft.text.LanguageId.scoreBounded(synth, "doc_id", "t", bounded, n = 3)
+        .orderBy(col("doc_id"))
     }),
 
     // q124: PRE-TRAINED-MODEL LM scoring — THE 100 TB CCNet path
@@ -2645,6 +2768,30 @@ object SparkEntry {
     * The synthetic corpus is pure ASCII, so this is what makes the
     * unicode-tier queries actually exercise non-Latin scripts.
     */
+  /** q135's planted LID corpus: per-language word pools (8 languages,
+    * 5 scripts, 14 words each — all pre-normalized lowercase so the
+    * fixture is transparent to the n-gram normalization both engines
+    * replay). Shared by the Spark query and the generated oracle SQL,
+    * so both sides use byte-identical strings.
+    */
+  private[graft] val LidPools: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "wald", "und", "über", "schnell", "nicht", "zeitung",
+      "straße", "ein", "können", "haus", "für", "wichtig", "zwischen"),
+    "el" -> Seq("και", "το", "πόλη", "να", "θάλασσα", "της", "με", "γρήγορα",
+      "που", "βιβλίο", "την", "από", "σημαντικό", "άνθρωπος"),
+    "en" -> Seq("the", "forest", "and", "quickly", "newspaper", "not",
+      "street", "a", "can", "house", "for", "important", "between", "people"),
+    "es" -> Seq("el", "bosque", "y", "rápido", "periódico", "no", "calle",
+      "una", "puede", "casa", "por", "importante", "entre", "gente"),
+    "fr" -> Seq("le", "forêt", "et", "rapidement", "journal", "pas", "rue",
+      "une", "peut", "maison", "pour", "important", "entre", "gens"),
+    "hi" -> Seq("के", "जंगल", "और", "जल्दी", "अख़बार", "नहीं", "सड़क",
+      "एक", "सकता", "घर", "लिए", "महत्वपूर्ण", "बीच", "लोग"),
+    "ru" -> Seq("и", "лес", "быстро", "газета", "не", "улица", "один",
+      "может", "дом", "для", "важно", "между", "люди", "город"),
+    "zh" -> Seq("的", "森林", "和", "快速", "报纸", "不", "街道", "一个",
+      "可以", "房子", "为了", "重要", "之间", "人们"))
+
   private def multilingualSnippet(id: Column): Column =
     element_at(array(
       lit("世界の日本語テスト"),
@@ -2877,6 +3024,63 @@ object SparkEntry {
   @volatile private var q132Models: Option[(Seq[Double], Seq[Seq[Double]])] = None
   @volatile private var q133Model: Option[(Seq[(String, Double)], Double)] = None
   @volatile private var q134Models: Option[(Seq[Double], Seq[Double], Seq[Seq[Double]])] = None
+  @volatile private var q135Model: Option[Seq[(String, String, Double)]] = None
+  @volatile private var q137Model: Option[(Seq[(String, Double)], Double)] = None
+
+  /** DuckDB replica of the q135 trained-LID pipeline: rebuild the
+    * planted corpus from the shared [[LidPools]] constants, replay the
+    * LID n-gram normalization (ASCII translate fold + the
+    * letter/mark/number replace — Unicode lower() is engine-divergent,
+    * which is exactly why the kernel folds ASCII only) with codepoint
+    * substr windows, join the captured bounded (gram, lang, w) VALUES
+    * on the STRING gram, and replay margin = round(intercept +
+    * sum(w), 6) + the (margin DESC, lang ASC) argmax.
+    */
+  private def q135OracleSql(model: Seq[(String, String, Double)]): String = {
+    val esc = (s: String) => s.replace("'", "''")
+    val nLang = LidPools.length
+    val poolSql = LidPools.map { case (_, ws) =>
+      ws.map(w => s"'${esc(w)}'").mkString("[", ", ", "]")
+    }.mkString("[\n    ", ",\n    ", "\n  ]")
+    val wordTerms = (0 until 9).map { k =>
+      s"pl.p[CAST(d.doc_id % $nLang AS INT) + 1]" +
+        s"[CAST((d.doc_id // $nLang + ${3 * k + k * k}) % 14 AS INT) + 1]"
+    }.mkString(",\n    ")
+    val weightRows = model.filter(_._1.nonEmpty)
+      .map { case (g, l, w) => s"('${esc(g)}', '${esc(l)}', ${java.lang.Double.toString(w)})" }
+      .mkString(",\n  ")
+    val interRows = model.filter(_._1.isEmpty)
+      .map { case (_, l, b) => s"('${esc(l)}', ${java.lang.Double.toString(b)})" }
+      .mkString(",\n  ")
+    s"""WITH pl AS (SELECT $poolSql AS p),
+       |synth AS (SELECT d.doc_id, concat_ws(' ',
+       |    $wordTerms) AS t
+       |  FROM documents d CROSS JOIN pl),
+       |norm AS (SELECT doc_id,
+       |    trim(regexp_replace(
+       |      translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+       |      '[^\\p{L}\\p{M}\\p{N}]+', ' ', 'g')) AS nt
+       |  FROM synth),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, length(nt) - 1), i -> substr(nt, i, 3))) AS gram
+       |  FROM norm),
+       |model0(gram, lang, w0) AS (VALUES
+       |  $weightRows),
+       |model AS (SELECT gram, lang, CAST(w0 AS DOUBLE) AS w FROM model0),
+       |inter0(lang, b0) AS (VALUES
+       |  $interRows),
+       |inter AS (SELECT lang, CAST(b0 AS DOUBLE) AS b FROM inter0),
+       |occ AS (SELECT g.doc_id, m.lang, sum(m.w) AS gw
+       |  FROM grams g JOIN model m ON g.gram = m.gram GROUP BY 1, 2),
+       |margins AS (SELECT d.doc_id, i.lang,
+       |    round(coalesce(o.gw, CAST(0.0 AS DOUBLE)) + i.b, 6) AS margin
+       |  FROM documents d CROSS JOIN inter i
+       |  LEFT JOIN occ o ON o.doc_id = d.doc_id AND o.lang = i.lang),
+       |rk AS (SELECT doc_id, lang, margin,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY margin DESC, lang) AS rk
+       |  FROM margins)
+       |SELECT doc_id, lang AS lang_pred, margin FROM rk WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
 
   // PID-keyed /tmp fixture dirs (q100/q119/q130) are read LAZILY by the
   // returned plans, so they cannot be deleted inside the query builder;
@@ -2903,7 +3107,16 @@ object SparkEntry {
     * evaluate their input several times (the q115 persist rationale);
     * tracked in CacheTracker.
     */
-  private def capstoneDeduped(s: SparkSession, dir: String): DataFrame = {
+  private def capstoneDeduped(s: SparkSession, dir: String): DataFrame =
+    capstoneCleanDedup(capstonePages(s, dir))
+
+  /** The capstone's synthetic page assembly (q116/q126/q137): one
+    * multi-line web page per non-null document — portal nav line,
+    * body (1/4 of docs a templated near-dup body in alternating
+    * NFC/NFD encodings), an unpunctuated line, a 1/11 blocklist
+    * violation, a 1/13 lorem-ipsum line. Returns (doc_id, lang, page).
+    */
+  private def capstonePages(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val dom = concat(lit("dom"), id % 7)
     val tk = expr("(doc_id - 3) div 4") // template index stream (id % 4 == 3 docs)
@@ -2926,9 +3139,22 @@ object SparkEntry {
         .otherwise(lit("This sentence mentions nothing objectionable at all.")),
       when(id % 13 === 0, lit("Lorem Ipsum dolor sit amet consectetur adipiscing elit."))
         .otherwise(concat(lit("All rights reserved by the "), dom, lit(" press office."))))
-    val staged = t(s, dir, "documents").where(col("text").isNotNull)
+    t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), page.as("page"))
+  }
+
+  /** The capstone's cleaning/dedup stages over an assembled
+    * (doc_id, lang, page) frame: C4 line cleaning -> per-domain
+    * boilerplate strip -> blocklist gate -> NFC exact dedup. Returns
+    * the persisted slim (doc_id, lang, cleaned) frame — the LM +
+    * bucket + mix stages each evaluate their input several times (the
+    * q115 persist rationale); tracked in CacheTracker.
+    */
+  private def capstoneCleanDedup(pages: DataFrame): DataFrame = {
+    val dom = concat(lit("dom"), col("doc_id") % 7)
+    val staged = pages
       .select(col("doc_id"), col("lang"), dom.as("domain"),
-        TextFunctions.c4Flags(page, minWords = 5, minKeptLines = 3).as("f"))
+        TextFunctions.c4Flags(col("page"), minWords = 5, minKeptLines = 3).as("f"))
       .where(col("f.pass"))
       .select(col("doc_id"), col("lang"), col("domain"),
         col("f.kept_text").as("t1"))
@@ -4262,6 +4488,9 @@ object SparkEntry {
       "q133_lm_artifact_scoring" -> ngramModelOracleSql(3, m, u, "n_trigrams") } ++
     q134Models.map { case (rot, cent, cbs) =>
       "q134_ann_opq_ivfpq_refined" -> q134OracleSql(rot, cent, cbs) } ++
+    q135Model.map(m => "q135_lid_trained" -> q135OracleSql(m)) ++
+    q137Model.map { case (m, u) =>
+      "q137_wet_curation_capstone" -> capstoneOracleSql(capstoneModelScoringSql(m, u)) } ++
     q71Centroids.map(c => "q71_semdedup_pairs" -> q71OracleSql(c)) ++
     q39Bits.map(b => "q39_cosine_neardup_lsh" -> q39OracleSql(b)) ++
     q55Bits.map(b => "q55_neardup_components" -> q55OracleSql(b)) ++

@@ -513,6 +513,52 @@ object TextAlgo {
       t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
     }
 
+  /** Character n-grams for language identification: normalize to
+    * ASCII-folded letter/mark/number codepoints with every other run
+    * collapsed to ONE space (leading/trailing trimmed), then emit all
+    * codepoint n-grams — the fastText LID feature family (Joulin et
+    * al. 2016 use char n-grams precisely because script + morphology
+    * live at the character level). ONLY ASCII A-Z case-fold (the
+    * unicode-tier convention): full Unicode lowercasing is
+    * engine-divergent (contextual final sigma, Turkish I), while the
+    * ASCII fold + [\p{L}\p{M}\p{N}] replace is exactly replayable as
+    * `translate` + `regexp_replace` in another engine (the q98
+    * contract). Returns the empty array when the normalized text is
+    * shorter than n codepoints.
+    */
+  def charNgramsLid(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // normalized codepoint stream
+    val cps = new java.lang.StringBuilder(str.length)
+    var i = 0
+    var pendingSpace = false
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (isWordCp(cp)) {
+        if (pendingSpace && cps.length() > 0) cps.append(' ')
+        pendingSpace = false
+        if (cp >= 'A' && cp <= 'Z') cps.append((cp + 32).toChar)
+        else cps.appendCodePoint(cp)
+      } else pendingSpace = true
+      i += Character.charCount(cp)
+    }
+    val norm = cps.toString
+    // n-gram emission over CODEPOINTS (norm may hold surrogate pairs)
+    val total = norm.codePointCount(0, norm.length)
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](total - n + 1)
+    var start = 0
+    var g = 0
+    while (g < total - n + 1) {
+      val end = norm.offsetByCodePoints(start, n)
+      out(g) = UTF8String.fromString(norm.substring(start, end))
+      start = norm.offsetByCodePoints(start, 1)
+      g += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Unicode-tier tokens of a string (see the tier comment above): runs
     * of letter/mark/number codepoints, CJK codepoints as single tokens,
     * ASCII-only lowercasing. Shared by every unicode-mode kernel AND the
@@ -1060,6 +1106,90 @@ object TextAlgo {
       j += 1
     }
     s
+  }
+
+  /** SentencePiece unigram-LM encoding (Kudo 2018, "Subword
+    * Regularization" — the sentencepiece `--model_type=unigram` family
+    * T5/Gemma/LLaMA exports ship): Viterbi-segment each
+    * whitespace-delimited word (the `split_by_whitespace=true` default
+    * — pieces never cross word boundaries) into the vocabulary pieces
+    * maximizing the summed log-probabilities. Words carry the '▁'
+    * (LOWER ONE EIGHTH BLOCK) prefix in place of their leading space —
+    * the SentencePiece whitespace-as-symbol convention, which makes
+    * decode a plain concat + replace.
+    *
+    * Determinism contract: the DP maximizes with a STRICT > update over
+    * ascending split points, so ties resolve to the SMALLEST start —
+    * the longest final piece. Codepoints outside the vocabulary encode
+    * as single-char pieces at `fallbackLogProb` (char-fallback, the
+    * byte_fallback analog one level up — total, no UNK), so encoding
+    * never fails and decode is lossless up to whitespace normalization.
+    */
+  def spEncodePieces(s: UTF8String, t: SpTables): ArrayData = {
+    val text = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else text.charAt(i)
+      if (atEnd || isJavaWs(c)) {
+        if (sb.length() > 0) {
+          spEncodeWord("\u2581" + sb.toString, t, out)
+          sb.setLength(0)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def spEncodeWord(w: String, t: SpTables,
+      out: scala.collection.mutable.ArrayBuffer[AnyRef]): Unit = {
+    val L = w.length
+    @inline def boundary(i: Int): Boolean =
+      i == 0 || i == L || !Character.isLowSurrogate(w.charAt(i))
+    val dp = Array.fill(L + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    val back = new Array[Int](L + 1)
+    // window of at least 2 UTF-16 units so an astral codepoint can take
+    // the single-char fallback even when every vocab piece is shorter
+    val maxLen = math.max(t.maxPieceChars, 2)
+    var i = 1
+    while (i <= L) {
+      if (boundary(i)) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          if (boundary(j) && dp(j) != Double.NegativeInfinity) {
+            val piece = w.substring(j, i)
+            val got = t.lookup.get(piece)
+            val lp: Double =
+              if (got != null) got.doubleValue
+              else if (i - j == 1 ||
+                (i - j == 2 && Character.isHighSurrogate(w.charAt(j))))
+                t.fallbackLogProb
+              else Double.NaN
+            if (!java.lang.Double.isNaN(lp)) {
+              val sc = dp(j) + lp
+              if (sc > dp(i)) { dp(i) = sc; back(i) = j }
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // walk back and append in order
+    val stack = new scala.collection.mutable.ArrayBuffer[String](8)
+    var pos = L
+    while (pos > 0) {
+      val j = back(pos)
+      stack += w.substring(j, pos)
+      pos = j
+    }
+    var k = stack.length - 1
+    while (k >= 0) { out += UTF8String.fromString(stack(k)); k -= 1 }
   }
 
   /** y = v R for a row-major (dim x dim) matrix reference block:

@@ -811,6 +811,49 @@ case class PqAdcDistAtExpr(codes: Expression, idx: Expression,
   * [[TextAlgo.gpt2Pretokens]]): the byte-level BPE word boundary, and
   * the word-frequency key its trainer aggregates on.
   */
+/** SentencePiece unigram-LM pieces of a string column under a trained
+  * vocabulary (Viterbi segmentation per whitespace word, '▁' prefix
+  * convention, char-fallback) — one compiled zero-shuffle pass; the
+  * vocabulary rides the plan as one codegen reference object. See
+  * [[TextAlgo.spEncodePieces]].
+  */
+case class SpEncodePiecesExpr(child: Expression, tables: SpTables)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sp_encode_pieces"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.spEncodePieces(input.asInstanceOf[UTF8String], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spTables", tables, "graft.functions.SpTables")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.spEncodePieces($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SpEncodePiecesExpr =
+    copy(child = newChild)
+}
+
+/** Language-ID character n-grams of a string column (compiled, one
+  * pass): ASCII-folded letter/mark/number normalization with non-word
+  * runs collapsed to one space, then all codepoint n-grams. See
+  * [[TextAlgo.charNgramsLid]].
+  */
+case class CharNgramsLidExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams_lid"
+  override protected def nullSafeEval(input: Any): Any =
+    TextAlgo.charNgramsLid(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgo.charNgramsLid($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsLidExpr =
+    copy(child = newChild)
+}
+
 case class Gpt2PretokensExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess

@@ -44,6 +44,9 @@ SPECS = {
     "q128_byte_bpe_tokens": [("doc_id", "BIGINT"), ("n_tokens", "INTEGER"),
                              ("id1", "BIGINT"), ("id2", "BIGINT"),
                              ("id3", "BIGINT")],
+    "q136_sp_unigram_tokens": [("doc_id", "BIGINT"), ("n_pieces", "INTEGER"),
+                               ("p1", "VARCHAR"), ("p2", "VARCHAR"),
+                               ("p3", "VARCHAR")],
 }
 
 
