@@ -1678,8 +1678,19 @@ object SparkEntry {
           lit("?b=2&fbclid&a=1")), // valueless tracking param
           (id % 7 + 1).cast("int")),
         when(id % 2 === 0, lit("#section-3")).otherwise(lit("")))
+      // materialize the synthetic URL in its OWN projection before the
+      // canonicalize ladder: canonicalize references its input ~12 times
+      // (scheme/host/port/path/query each re-derive from it), and inlining
+      // the concat/element_at decoration at every reference blew the
+      // whole-stage-codegen method past the JVM's 64 KB limit — the stage
+      // silently fell back to INTERPRETED eval (ERROR CodeGenerator in the
+      // r11 baseline bench, 2.8 s -> codegen restored). An attribute
+      // reference is one slot read; CollapseProject keeps the split
+      // because the multiply-referenced alias is non-cheap.
       val canon = t(s, dir, "documents")
-        .select(col("doc_id"), graft.functions.Url.canonicalize(url).as("canonical"))
+        .select(col("doc_id"), url.as("__url"))
+        .select(col("doc_id"),
+          graft.functions.Url.canonicalize(col("__url")).as("canonical"))
       canon
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_raw"), min(col("doc_id")).as("first_id"))
@@ -1755,7 +1766,7 @@ object SparkEntry {
       val pages = t(s, dir, "documents")
         .select(pageUrl.as("page_url"), html.as("html"))
       val edges = graft.graph.LinkGraph.domainEdges(pages, "page_url", "html")
-      graft.graph.LinkGraph.pageRank(edges, iters = 5)
+      graft.graph.LinkGraph.pageRank(edges, iters = 5, checkpointEvery = 2)
         .select(col("node").as("domain"), col("rank"))
         .orderBy(col("domain"))
     }),

@@ -93,7 +93,15 @@ object SpanDedup {
       gramSaltBuckets: Int = 8): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     require(gramSaltBuckets >= 1, s"gramSaltBuckets must be >= 1, got $gramSaltBuckets")
-    val pos = positionalGramHashes(df, idCol, textCol, n, hash)
+    // PERSIST the positional-gram stream: it feeds BOTH the document-
+    // frequency agg and the dup-gram join below, and without the cache
+    // each leg re-runs the full tokenize+hash scan (the portable md5
+    // tier pays an md5 per token position — measured as the two ~0.8 s
+    // twin map jobs in the r11 q84 profile). Slim (id, pos, 8-byte g)
+    // rows, MEMORY_AND_DISK via the shared tracker (guide §5: reused
+    // AND expensive to recompute).
+    val pos = graft.etl.CacheTracker.persistTracked(
+      positionalGramHashes(df, idCol, textCol, n, hash))
     // document frequency >= minDocs, no countDistinct: (g, id) -> g.
     // (both aggs are skew-safe: the distinct shuffles by the TWO-part
     // (g, id) key, and the per-gram count combines map-side)

@@ -246,6 +246,14 @@ object Url {
     * chain with list_sort. Two URLs that differ only in param order,
     * fragment, default port, userinfo or tracking noise canonicalize to
     * the same key — the property the spec pins.
+    *
+    * Like [[registrableDomainOfHost]], this references its input ~12
+    * times (scheme/host/port/path/query each re-derive from `c`). When
+    * the URL is itself an expensive expression, materialize it in its
+    * own projection first and canonicalize the ATTRIBUTE — inlining a
+    * large derivation at every reference blows the 64 KB whole-stage
+    * codegen limit and the stage falls back to interpreted eval (seen
+    * on q102's synthetic-URL decoration, r11).
     */
   def canonicalize(c: Column): Column = {
     val scheme = urlScheme(c)

@@ -200,7 +200,12 @@ object LinkGraph {
     // plan (analysis + codegen of k copies dominates small-graph runs).
     // Caching the iteration inputs is the standard shape for iterative
     // graph algorithms (GraphX does the same with its graph).
-    val eOut = graft.etl.CacheTracker.persistTracked(e.join(outW, "__src"))
+    // cache PARTITIONED BY the iteration join key: InMemoryRelation
+    // preserves outputPartitioning, so every iteration's ranks-x-eOut
+    // join reuses this layout instead of re-exchanging the edge side
+    // (guide §2.4 — two operations keyed the same way share one
+    // exchange; ranks is the small side that still moves)
+    val eOut = e.join(outW, "__src").repartition(col("__src")).localCheckpoint()
     // nodes derive from the CACHED eOut, not the raw edges: a separate
     // cache-fill plan cannot share exchanges with eOut's, so reading `e`
     // here would recompute the whole upstream edge derivation a second
@@ -209,11 +214,14 @@ object LinkGraph {
       .union(eOut.select(col("__dst"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     // scalar broadcast: base and the initial rank are per-node constants
-    val nodesBase = graft.etl.CacheTracker.persistTracked(
-      nodes.crossJoin(broadcast(nRow))
-        .select(col("node"),
-          expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
-          expr(s"$scaleTotal div __n").as("__r0")))
+    // partitioned by node: the per-iteration left join against incoming
+    // (hashed on __dst = node domain) then needs only the incoming side
+    // exchanged, and the distinct above already hashed by node
+    val nodesBase = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"),
+        expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
+        expr(s"$scaleTotal div __n").as("__r0"))
+      .repartition(col("node")).localCheckpoint()
     // dangling nodes (no out-edges) — only materialized for the
     // redistribution variant; anti-join against the cached eOut
     lazy val danglingIds = graft.etl.CacheTracker.persistTracked(

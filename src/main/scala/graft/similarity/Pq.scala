@@ -85,16 +85,15 @@ object Pq {
         case n: Number => n.doubleValue()
       })
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     (0 until m).map { j =>
       val slices = sample.zipWithIndex
-        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim)) }
-      // a cap-row LOCAL frame: the trainer's own sampling degenerates to
-      // the identity over it, so this reuses its multi-restart Lloyd,
-      // strict-< argmin and padding conventions verbatim
-      Similarity.trainIvfCentroids(slices.toSeq.toDF("__id", "__sv"),
-        "__id", "__sv", subDim, nLists = ksub, seed = seed + j)
+        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim).toArray) }
+      // the sample is already on the driver: the LOCAL trainer replays
+      // the DataFrame path's hash order + multi-restart Lloyd
+      // bit-identically (spec-pinned) without paying one Spark job per
+      // subspace just to sort+collect a LocalRelation (r11, guide §1.2)
+      Similarity.trainIvfCentroidsLocal(slices.toIndexedSeq,
+        subDim, nLists = ksub, seed = seed + j)
     }
   }
 
@@ -353,13 +352,13 @@ object Pq {
         out
       }
     require(residuals.nonEmpty, "cannot train PQ codebooks on an empty corpus")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     (0 until m).map { j =>
       val slices = residuals.zipWithIndex
-        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim).toSeq) }
-      Similarity.trainIvfCentroids(slices.toSeq.toDF("__id", "__sv"),
-        "__id", "__sv", subDim, nLists = ksub, seed = seed + j)
+        .map { case (v, i) => (i.toLong, v.slice(j * subDim, (j + 1) * subDim)) }
+      // local trainer — bit-identical to the DataFrame path, no
+      // per-subspace Spark job (see trainCodebooks)
+      Similarity.trainIvfCentroidsLocal(slices.toIndexedSeq,
+        subDim, nLists = ksub, seed = seed + j)
     }
   }
 

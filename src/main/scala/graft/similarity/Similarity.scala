@@ -234,6 +234,45 @@ object Similarity {
     best.toSeq.padTo(nLists * dim, 0.0)
   }
 
+  /** Driver-local twin of [[trainIvfCentroids]]'s small-quantizer path
+    * for a sample that is ALREADY resident on the driver (the
+    * [[graft.similarity.Pq]] per-subspace trainers slice one collected
+    * corpus sample m ways): replays the exact DataFrame-path pipeline —
+    * seeded xxhash64 order on the id (the same two-child fold Catalyst
+    * evaluates: id under seed 42, then the seed literal under that
+    * result), `cap` smallest, multi-restart seeded Lloyd, zero-pad — so
+    * the returned centroids are BIT-IDENTICAL to handing the pairs to
+    * [[trainIvfCentroids]] via a local DataFrame (spec-pinned), without
+    * the per-subspace Spark job that a 4k-row LocalRelation sort+collect
+    * costs (guide §1.2: the round-trips were pure scheduler overhead —
+    * 8 jobs per PQ training, ~0.1 s each, on data already in driver
+    * arrays).
+    */
+  def trainIvfCentroidsLocal(
+      sample: IndexedSeq[(Long, Array[Double])],
+      dim: Int,
+      nLists: Int = 16,
+      seed: Long = 42L,
+      sampleCap: Int = 0,
+      maxIter: Int = 10): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val cap =
+      if (sampleCap > 0) sampleCap
+      else math.min(256 * nLists, math.max(25000, 64 * nLists))
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty sample")
+    // xxhash64(id, lit(seed)) as Catalyst folds it: 42 is the function's
+    // initial seed, each child re-seeds with the running hash
+    def h(id: Long): Long = XXH64.hashLong(seed, XXH64.hashLong(id, 42L))
+    val picked: Array[Array[Double]] =
+      sample.sortBy(p => h(p._1)).take(cap).map(_._2).toArray
+    val k = math.min(nLists, picked.length)
+    val best = (0 until 5).map { r =>
+      val c = lloyd(picked, k, dim, seed + r * 7919, maxIter).toArray
+      (wcss(picked, c, dim), c)
+    }.minBy(_._1)._2
+    best.toSeq.padTo(nLists * dim, 0.0)
+  }
+
   /** Cluster-side trainer for cell counts the driver can't afford: a
     * seeded HASH-FILTER sample (map-side predicate — no global sort, no
     * driver collect of vectors) feeds spark.ml KMeans (k-means||,

@@ -66,12 +66,28 @@ object LanguageId {
       numFeatures: Int = 1 << 18,
       regParam: Double = 1e-4,
       maxIter: Int = 80): LidModel = {
-    val labels = df.select(col(langCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // one job for labels AND the seed row count (was: a distinct-only
+    // pass) — the count drives the coalesce below
+    val byLang = df.groupBy(col(langCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val labels = byLang.map(_.getString(0)).sorted.toSeq
+    val nRows = byLang.map(_.getLong(1)).sum
     require(labels.length >= 2, s"LID needs >= 2 languages, got $labels")
     val labelIdx = labels.zipWithIndex.toMap
     val toIdx = udfFreeLabelIndex(labels, col(langCol))
-    val prepared = df.withColumn("__graft_lid_label", toIdx)
+    // Coalesce the bounded seed to a size-derived partition count before
+    // the iterative fit: every LBFGS iteration treeAggregates a DENSE
+    // gradient of numClasses x numFeatures doubles PER PARTITION (~4 MB
+    // at the 8 x 2^16 default), so a small seed spread over the scan's
+    // 32 input splits pays 32 gradient serializations x maxIter for no
+    // parallelism gain — measured 10.2 s -> dominated by exactly this on
+    // the r11 baseline (q135). Scale-adaptive, not a local[32] constant:
+    // ~4k rows per partition, capped at defaultParallelism, so a real
+    // 100k-doc seed still fans out.
+    val parts = math.max(1L, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong, nRows / 4096L)).toInt
+    val prepared = df.coalesce(parts)
+      .withColumn("__graft_lid_label", toIdx)
       .withColumn("__graft_lid_grams", charNgrams(col(textCol), n))
     val tf = new HashingTF()
       .setInputCol("__graft_lid_grams").setOutputCol("__graft_lid_features")

@@ -389,4 +389,30 @@ class SimilaritySpec extends SparkSpec {
     assert(semantic.size >= (0.9 * exact.size).toInt,
       s"recall ${semantic.size}/${exact.size}")
   }
+
+  test("trainIvfCentroidsLocal is bit-identical to the DataFrame path (r11)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 6
+    val rows = (0 until 300).map { i =>
+      (i.toLong * 13 + 5, Array.fill(dim)(rng.nextGaussian()))
+    }
+    val viaDf = Similarity.trainIvfCentroids(
+      rows.map { case (id, v) => (id, v.toSeq) }.toDF("__id", "__sv"),
+      "__id", "__sv", dim, nLists = 8, seed = 99L)
+    val viaLocal = Similarity.trainIvfCentroidsLocal(
+      rows.toIndexedSeq, dim, nLists = 8, seed = 99L)
+    // exact equality, not a tolerance: the local path must replay the
+    // xxhash64 sample order and the seeded Lloyd restarts verbatim —
+    // any float drift means the two paths diverged structurally
+    assert(viaLocal === viaDf)
+    // and with a cap that actually truncates, the hash ORDER decides
+    // which rows train — still identical
+    val capDf = Similarity.trainIvfCentroids(
+      rows.map { case (id, v) => (id, v.toSeq) }.toDF("__id", "__sv"),
+      "__id", "__sv", dim, nLists = 4, seed = 3L, sampleCap = 64)
+    val capLocal = Similarity.trainIvfCentroidsLocal(
+      rows.toIndexedSeq, dim, nLists = 4, seed = 3L, sampleCap = 64)
+    assert(capLocal === capDf)
+  }
 }
