@@ -20,6 +20,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Persist a slim projected frame before a global ORDER BY when the
+    * projection is expensive and MAP-ONLY: the range sort's boundary
+    * sample is a full extra evaluation of the exchange child — with no
+    * upstream shuffle stage for AQE to reuse, such a query pays its
+    * whole kernel chain twice (measured on q101: two back-to-back
+    * ~1.4 s single-stage jobs, r11). Guide §5's exact caching
+    * criterion: reused (sample + exchange) AND expensive to recompute.
+    * The cached rows are the slim OUTPUT fields, never the raw text;
+    * tracked in [[graft.etl.CacheTracker]] like every operator cache.
+    * Queries with an aggregation/join exchange before the sort do NOT
+    * need this — the sample reads the materialized shuffle output.
+    */
+  private def cacheBeforeSort(df: DataFrame): DataFrame =
+    graft.etl.CacheTracker.persistTracked(df)
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as Long
     * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench sessions);
     * normalize to a proper timestamp column either way.
@@ -269,6 +284,7 @@ object SparkEntry {
         length(col("text")).as("n_chars_computed"),
         round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q21: language-ID heuristic vs the labeled lang column — confusion counts
@@ -301,13 +317,13 @@ object SparkEntry {
     "q25_embedding_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
-        round(Similarity.l2Norm(transform(col("embedding"), x => x.cast("double"))), 4).as("l2_norm"))
+        round(Similarity.l2Norm(col("embedding").cast("array<double>")), 4).as("l2_norm"))
         .orderBy(col("vec_id"))),
 
     // q26: brute-force cosine top-k similarity search (SURVEY+: ANN baseline)
     "q26_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
@@ -318,7 +334,7 @@ object SparkEntry {
     // specific; recall properties covered in ScalaTest)
     "q27_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64, numBits = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
@@ -419,7 +435,7 @@ object SparkEntry {
     // pattern extended to data-trained constants.
     "q37_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         dim = 64, nLists = 16)
@@ -435,7 +451,7 @@ object SparkEntry {
     // embedding); compiled cosine keeps the O(n^2/2) pair scan codegen'd
     "q35_cosine_neardup_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.alias("ea")
       val b = e.alias("eb")
       a.join(b, col("ea.vec_id") < col("eb.vec_id"))
@@ -485,7 +501,7 @@ object SparkEntry {
     // (rows-only: bucket assignment is seeded-plane specific)
     "q39_cosine_neardup_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // occupancy-scaled bit-width (one count job): pinning bits made the
       // within-bucket self-join quadratic in corpus size — the sf10 decade
       // measured 70x wall for 10x data before this (BENCHNOTES round 5)
@@ -502,7 +518,7 @@ object SparkEntry {
     // ride the occupancy rule, so the decade scaling holds.
     "q76_banded_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val bits = Similarity.bitsForOccupancy(e.count())
       q76Bits = Some(bits)
       Similarity.bandedCosineNearDupPairs(e, "vec_id", "v", threshold = 0.3,
@@ -519,6 +535,7 @@ object SparkEntry {
         col("doc_id"),
         round(TextFunctions.dupNgramFraction(col("text"), 3), 6).as("dup3"),
         round(TextFunctions.dupNgramFraction(col("text"), 5), 6).as("dup5"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q41: exact word-5-gram Jaccard near-dup pairs with exact-string
@@ -662,6 +679,7 @@ object SparkEntry {
       withText.select(col("doc_id"),
         ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"),
         md5(TextFunctions.redactPii(col("txt"))).as("redacted_md5"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -721,7 +739,7 @@ object SparkEntry {
     // exactly by the DuckDB oracle; cosine drift vs float is spec-bounded
     "q54_quantize_int8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       emb.select(col("vec_id"),
         round(Similarity.vecMaxAbs(col("v")), 6).as("max_abs"),
         Similarity.quantSumInt8(col("v")).as("q_sum"))
@@ -733,7 +751,7 @@ object SparkEntry {
     // reachable vec_id, recomputed independently by a DuckDB recursive CTE
     "q55_neardup_components" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val bits = Similarity.bitsForOccupancy(e.count())
       q55Bits = Some(bits)
       val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "v",
@@ -770,6 +788,7 @@ object SparkEntry {
     "q58_winnowing_portable" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         explode(TextFunctions.winnowingFingerprintsPortable(col("text"), 8, 4)).as("fp"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"), col("fp"))),
 
     // q59: PORTABLE MinHash-LSH near-dup — q23's banding pipeline on
@@ -901,7 +920,7 @@ object SparkEntry {
     // for the oracle exactly like q37's.
     "q65_kmeans_clusters" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val (cent, profile) = Similarity.kmeansClusterProfile(
         emb, "vec_id", "embedding", dim = 64, k = 8)
       q65Centroids = Some(cent)
@@ -1012,7 +1031,7 @@ object SparkEntry {
     // same way as q37/q65.
     "q71_semdedup_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // SemDeDup scaling rule: cells grow with the corpus (the paper runs
       // 50k cells over 5B vectors) so within-cell all-pairs stays linear —
       // k pinned at 8 measured 95x wall for 10x data on the sf10 decade
@@ -1290,6 +1309,7 @@ object SparkEntry {
             .as("html"))
         .select(col("doc_id"),
           TextFunctions.htmlToText(col("html")).as("text_clean"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q89: WARC record parsing (graft.data.Warc, SURVEY+ L53) — each
@@ -1473,6 +1493,7 @@ object SparkEntry {
             graft.functions.Gzip.gzip(col("text"))).as("text_rt"))
         .select(col("doc_id"), col("text_rt"),
           length(col("text_rt")).as("n_chars"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q94: URL decomposition (graft.functions.Url, SURVEY+ L58) — the
@@ -1511,6 +1532,7 @@ object SparkEntry {
           col("u.path").as("path"), col("u.query").as("query"),
           col("u.domain").as("domain"),
           graft.functions.Url.registrableDomainOfHost(col("u.host")).as("etld1"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -1581,9 +1603,12 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("s")).as("n_sentences"),
           element_at(col("s"), 1).as("first_sentence"),
-          round(aggregate(col("s"), lit(0L),
-            (acc, x) => acc + length(x)).cast("double") /
+          // length-of-concatenation == sum of lengths (no null elements);
+          // `aggregate` is a CodegenFallback higher-order function — see
+          // the q101 note (r11)
+          round(length(concat_ws("", col("s"))).cast("double") /
             greatest(size(col("s")), lit(1)), 4).as("avg_chars"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -1613,9 +1638,14 @@ object SparkEntry {
           size(col("s")).as("n_sentences"),
           element_at(col("s"), 1).as("first_sentence"),
           element_at(col("s"), -1).as("last_sentence"),
-          round(aggregate(col("s"), lit(0L),
-            (acc, x) => acc + length(x)).cast("double") /
+          // sum of sentence lengths == length of the concatenation (the
+          // kernel never emits null elements, which concat_ws would skip
+          // and aggregate would poison): `aggregate` is a higher-order
+          // function and CodegenFallback — it forced this projection to
+          // interpreted eval (guide §4.1: prefer built-ins; r11)
+          round(length(concat_ws("", col("s"))).cast("double") /
             greatest(size(col("s")), lit(1)), 4).as("avg_chars"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -1735,6 +1765,7 @@ object SparkEntry {
           col("f.has_brace").as("has_brace"),
           col("f.has_blocked").as("has_blocked"),
           col("f.pass").as("pass"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -1984,6 +2015,7 @@ object SparkEntry {
         .select(regexp_extract(col("target_uri"), "doc/([0-9]+)", 1)
             .cast("bigint").as("doc_id"),
           col("target_uri"), col("n_chars"), col("text"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -2295,6 +2327,7 @@ object SparkEntry {
           try_element_at(col("ids"), lit(1)).as("id1"),
           try_element_at(col("ids"), lit(2)).as("id2"),
           try_element_at(col("ids"), lit(3)).as("id3"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -2319,6 +2352,7 @@ object SparkEntry {
           try_element_at(col("p"), lit(1)).as("p1"),
           try_element_at(col("p"), lit(2)).as("p2"),
           try_element_at(col("p"), lit(3)).as("p3"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 
@@ -2334,7 +2368,7 @@ object SparkEntry {
     // parenthesized sum, so every distance matches bit-for-bit.
     "q121_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       val cbs = graft.similarity.Pq.trainCodebooks(
         emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
@@ -2354,7 +2388,7 @@ object SparkEntry {
     // two verified replays (argmin cells/probes + ADC pivot sum).
     "q122_ivfpq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         dim = 64, nLists = 16)
@@ -2381,7 +2415,7 @@ object SparkEntry {
     // the rotation's column vectors captured as VALUES.
     "q132_opq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val rot = graft.similarity.Opq.trainRotation(
         emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 6)
       val rotated = emb.select(col("vec_id"),
@@ -2408,7 +2442,7 @@ object SparkEntry {
     // per-(query,cell) table diff ((qv-cc)-cv).
     "q123_ivfpq_residual_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = emb.where(col("vec_id") < 3)
       val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         dim = 64, nLists = 16)
@@ -2472,7 +2506,7 @@ object SparkEntry {
     // bit-identical to Dist2Expr's ascending-i loop).
     "q134_ann_opq_ivfpq_refined" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val rot = graft.similarity.Opq.trainRotation(
         emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 6)
       val stateBase = "/tmp/graft_q134_model_" +
@@ -2634,6 +2668,7 @@ object SparkEntry {
           size(filter(col("toks"), x => x.rlike("^[a-z0-9]+$"))).as("n_ascii"),
           concat_ws(" ", slice(col("toks"), 1, 10)).as("head_tokens"),
           element_at(col("toks"), -1).as("last_token"))
+        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))
     }),
 

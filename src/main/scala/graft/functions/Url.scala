@@ -2,6 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL decomposition for web-corpus curation — the keying primitives
   * behind per-domain caps (L36), domain mixing weights and crawl
@@ -43,8 +49,23 @@ object Url {
   /** Lowercased host: authority minus userinfo and port. IPv6 bracket
     * hosts keep their brackets; the port colon is only split OUTSIDE
     * a closing bracket.
+    *
+    * Compiled kernel ([[UrlHostExpr]], r11): the original four-regex
+    * chain re-inlined its whole input tree at every reference whenever
+    * the optimizer substituted it into pushed-down/inferred predicates
+    * (q105's generate stage grew past the 64 KB codegen limit and fell
+    * back to interpreted eval), and paid four Matcher allocations per
+    * value. One imperative pass, byte-equal to the regex chain
+    * ([[urlHostRegex]], kept as the oracle-parity twin —
+    * UrlKernelSpec pins equality; the q94 oracle replays the regex
+    * form in DuckDB as before).
     */
-  def urlHost(c: Column): Column = {
+  def urlHost(c: Column): Column = toCol(UrlHostExpr(toExpr(c)))
+
+  /** The original codegen'd-builtins host parse — the engine-replayable
+    * twin [[UrlHostExpr]] must match value-for-value (UrlKernelSpec).
+    */
+  private[graft] def urlHostRegex(c: Column): Column = {
     val auth = regexp_extract(c, AuthorityRe, 1)
     val noUser = regexp_extract(auth, "(?:[^@]*@)?([^@]*)$", 1)
     // bracket form: take [..] verbatim; else strip a trailing :port
@@ -147,7 +168,21 @@ object Url {
     * free; Catalyst's CollapseProject keeps the split because the
     * multiply-referenced extraction is non-cheap.
     */
-  def registrableDomainOfHost(h: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column = {
+  def registrableDomainOfHost(h: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column =
+    toCol(RegistrableDomainOfHostExpr(toExpr(h), suffixes))
+
+  /** The original when/isin ladder over anchored regex label extracts —
+    * the engine-replayable twin [[RegistrableDomainOfHostExpr]] must
+    * match value-for-value (UrlKernelSpec; the q94/q97 oracles replay
+    * this form in DuckDB as before). Compiled kernel rationale: the
+    * ladder references `h` ~2·maxK times, so any optimizer substitution
+    * of a computed host into it (pushed-down filters, inferred
+    * IsNotNull constraints) multiplied the host derivation past the
+    * 64 KB whole-stage-codegen method limit (q105, r11), and each
+    * reference paid a fresh anchored-regex Matcher.
+    */
+  private[graft] def registrableDomainOfHostLadder(
+      h: Column, suffixes: Seq[String] = PublicSuffix.Snapshot): Column = {
     require(suffixes.nonEmpty, "suffix list must be non-empty")
     // the host side is always lowercased (urlHost lowers; the scaladoc
     // contract for raw host columns requires it) — lower the suffix side
@@ -342,4 +377,206 @@ object Url {
       .drop((Seq("__host") ++
         (2 to ks).flatMap(k => Seq(s"__last$k", s"__m$k", s"__w$k", s"__e$k"))): _*)
   }
+}
+
+/** Imperative twins of the [[Url]] regex chains — static kernels for the
+  * compiled expressions below. Each reproduces its regex tier
+  * byte-for-byte (UrlKernelSpec pins equality on adversarial and
+  * randomized inputs); the regex tiers stay as the oracle-replayable
+  * documentation of the semantics.
+  */
+object UrlAlgo {
+
+  private def isSchemeChar(ch: Char): Boolean =
+    (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+      (ch >= '0' && ch <= '9') || ch == '+' || ch == '.' || ch == '-'
+
+  /** Lowercased host of an absolute URL; null when absent. Replays
+    * [[Url.urlHostRegex]]: anchored scheme "://" authority up to
+    * `/?#\r\n`, userinfo = everything up to the LAST '@', bracket hosts
+    * need a closing ']' (else no host), otherwise strip the first-colon
+    * port; empty -> null; lowercase via UTF8String.toLowerCase (the
+    * builtin `lower`'s own path).
+    */
+  def host(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    // authority: ^[A-Za-z][A-Za-z0-9+.-]*:// then chars not in /?#\r\n.
+    // ':' is not a scheme char, so the scheme run ends at the first
+    // non-scheme char and "://" must sit exactly there (no backtracking
+    // ambiguity).
+    var auth = ""
+    if (n > 0) {
+      val c0 = s.charAt(0)
+      if ((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')) {
+        var i = 1
+        while (i < n && isSchemeChar(s.charAt(i))) i += 1
+        if (i + 2 < n && s.charAt(i) == ':' && s.charAt(i + 1) == '/' && s.charAt(i + 2) == '/') {
+          var j = i + 3
+          while (j < n && { val c = s.charAt(j)
+            c != '/' && c != '?' && c != '#' && c != '\r' && c != '\n' }) j += 1
+          auth = s.substring(i + 3, j)
+        }
+      }
+    }
+    // userinfo: "(?:[^@]*@)?([^@]*)$" == everything after the last '@'
+    val at = auth.lastIndexOf('@')
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    // bracket form needs a closing ']' ("^(\[[^\]]*\])"); else first ':'
+    val host =
+      if (hostPort.startsWith("[")) {
+        val rb = hostPort.indexOf(']')
+        if (rb >= 0) hostPort.substring(0, rb + 1) else ""
+      } else {
+        val colon = hostPort.indexOf(':')
+        if (colon >= 0) hostPort.substring(0, colon) else hostPort
+      }
+    if (host.isEmpty) null else UTF8String.fromString(host).toLowerCase
+  }
+
+  /** Preprocessed PSL rule table for [[registrableDomain]]: rule sets
+    * keyed by label count, built once per expression from
+    * [[Url.splitRules]]'s (exceptions, wildcard tails, normals) split so
+    * the two tiers can never disagree on rule parsing.
+    */
+  final class PslRules(suffixes: Seq[String]) extends Serializable {
+    private val (excRules, wildTails, normals) = Url.splitRules(suffixes)
+    /** normal-rule label count -> rule set */
+    val normalByLen: Map[Int, java.util.HashSet[String]] =
+      normals.groupBy(_.count(_ == '.') + 1).map { case (k, rs) =>
+        val s = new java.util.HashSet[String](); rs.foreach(s.add); k -> s }
+    /** wildcard label count (counting `*`) -> tail set (tail = k-1 labels) */
+    val wildByLen: Map[Int, java.util.HashSet[String]] =
+      wildTails.groupBy(_.count(_ == '.') + 2).map { case (k, rs) =>
+        val s = new java.util.HashSet[String](); rs.foreach(s.add); k -> s }
+    /** exception-rule label count -> rule set */
+    val excByLen: Map[Int, java.util.HashSet[String]] =
+      excRules.groupBy(_.count(_ == '.') + 1).map { case (k, rs) =>
+        val s = new java.util.HashSet[String](); rs.foreach(s.add); k -> s }
+    /** ladder lengths, longest first (the ladder's evaluation order) */
+    val ladderKsDesc: Array[Int] =
+      (normalByLen.keySet ++ wildByLen.keySet).toArray.sorted.reverse
+    /** exception lengths, longest first (ascending fold = longest outermost) */
+    val excKsDesc: Array[Int] = excByLen.keySet.toArray.sorted.reverse
+    val maxK: Int = ladderKsDesc.headOption.getOrElse(2).max(2)
+    /** labels needed: ladder answer is last maxK+1 labels; exceptions
+      * may be longer than any ladder rule
+      */
+    val maxLabels: Int = math.max(maxK + 1, excKsDesc.headOption.getOrElse(0))
+  }
+
+  /** eTLD+1 of an already-extracted lowercased host; null for bracket
+    * hosts, dot-less hosts and hosts that ARE a public suffix. Replays
+    * [[Url.registrableDomainOfHostLadder]] exactly: `lastLabels(h, k)`
+    * ("([^.]+(?:[.][^.]+){k-1})$") is the last k labels when all k are
+    * non-empty, else "" — the backwards walk below stops at the first
+    * empty label (consecutive dots / trailing dot) to match; exceptions
+    * prevail longest-first, then the normal/wildcard ladder
+    * longest-first, then the implicit-`*` last-two-labels fallback.
+    */
+  def registrableDomain(h: UTF8String, rules: PslRules): UTF8String = {
+    if (h == null) return null
+    val s = h.toString
+    if (s.startsWith("[")) return null
+    // starts(j) = start index of the (j+1)-th-from-end label; the walk
+    // stops at the first EMPTY label, exactly like the anchored regex
+    val starts = new Array[Int](rules.maxLabels)
+    var count = 0
+    var pos = s.length
+    var done = false
+    while (!done && count < rules.maxLabels) {
+      if (pos == 0) done = true
+      else {
+        val dot = s.lastIndexOf('.', pos - 1)
+        val labelStart = dot + 1
+        if (labelStart == pos) done = true // empty label: regex has no match
+        else {
+          starts(count) = labelStart
+          count += 1
+          if (dot < 0) done = true
+          else pos = dot
+        }
+      }
+    }
+    def lastLabels(k: Int): String =
+      if (k <= count) s.substring(starts(k - 1)) else ""
+    def nullifEmpty(v: String): UTF8String =
+      if (v.isEmpty) null else UTF8String.fromString(v)
+    // exception rules prevail over every other match, longest first
+    var ei = 0
+    while (ei < rules.excKsDesc.length) {
+      val n = rules.excKsDesc(ei)
+      val cand = lastLabels(n)
+      if (cand.nonEmpty && rules.excByLen(n).contains(cand))
+        return UTF8String.fromString(cand)
+      ei += 1
+    }
+    // normal/wildcard ladder, longest first
+    var li = 0
+    while (li < rules.ladderKsDesc.length) {
+      val k = rules.ladderKsDesc(li)
+      val lk = lastLabels(k)
+      val normalHit = rules.normalByLen.get(k).exists(set => lk.nonEmpty && set.contains(lk))
+      val wildHit = !normalHit && rules.wildByLen.get(k).exists { tails =>
+        val tail = lastLabels(k - 1)
+        tail.nonEmpty && tails.contains(tail) && lk.nonEmpty
+      }
+      if (normalHit || wildHit) return nullifEmpty(lastLabels(k + 1))
+      li += 1
+    }
+    nullifEmpty(lastLabels(2)) // implicit `*` rule
+  }
+}
+
+/** Compiled [[Url.urlHost]] — one static call per reference in codegen
+  * (see the Column function's scaladoc for why the four-regex chain had
+  * to stop being an inline tree, r11).
+  */
+case class UrlHostExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlAlgo.host(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlAlgo.host($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+}
+
+/** Compiled [[Url.registrableDomainOfHost]] — the PSL longest-match walk
+  * as one static call over a preprocessed rule table (see the Column
+  * function's ladder twin for why, r11).
+  */
+case class RegistrableDomainOfHostExpr(child: Expression, suffixes: Seq[String])
+    extends UnaryExpression {
+  require(suffixes.nonEmpty, "suffix list must be non-empty")
+  @transient private lazy val rules = new UrlAlgo.PslRules(suffixes)
+  // constructor-time validation parity with the ladder tier (splitRules
+  // throws on malformed rules there; surface the same failure eagerly)
+  new UrlAlgo.PslRules(suffixes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "registrable_domain_of_host"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlAlgo.registrableDomain(input.asInstanceOf[UTF8String], rules)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pslRules", rules, classOf[UrlAlgo.PslRules].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlAlgo.registrableDomain($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RegistrableDomainOfHostExpr =
+    copy(child = newChild)
 }

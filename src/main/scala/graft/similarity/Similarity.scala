@@ -310,7 +310,7 @@ object Similarity {
     val feats = corpus
       .where(pmod(xxhash64(col(idCol), lit(seed)), lit(mod)) < lit(keep))
       .select(array_to_vector(
-        slice(concat(transform(col(vecCol), x => x.cast("double")),
+        slice(concat(col(vecCol).cast("array<double>"),
           array_repeat(lit(0.0), lit(dim))), 1, dim)).as("features"))
       .cache()
     try {
@@ -808,7 +808,7 @@ object Similarity {
     // they cannot participate in the id tie-break
     val base = df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .where(col("id").isNotNull)
     val seed = base.orderBy(col("id").asc).limit(1)
       .collect().headOption

@@ -111,13 +111,19 @@ object Dsir {
     // ships as a codegen reference object, not a numBuckets-wide literal.
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
     val buckets = featureBuckets(col(textCol), numBuckets)
-    df.select(col(idCol).as("doc_id"), buckets.as("__bs"))
-      .where(size(col("__bs")) > 0)
-      .select(col("doc_id"),
-        size(col("__bs")).cast("long").as("n_features"),
-        round(
-          toCol(graft.functions.DsirScoreExpr(toExpr(col("__bs")), ratios.toIndexedSeq)),
-          6).as("dsir_logw"))
+    // persisted (tracked — graft.etl.CacheTracker.unpersistCaches): the
+    // final range sort's boundary sample would otherwise re-evaluate the
+    // whole map-only scoring chain a second time (no upstream shuffle
+    // stage exists for AQE to reuse — the SparkEntry cacheBeforeSort
+    // rationale, r11); the cached rows are the three slim output fields
+    graft.etl.CacheTracker.persistTracked(
+      df.select(col(idCol).as("doc_id"), buckets.as("__bs"))
+        .where(size(col("__bs")) > 0)
+        .select(col("doc_id"),
+          size(col("__bs")).cast("long").as("n_features"),
+          round(
+            toCol(graft.functions.DsirScoreExpr(toExpr(col("__bs")), ratios.toIndexedSeq)),
+            6).as("dsir_logw")))
       .orderBy(col("doc_id"))
   }
 }
