@@ -34,12 +34,15 @@ object UnigramLm {
       .where(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    // sum over an EMPTY tf stream is NULL (a token-less corpus — e.g. an
-    // all-CJK corpus under the ascii tier); the scalar fetch must not
-    // throw, and t=0 flows to an empty (not wrong) result
-    val tRow = tf.agg(sum(col("tf"))).collect()(0)
-    val t = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
-    val v = termCounts.count()
+    // T and V in ONE job over termCounts (sum(c) == sum over tf exactly —
+    // integer sums associate): they were two separate actions, each
+    // re-running the tokenize+explode scan (r11). sum over an EMPTY
+    // stream is NULL (a token-less corpus — e.g. an all-CJK corpus under
+    // the ascii tier); the scalar fetch must not throw, and t=0 flows to
+    // an empty (not wrong) result
+    val tvRow = termCounts.agg(sum(col("c")), count(lit(1))).collect()(0)
+    val t = if (tvRow.isNullAt(0)) 0L else tvRow.getLong(0)
+    val v = tvRow.getLong(1)
     val probs = termCounts.withColumn("prob",
       (col("c") + lit(1)).cast("double") / lit((t + v).toDouble))
     tf.join(probs.select(col("term"), col("prob")), "term")
