@@ -899,10 +899,14 @@ object SparkEntry {
     // fraction drift between engines. The 1-row global-total broadcast is
     // the allowed scalar-BNL pattern (q09/q17).
     "q64_token_budget" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(
+      // persisted: the running-total machinery (boundary sample, range
+      // counts, final pass) plus the corpus-total aggregate evaluate this
+      // map-only scored frame FOUR times — the cacheBeforeSort rationale,
+      // one action wider (r11); cached rows are the three slim fields
+      val scored = cacheBeforeSort(t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        TextFunctions.qualityScore(col("text")).as("quality")))
       val total = scored.agg(sum(col("n_tokens")).as("__total"))
       graft.etl.Packing
         .withRunningTotal(scored, Seq(negate(col("quality")), col("doc_id")),
@@ -947,10 +951,13 @@ object SparkEntry {
     // fraction-literal drift.
     "q67_token_mix" -> ((s, dir) => {
       import s.implicits._
-      val scored = t(s, dir, "documents").select(
+      // persisted: grouped-running-total machinery + the corpus-total
+      // aggregate re-evaluate this map-only frame several times (the q64
+      // rationale, r11); cached rows are the four slim fields
+      val scored = cacheBeforeSort(t(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        graft.etl.Stratified.md5Rank(col("doc_id")).as("__rk"))
+        graft.etl.Stratified.md5Rank(col("doc_id")).as("__rk")))
       val total = scored.agg(sum(col("n_tokens")).as("__total"))
       val weights = broadcast(Seq(("en", 4), ("fr", 2), ("de", 2), ("es", 1), ("zh", 1))
         .toDF("lang", "__w10"))
