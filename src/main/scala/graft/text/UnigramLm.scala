@@ -34,15 +34,19 @@ object UnigramLm {
       .where(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    // T and V as ONE in-plan broadcast scalar over termCounts (sum(c) ==
-    // sum over tf exactly — integer sums associate): they were two
-    // separate driver actions, each re-running the tokenize+explode scan
-    // (r11). (t + v) is the same long add, cast to double exactly like
-    // the old lit((t + v).toDouble); an empty corpus yields an empty tf
-    // stream, so the null t row never meets a data row.
-    val tv = termCounts.agg(sum(col("c")).as("__t"), count(lit(1)).as("__v"))
-    val probs = termCounts.crossJoin(broadcast(tv)).withColumn("prob",
-      (col("c") + lit(1)).cast("double") / (col("__t") + col("__v")).cast("double"))
+    // T and V in ONE collect over termCounts (sum(c) == sum over tf
+    // exactly — integer sums associate): they were two separate actions,
+    // each re-running the tokenize+explode scan (r11). An in-plan
+    // crossJoin(broadcast) scalar was measured SLOWER on the n>=2 tiers
+    // (the extra broadcast gate cost more than the saved action), so the
+    // scalars stay driver literals. sum over an EMPTY stream is NULL (a
+    // token-less corpus); the fetch must not throw, and t=0 flows to an
+    // empty (not wrong) result.
+    val tvRow = termCounts.agg(sum(col("c")), count(lit(1))).collect()(0)
+    val t = if (tvRow.isNullAt(0)) 0L else tvRow.getLong(0)
+    val v = tvRow.getLong(1)
+    val probs = termCounts.withColumn("prob",
+      (col("c") + lit(1)).cast("double") / lit((t + v).toDouble))
     tf.join(probs.select(col("term"), col("prob")), "term")
       .groupBy(col("doc_id"))
       .agg(
@@ -77,18 +81,18 @@ object UnigramLm {
     // vocabulary from the SAME compiled tokenizer as the bigram stream —
     // a lower()+regex V here could disagree with the kernel on characters
     // whose Unicode lowercase is ASCII alnum (e.g. the Kelvin sign).
-    // In-plan broadcast scalar instead of a separate distinct().count()
-    // action (r11): same long count, same add/cast order.
+    // Deliberately a SEPARATE action: folding V into the plan as a
+    // crossJoin(broadcast) scalar was measured slower at sf1 (r11 — the
+    // broadcast gate delayed the probs join more than the action cost).
     val v = df.select(
         explode(
           if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
           else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
-      .distinct().agg(count(lit(1)).as("__v"))
+      .distinct().count()
     val probs = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1")
-      .crossJoin(broadcast(v))
       .select(col("bg"),
-        ((col("c2") + lit(1)).cast("double") / (col("c1") + col("__v")).cast("double")).as("prob"))
+        ((col("c2") + lit(1)).cast("double") / (col("c1") + lit(v)).cast("double")).as("prob"))
     tf2.join(probs, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(
@@ -123,17 +127,16 @@ object UnigramLm {
       .agg(sum(col("c3")).as("cp"))
     // vocabulary from the SAME compiled tokenizer family as the n-gram
     // stream (see bigramCrossEntropy for why a lower()+regex V here
-    // could disagree); in-plan broadcast scalar, not a separate action (r11)
+    // could disagree, and for why this stays a separate action)
     val v = df.select(
         explode(
           if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
           else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
-      .distinct().agg(count(lit(1)).as("__v"))
+      .distinct().count()
     val probs = c3.withColumn("w12", substring_index(col("tg"), " ", 2))
       .join(cp, "w12")
-      .crossJoin(broadcast(v))
       .select(col("tg"),
-        ((col("c3") + lit(1)).cast("double") / (col("cp") + col("__v")).cast("double")).as("prob"))
+        ((col("c3") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
     tf3.join(probs, Seq("tg"))
       .groupBy(col("doc_id"))
       .agg(
@@ -171,17 +174,16 @@ object UnigramLm {
     val cn = tfn.groupBy(col("g")).agg(sum(col("tf")).as("cn"), first(col("p")).as("p"))
     val cp = cn.groupBy(col("p")).agg(sum(col("cn")).as("cp"))
     // V from the exact tokenizer (a scalar; vocabulary-bounded distinct)
-    // so the smoothing denominator is identical to the exact tier's;
-    // in-plan broadcast scalar, not a separate action (r11)
+    // so the smoothing denominator is identical to the exact tier's
+    // (a separate action on purpose — see bigramCrossEntropy, r11)
     val v = df.select(
         explode(
           if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
           else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
-      .distinct().agg(count(lit(1)).as("__v"))
+      .distinct().count()
     val probs = cn.join(cp, "p")
-      .crossJoin(broadcast(v))
       .select(col("g"),
-        ((col("cn") + lit(1)).cast("double") / (col("cp") + col("__v")).cast("double")).as("prob"))
+        ((col("cn") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
     tfn.join(probs, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(
@@ -244,23 +246,20 @@ object UnigramLm {
     // p (and gram) are pure functions of g (same gram -> same prefix
     // chain state / same string), so first() is deterministic here
     val cp = cn.groupBy(col("p")).agg(sum(col("cn")).as("cp"))
-    // V as an in-plan broadcast scalar, not a separate action (r11);
-    // 1.0 / V (the unseen floor: an unobserved gram under an unobserved
-    // prefix — the add-one model's 1 / V) is the same IEEE division as
-    // the old driver-side 1.0 / v
     val v = df.select(
         explode(
           if (unicode) graft.functions.TextFunctions.unicodeTokens(col(textCol))
           else graft.functions.TextFunctions.asciiTokens(col(textCol))).as("term"))
-      .distinct().agg(count(lit(1)).as("__v"))
+      .distinct().count()
+    // unseen floor: an unobserved gram under an unobserved prefix —
+    // the add-one model's 1 / V (prefix count 0)
+    val unseen = 1.0 / v
     cn.join(cp, "p")
-      .crossJoin(broadcast(v))
       .select(col("g"), col("gram"), col("cn"),
-        ((col("cn") + lit(1)).cast("double") / (col("cp") + col("__v")).cast("double")).as("prob"),
-        (lit(1.0) / col("__v").cast("double")).as("unseen_prob"))
+        ((col("cn") + lit(1)).cast("double") / (col("cp") + lit(v)).cast("double")).as("prob"))
       .orderBy(col("cn").desc, col("g"))
       .limit(maxGrams)
-      .select(col("g"), col("gram"), col("prob"), col("unseen_prob"))
+      .select(col("g"), col("gram"), col("prob"), lit(unseen).as("unseen_prob"))
   }
 
   /** Convenience for the corpus-scale default: train the bounded
