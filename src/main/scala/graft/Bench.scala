@@ -56,6 +56,16 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: $t")
           t.printStackTrace()
           -1.0
+      } finally {
+        // Drop operator-internal caches BETWEEN queries (CacheTracker's
+        // documented long-lived-session contract): without this, pass 2
+        // of every caching query resolves against pass 1's still-live
+        // cache (CacheManager matches the identical re-built plan), so
+        // best-of-N records a warm in-memory read instead of the cold
+        // plan, and dozens of MEMORY_AND_DISK caches accumulate across
+        // the session (r11 measurement-integrity finding). Outside the
+        // timed window: cleanup is not the query's cost.
+        graft.etl.CacheTracker.unpersistCaches(blocking = true)
       }
     }
     val ordered = timedQueries.toSeq.sortBy(_._1)

@@ -27,8 +27,11 @@ object SparkEntry {
     * whole kernel chain twice (measured on q101: two back-to-back
     * ~1.4 s single-stage jobs, r11). Guide §5's exact caching
     * criterion: reused (sample + exchange) AND expensive to recompute.
-    * The cached rows are the slim OUTPUT fields, never the raw text;
-    * tracked in [[graft.etl.CacheTracker]] like every operator cache.
+    * The cached rows are exactly the query's OUTPUT columns — slim for
+    * most call sites, but text-bearing where text IS an output field
+    * (q93's round-tripped text, q130's WET text): those are the
+    * heaviest session-lifetime caches and the reason harnesses must
+    * drain [[graft.etl.CacheTracker]] between queries (Bench/Verify do).
     * Queries with an aggregation/join exchange before the sort do NOT
     * need this — the sample reads the materialized shuffle output.
     */

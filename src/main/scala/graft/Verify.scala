@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-internal caches between dumps (CacheTracker's
+      // long-lived-session contract) — 138 dumps would otherwise hold
+      // every cache for the whole session
+      finally graft.etl.CacheTracker.unpersistCaches(blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

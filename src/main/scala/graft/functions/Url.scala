@@ -559,9 +559,10 @@ case class RegistrableDomainOfHostExpr(child: Expression, suffixes: Seq[String])
     extends UnaryExpression {
   require(suffixes.nonEmpty, "suffix list must be non-empty")
   @transient private lazy val rules = new UrlAlgo.PslRules(suffixes)
-  // constructor-time validation parity with the ladder tier (splitRules
-  // throws on malformed rules there; surface the same failure eagerly)
-  new UrlAlgo.PslRules(suffixes)
+  // constructor-time validation parity with the ladder tier: splitRules
+  // alone throws on malformed rules (cheap — no throwaway PslRules table
+  // built per instantiation, and Catalyst copies expressions freely)
+  Url.splitRules(suffixes)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string column, got ${child.dataType}")

@@ -29,6 +29,9 @@ object CodegenScan {
       System.err.flush()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case t: Throwable => System.err.println(s"=== FAILED $name: $t") }
+      // cross-query memory pressure changes which stages fall back —
+      // exactly the signal this tool attributes; drain caches per query
+      finally graft.etl.CacheTracker.unpersistCaches(blocking = true)
     }
     spark.stop()
   }

@@ -66,6 +66,8 @@ object QBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"== pass $p: $name $sec%.3f s")
       lines.forEach(l => println("   " + l))
+      // cold-plan parity with Bench: drop tracked caches between passes
+      graft.etl.CacheTracker.unpersistCaches(blocking = true)
     }
     spark.stop()
   }
