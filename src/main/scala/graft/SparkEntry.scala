@@ -3208,12 +3208,19 @@ object SparkEntry {
     */
   private def capstoneCleanDedup(pages: DataFrame): DataFrame = {
     val dom = concat(lit("dom"), col("doc_id") % 7)
-    val staged = pages
+    // persisted (tracked): the boilerplate stage evaluates its input THREE
+    // times in one action (line-fingerprint votes, per-domain doc counts,
+    // and the strip join) with no upstream exchange for reuse to cover —
+    // without the cache the page assembly + C4 kernel (the capstone's
+    // most expensive text pass) runs 3x per materialization (measured
+    // r12: the two extra evals were the largest jobs of the capstone's
+    // first action). Guide §5 criterion: reused AND expensive.
+    val staged = graft.etl.CacheTracker.persistTracked(pages
       .select(col("doc_id"), col("lang"), dom.as("domain"),
         TextFunctions.c4Flags(col("page"), minWords = 5, minKeptLines = 3).as("f"))
       .where(col("f.pass"))
       .select(col("doc_id"), col("lang"), col("domain"),
-        col("f.kept_text").as("t1"))
+        col("f.kept_text").as("t1")))
     val stripped = graft.dedup.Boilerplate.stripDomainBoilerplate(
         staged, "t1", "domain", "doc_id", minFrac = 0.5, minDocs = 2)
       .where(TextFunctions.blocklistHits(

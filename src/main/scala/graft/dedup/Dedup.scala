@@ -79,10 +79,17 @@ object Dedup {
     // together; spec-verified tier (engine-divergent, no SQL twin)
     val fp = TextFunctions.fingerprint(col(textCol), unicode, nfc, caseFold)
     val key = coalesce(fp, concat(lit("__graft_null__:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(key).orderBy(col(idCol))
-    df.withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    // min_by over the whole row, NOT a row_number window (r12): the
+    // aggregate partial-merges duplicate groups MAP-SIDE, so the
+    // exchange carries one candidate row per (fingerprint, map
+    // partition) instead of every duplicate, and the per-partition sort
+    // a window needs disappears (guide §2.3 "aggregate before you
+    // shuffle"). Same keep-smallest-id contract: idCol orders the
+    // min_by exactly as the window's ORDER BY did.
+    val cols = df.columns.toSeq
+    df.groupBy(key.as("__graft_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__graft_row"))
+      .select(cols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
   }
 
   /** Duplicate-set sizes by fingerprint: (fingerprint, n_docs, min_id). */

@@ -32,7 +32,18 @@ object UnigramLm {
     val toks = df.select(col(idCol).as("doc_id"),
         explode(tokens).as("term"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // persisted (tracked — graft.etl.CacheTracker.unpersistCaches): tf
+    // feeds BOTH the T/V scalar collect below and the probs join in the
+    // returned plan — two separate ACTIONS, which exchange reuse (a
+    // per-plan mechanism) cannot bridge, so without the cache the
+    // tokenize+explode corpus scan and the (doc, term) shuffle ran twice
+    // per query (measured r12 on q115: the T/V job and the scored-frame
+    // job were twin ~2 s tokenize passes). The cached rows are the slim
+    // (doc_id, term, tf) aggregate — token-TYPE cardinality per doc, no
+    // raw text; at corpus scale it spills to disk, still cheaper than a
+    // second regex pass over the full text.
+    val tf = graft.etl.CacheTracker.persistTracked(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     // T and V in ONE collect over termCounts (sum(c) == sum over tf
     // exactly — integer sums associate): they were two separate actions,
