@@ -1310,7 +1310,12 @@ object SparkEntry {
     // is a codegen'd regexp/replace chain over shared Java/RE2 syntax,
     // so the oracle replays extraction byte-for-byte.
     "q88_html_extract" -> ((s, dir) =>
+      // rangeBeforeKernel (r12), NOT cacheBeforeSort: the output is the
+      // full cleaned text, so the cache held the whole corpus — the
+      // pre-kernel range exchange gives the same single kernel
+      // evaluation (boundary sample reads only the scan) with no cache
       t(s, dir, "documents")
+        .repartitionByRange(col("doc_id"))
         .select(col("doc_id"),
           concat(
             lit("<html><head><style>p { color: red }</style></head><body><h1>"),
@@ -1319,7 +1324,6 @@ object SparkEntry {
             .as("html"))
         .select(col("doc_id"),
           TextFunctions.htmlToText(col("html")).as("text_clean"))
-        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q89: WARC record parsing (graft.data.Warc, SURVEY+ L53) — each
@@ -1497,13 +1501,17 @@ object SparkEntry {
     // codec breaks the hash); the quarantine/zip-bomb semantics are
     // spec-covered (GzipSpec) and fuzz-covered (fz_gzip).
     "q93_gzip_roundtrip" -> ((s, dir) =>
+      // rangeBeforeKernel (r12), NOT cacheBeforeSort: text_rt IS the
+      // full round-tripped text, so the cache held the whole corpus —
+      // the pre-kernel range exchange keeps one codec evaluation
+      // (boundary sample reads only the scan) with no cache
       t(s, dir, "documents")
+        .repartitionByRange(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.Gzip.gunzipText(
             graft.functions.Gzip.gzip(col("text"))).as("text_rt"))
         .select(col("doc_id"), col("text_rt"),
           length(col("text_rt")).as("n_chars"))
-        .transform(cacheBeforeSort)
         .orderBy(col("doc_id"))),
 
     // q94: URL decomposition (graft.functions.Url, SURVEY+ L58) — the
@@ -3215,7 +3223,7 @@ object SparkEntry {
     // most expensive text pass) runs 3x per materialization (measured
     // r12: the two extra evals were the largest jobs of the capstone's
     // first action). Guide §5 criterion: reused AND expensive.
-    val staged = graft.etl.CacheTracker.persistTracked(pages
+    val staged = graft.etl.CacheTracker.checkpointTracked(pages
       .select(col("doc_id"), col("lang"), dom.as("domain"),
         TextFunctions.c4Flags(col("page"), minWords = 5, minKeptLines = 3).as("f"))
       .where(col("f.pass"))
@@ -3226,7 +3234,7 @@ object SparkEntry {
       .where(TextFunctions.blocklistHits(
         col("cleaned"), Seq("badword99"), wordBounded = true) === 0)
       .select(col("doc_id"), col("lang"), col("cleaned"))
-    graft.etl.CacheTracker.persistTracked(
+    graft.etl.CacheTracker.checkpointTracked(
       graft.dedup.Dedup.exact(stripped, "cleaned", "doc_id",
         unicode = true, nfc = true))
   }

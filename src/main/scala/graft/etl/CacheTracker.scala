@@ -34,11 +34,38 @@ object CacheTracker {
     p
   }
 
+  private val pendingRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+
+  /** Eagerly `localCheckpoint` `df` and register the checkpointed blocks
+    * for the [[unpersistCaches]] sweep. Use INSTEAD of [[persistTracked]]
+    * when the frame is reused across several downstream ACTIONS and its
+    * producing plan is large: persist keeps the full child plan inside
+    * the InMemoryRelation, so every downstream action re-analyzes,
+    * re-optimizes and (under AQE) re-stringifies the whole upstream tree;
+    * the checkpoint truncates it to a LogicalRDD leaf (the r11 q105
+    * finding — plan machinery, not execution, dominated). Same
+    * fault-tolerance trade as every localCheckpoint (see
+    * [[graft.graph.LinkGraph.pageRank]]'s scaladoc): blocks live on
+    * executors, lineage is gone, an executor loss mid-query fails the
+    * job instead of recomputing.
+    */
+  private[graft] def checkpointTracked(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => pendingRdds.add(lr.rdd)
+      case _ => ()
+    }
+    cp
+  }
+
   /** Unpersist every tracked cache created since the last call — see the
     * class doc for the call-after-materializing contract.
     */
   def unpersistCaches(blocking: Boolean = false): Unit = {
     var d = pendingCaches.poll()
     while (d != null) { d.unpersist(blocking); d = pendingCaches.poll() }
+    var r = pendingRdds.poll()
+    while (r != null) { r.unpersist(blocking); r = pendingRdds.poll() }
   }
 }

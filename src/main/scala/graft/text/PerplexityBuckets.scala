@@ -116,7 +116,7 @@ object PerplexityBuckets {
     // shared cache queue — callers running many partitions in one
     // session should call graft.etl.CacheTracker.unpersistCaches after
     // materializing (see its scaladoc for the contract).
-    val withLang = graft.etl.CacheTracker.persistTracked(scored.join(
+    val withLang = graft.etl.CacheTracker.checkpointTracked(scored.join(
       df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id"))
     Ranking.withGroupedNtile(withLang, Seq("lang"),
       Seq(col("xent"), col("doc_id")), k, "bucket")

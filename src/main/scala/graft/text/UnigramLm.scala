@@ -42,7 +42,7 @@ object UnigramLm {
     // (doc_id, term, tf) aggregate — token-TYPE cardinality per doc, no
     // raw text; at corpus scale it spills to disk, still cheaper than a
     // second regex pass over the full text.
-    val tf = graft.etl.CacheTracker.persistTracked(
+    val tf = graft.etl.CacheTracker.checkpointTracked(
       toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     // T and V in ONE collect over termCounts (sum(c) == sum over tf
