@@ -107,7 +107,7 @@ object Components {
     try {
     var labels = vertices.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.etl.CacheTracker.checkpointTracked)
     // Convergence check by LABEL SUM, not a next-vs-old join: labels are
     // monotonically non-increasing per vertex (min over a set containing
     // the old label), so the sum strictly decreases until fixpoint and an
@@ -133,7 +133,7 @@ object Components {
         }
       val next = contributions
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.etl.CacheTracker.checkpointTracked)
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -31,6 +31,8 @@ object Dedup {
     */
   private[graft] def persistTracked(df: DataFrame): DataFrame =
     graft.etl.CacheTracker.persistTracked(df)
+  private[graft] def checkpointTracked(df: DataFrame): DataFrame =
+    graft.etl.CacheTracker.checkpointTracked(df)
 
   /** Unpersist every tracked operator cache — delegates to
     * [[graft.etl.CacheTracker.unpersistCaches]].
@@ -255,7 +257,7 @@ object Dedup {
     }
     // persisted (tracked — see unpersistCaches): the candidate-id prune
     // reads the survivors twice
-    val cands = persistTracked(l.join(r,
+    val cands = checkpointTracked(l.join(r,
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
@@ -389,14 +391,18 @@ object Dedup {
       s"blockScheme must be auto|block4|combo20, got $blockScheme")
     require(blockScheme != "combo20" || maxHamming <= 3,
       s"combo20 blocking is complete only for maxHamming <= 3, got $maxHamming")
-    val sh = hashed.select(col(idCol).as("id"), col(hashCol).as("sim"))
-    val scheme = blockScheme match {
-      case "auto" if maxHamming > 3 => "block4"
+    val sh0 = hashed.select(col(idCol).as("id"), col(hashCol).as("sim"))
+    val (sh, scheme) = blockScheme match {
+      case "auto" if maxHamming > 3 => (sh0, "block4")
       case "auto" =>
-        val p = persistTracked(sh)
+        // persist, not checkpoint (r12 A/B: the eager checkpoint
+        // measured ~0.2 s SLOWER on q111/q129 — the hash frame is read
+        // exactly twice and the columnar cache read beats the row-format
+        // checkpoint blocks)
+        val p = persistTracked(sh0)
         val comboThreshold = math.max(1L << 18, 4096L * maxBucketSize)
-        if (p.count() >= comboThreshold) "combo20" else "block4"
-      case s => s
+        (p, if (p.count() >= comboThreshold) "combo20" else "block4")
+      case s => (sh0, s)
     }
     val keyed =
       if (scheme == "block4") {
@@ -616,7 +622,7 @@ object Dedup {
     // persisted (tracked — see unpersistCaches): the candidate-id prune
     // below reads the candidate set twice (the blocking self-join is the
     // expensive half)
-    val cand = persistTracked(ex.alias("ja")
+    val cand = checkpointTracked(ex.alias("ja")
       .join(ex.alias("jb"),
         col("ja.__b8") === col("jb.__b8") &&
           col(s"ja.$idCol") < col(s"jb.$idCol"))
@@ -680,7 +686,7 @@ object Dedup {
       .withColumn("__rk", row_number().over(wb))
       .where(col("__rk") <= blockCap).drop("__rk")
     // persisted (tracked — see unpersistCaches)
-    val cand = persistTracked(ex.alias("ca")
+    val cand = checkpointTracked(ex.alias("ca")
       .join(ex.alias("cb"),
         col("ca.__b8") === col("cb.__b8") &&
           col(s"ca.$idCol") < col(s"cb.$idCol"))

@@ -205,7 +205,8 @@ object LinkGraph {
     // join reuses this layout instead of re-exchanging the edge side
     // (guide §2.4 — two operations keyed the same way share one
     // exchange; ranks is the small side that still moves)
-    val eOut = e.join(outW, "__src").repartition(col("__src")).localCheckpoint()
+    val eOut = graft.etl.CacheTracker.checkpointTracked(
+      e.join(outW, "__src").repartition(col("__src")))
     // nodes derive from the CACHED eOut, not the raw edges: a separate
     // cache-fill plan cannot share exchanges with eOut's, so reading `e`
     // here would recompute the whole upstream edge derivation a second
@@ -221,7 +222,7 @@ object LinkGraph {
       .select(col("node"),
         expr(s"(($scaleTotal * ${dampDen - dampNum}) div $dampDen) div __n").as("__base"),
         expr(s"$scaleTotal div __n").as("__r0"))
-      .repartition(col("node")).localCheckpoint()
+      .repartition(col("node")).transform(graft.etl.CacheTracker.checkpointTracked)
     // dangling nodes (no out-edges) — only materialized for the
     // redistribution variant; anti-join against the cached eOut
     lazy val danglingIds = graft.etl.CacheTracker.persistTracked(
@@ -256,7 +257,8 @@ object LinkGraph {
       // truncate lineage before the plan grows past ~checkpointEvery
       // iterations of join/agg nesting; eager (the default) so the
       // checkpoint materializes here, not lazily inside a deeper plan
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = graft.etl.CacheTracker.checkpointTracked(ranks)
     }
     ranks
   }

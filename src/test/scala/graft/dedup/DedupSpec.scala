@@ -282,14 +282,23 @@ class DedupSpec extends SparkSpec {
       (1L, "a b c d e f g h i j k l"),
       (2L, "a b c d e f g h i j k m"),
       (3L, "z y x w v u t s r q p o")).toDF("doc_id", "text")
-    // materialize all three persisting operators
+    // baseline snapshot: other suites sharing this session may hold
+    // their own (untracked) checkpoint blocks — only assert on what
+    // THESE operators add and what the drain removes
+    Dedup.unpersistCaches(blocking = true)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    // materialize all three caching operators (candidate frames are
+    // tracked eager localCheckpoints since r12 — they register as
+    // persistent RDD blocks, not CacheManager entries)
     Dedup.jaccardPairs(d, "doc_id", "text", n = 2, blockN = 3).collect()
     Dedup.containmentPairs(d, "doc_id", "text", n = 2, blockN = 3).collect()
     Dedup.nearDuplicatePairs(d, "text", "doc_id", threshold = 0.5, shingleSize = 2).collect()
-    assert(!spark.sharedState.cacheManager.isEmpty,
-      "the candidate caches should be registered while pending")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preexisting).nonEmpty,
+      "the candidate checkpoints should hold blocks while pending")
     Dedup.unpersistCaches(blocking = true)
     assert(spark.sharedState.cacheManager.isEmpty,
       "unpersistCaches must leave no session-lifetime cache entries behind")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preexisting).isEmpty,
+      "unpersistCaches must release every tracked checkpoint's blocks")
   }
 }
