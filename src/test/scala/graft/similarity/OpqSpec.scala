@@ -137,12 +137,13 @@ class OpqSpec extends SparkSpec {
     val df = raw.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
       .toDF("vec_id", "v")
     val errRaw = Opq.reconstructionError(raw, dim, m, ksub = 8)
-    val err8 = Opq.reconstructionError(raw.map(Opq.matVecLocal(
-      _, Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 8).toArray, dim)),
-      dim, m, ksub = 8)
-    val err16 = Opq.reconstructionError(raw.map(Opq.matVecLocal(
-      _, Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 16).toArray, dim)),
-      dim, m, ksub = 8)
+    // train each rotation ONCE, outside the map: the previous inlining
+    // re-ran the (deterministic) trainer per vector — 2000 identical
+    // trainings per call, ~12 minutes of suite time for the same values
+    val r8 = Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 8).toArray
+    val r16 = Opq.trainRotation(df, "vec_id", "v", dim, m, ksub = 8, iters = 16).toArray
+    val err8 = Opq.reconstructionError(raw.map(Opq.matVecLocal(_, r8, dim)), dim, m, ksub = 8)
+    val err16 = Opq.reconstructionError(raw.map(Opq.matVecLocal(_, r16, dim)), dim, m, ksub = 8)
     assert(err8 < errRaw * 0.7,
       s"OPQ error $err8 at 8 iters must be well below plain PQ's $errRaw")
     assert(err16 <= err8 + 1e-9, s"more alternations must not hurt: $err16 vs $err8")
